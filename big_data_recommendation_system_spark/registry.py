@@ -1,0 +1,49 @@
+"""Query registry: every implemented operator exposed as a named query
+plus (where SQL-expressible) a DuckDB oracle equivalent.
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract) and by the oracle test suite. Column names are aliased
+identically on both sides — the driver's comparator sorts columns by name
+before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import relational, silver
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _pinned(fn: QueryFn) -> QueryFn:
+    """Pin session confs the plans rely on, whatever session the caller
+    built: UTC timezone (hour()/to_date() are session-TZ-dependent and the
+    oracle compares naive-UTC) — see tests/oracle.py."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+_RAW_QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q5_regional_revenue": relational.q5_regional_revenue,
+    "silver_events": silver.silver_events,
+}
+
+QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": relational.Q1_SQL,
+    "q3_shipping_priority": relational.Q3_SQL,
+    "q5_regional_revenue": relational.Q5_SQL,
+    "silver_events": silver.SILVER_EVENTS_SQL,
+}
