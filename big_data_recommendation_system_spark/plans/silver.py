@@ -70,7 +70,9 @@ def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_events(load_table(spark, sf_dir, "events"))
 
 
-SILVER_EVENTS_SQL = f"""
+# Reusable oracle body: downstream gold/operator oracles embed this as a CTE
+# so Spark's clean_events and the DuckDB oracle always agree on the input.
+SILVER_EVENTS_BODY = f"""
 WITH e AS (
   SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
   FROM events
@@ -99,3 +101,10 @@ WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
   AND event_type IN ({_VOCAB_SQL})
   AND value > 0
 """
+
+SILVER_EVENTS_SQL = SILVER_EVENTS_BODY
+
+
+def silver_cte(tail_sql: str) -> str:
+    """Wrap a query over the cleaned events as WITH silver AS (...) <tail>."""
+    return f"WITH silver AS ({SILVER_EVENTS_BODY})\n{tail_sql}"

@@ -13,7 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import relational, silver
+from .operators import dedup, topk, windows
+from .plans import gold, relational, silver
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -37,6 +38,16 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": relational.q3_shipping_priority,
     "q5_regional_revenue": relational.q5_regional_revenue,
     "silver_events": silver.silver_events,
+    "user_summary": gold.user_summary,
+    "daily_stats": gold.daily_stats,
+    "engagement_metrics": gold.engagement_metrics,
+    "latest_event_per_user": dedup.latest_event_per_user,
+    "first_event_per_user_type_day": dedup.first_event_per_user_type_day,
+    "dedup_exact_events": dedup.dedup_exact_events,
+    "event_sequences": windows.event_sequences,
+    "user_sessions": windows.user_sessions,
+    "user_value_quartiles": windows.user_value_quartiles,
+    "top_event_types_per_user": topk.top_event_types_per_user,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -46,4 +57,14 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": relational.Q3_SQL,
     "q5_regional_revenue": relational.Q5_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
+    "user_summary": gold.USER_SUMMARY_SQL,
+    "daily_stats": gold.DAILY_STATS_SQL,
+    "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,
+    "latest_event_per_user": dedup.LATEST_EVENT_PER_USER_SQL,
+    "first_event_per_user_type_day": dedup.FIRST_EVENT_PER_USER_TYPE_DAY_SQL,
+    "dedup_exact_events": dedup.DEDUP_EXACT_EVENTS_SQL,
+    "event_sequences": windows.EVENT_SEQUENCES_SQL,
+    "user_sessions": windows.USER_SESSIONS_SQL,
+    "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
+    "top_event_types_per_user": topk.TOP_EVENT_TYPES_PER_USER_SQL,
 }
