@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, topk, windows
 from .plans import gold, relational, silver
+from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -48,6 +49,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "user_sessions": windows.user_sessions,
     "user_value_quartiles": windows.user_value_quartiles,
     "top_event_types_per_user": topk.top_event_types_per_user,
+    "dq_rule_stats": dq_report.dq_rule_stats,
+    "dq_daily_validity": dq_report.dq_daily_validity,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -67,4 +70,6 @@ ORACLES: dict[str, str] = {
     "user_sessions": windows.USER_SESSIONS_SQL,
     "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
     "top_event_types_per_user": topk.TOP_EVENT_TYPES_PER_USER_SQL,
+    "dq_rule_stats": dq_report.DQ_RULE_STATS_SQL,
+    "dq_daily_validity": dq_report.DQ_DAILY_VALIDITY_SQL,
 }

@@ -1,0 +1,97 @@
+"""Unit tests for the pandas-parity semantic traps (SURVEY.md §7.3) and
+the DQ compiler, on tiny in-memory frames."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from big_data_recommendation_system_spark.config import (
+    PRICE_TIER_BINS,
+    PRICE_TIER_LABELS,
+)
+from big_data_recommendation_system_spark.functions.pandas_parity import (
+    cut_right_closed,
+    dayofweek_monday0,
+    is_weekend,
+)
+from big_data_recommendation_system_spark.operators.dedup import keep_latest
+from big_data_recommendation_system_spark.quality.compiler import with_quality
+from big_data_recommendation_system_spark.quality.rules import EVENTS_RULES
+
+
+def test_cut_right_closed_bin_edges(spark):
+    """pd.cut parity: right-closed (lo, hi] — 50.0 is 'budget', 0 is null."""
+    df = spark.createDataFrame(
+        [(0.0,), (0.01,), (50.0,), (50.01,), (200.0,), (1000.0,), (1000.01,), (-3.0,)],
+        ["price"],
+    )
+    got = {
+        r.price: r.tier
+        for r in df.select(
+            "price",
+            cut_right_closed(F.col("price"), PRICE_TIER_BINS, PRICE_TIER_LABELS).alias(
+                "tier"
+            ),
+        ).collect()
+    }
+    assert got[0.0] is None  # left-open: 0 excluded, like pd.cut
+    assert got[0.01] == "budget"
+    assert got[50.0] == "budget"  # right-closed boundary
+    assert got[50.01] == "low"
+    assert got[200.0] == "low"
+    assert got[1000.0] == "high"
+    assert got[1000.01] == "premium"
+    assert got[-3.0] is None
+
+
+def test_dayofweek_monday0(spark):
+    # 2025-09-01 is a Monday; 2025-09-06 Saturday; 2025-09-07 Sunday
+    df = spark.createDataFrame(
+        [(datetime(2025, 9, 1),), (datetime(2025, 9, 6),), (datetime(2025, 9, 7),)],
+        ["ts"],
+    )
+    rows = df.select(
+        dayofweek_monday0(F.col("ts")).alias("dow"), is_weekend(F.col("ts")).alias("we")
+    ).collect()
+    assert [r.dow for r in rows] == [0, 5, 6]
+    assert [r.we for r in rows] == [False, True, True]
+
+
+def test_keep_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, datetime(2025, 1, 1)),
+            ("u1", 2, datetime(2025, 1, 2)),
+            ("u1", 3, datetime(2025, 1, 2)),  # ts tie → higher event_id wins
+            ("u2", 4, datetime(2025, 1, 1)),
+        ],
+        ["user_id", "event_id", "ts"],
+    )
+    got = {
+        r.user_id: r.event_id
+        for r in keep_latest(
+            df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        ).collect()
+    }
+    assert got == {"u1": 3, "u2": 4}
+
+
+def test_quality_compiler_scoring(spark):
+    df = spark.createDataFrame(
+        [
+            # (event_id, ts, user_id, event_type, value, props)
+            (1, datetime(2024, 2, 1), 10, "view", 5.0, '{"k": 1}'),  # clean
+            (2, datetime(2024, 2, 1), None, "view", 5.0, '{"k": 1}'),  # CRITICAL fail
+            (3, datetime(2024, 2, 1), 10, "error", 5.0, '{"k": 1}'),  # ERROR (enum)
+            (4, datetime(2024, 2, 1), 10, "view", -1.0, '{"k": 1}'),  # ERROR (range)
+            (5, datetime(2023, 1, 1), 10, "view", 5.0, "oops"),  # 2 WARNINGs only
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    rows = {r.event_id: r for r in with_quality(df, EVENTS_RULES).collect()}
+    assert rows[1].is_valid and rows[1].quality_score == 100
+    assert not rows[2].is_valid and rows[2].quality_score == 90
+    assert not rows[3].is_valid and rows[3].quality_score == 95
+    assert not rows[4].is_valid and rows[4].quality_score == 95
+    assert rows[5].is_valid and rows[5].quality_score == 100
+    assert rows[5].dq_warnings == 2
