@@ -1,0 +1,252 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two implementations of cosine top-k:
+
+- ``ann_cosine_topk`` — brute-force baseline, *oracle-exact*: dot products
+  and norms accumulate as DECIMAL over position-exploded rows, so the
+  result is order-independent and identical between Spark and DuckDB.
+- ``cosine_topk_fast`` — production path: array-native ``F.zip_with`` +
+  ``F.aggregate`` fold (single JVM pass per pair, no explode). Same
+  semantics up to float-summation order; used by bench.
+- ``ann_ivf_topk`` — the 100 TB scale path: coarse quantization (assign
+  every vector to its nearest of K centroids), then search only the
+  query's cell. Turns the O(N·Q) cross product into O(N·K + per-cell),
+  the standard IVF trade-off. Also oracle-exact (deterministic
+  centroids = lowest vec_ids, decimal accumulation, deterministic
+  tie-breaks everywhere).
+
+At real scale the explode-based exact variants shuffle (pair, pos) rows —
+use cosine_topk_fast + IVF; the exact ones are the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # queries = vec_id < 10
+IVF_CENTROIDS = 8  # centroids = vec_id < 8
+
+_DEC = "decimal(38,12)"
+
+
+def _dims(df: DataFrame, id_alias: str) -> DataFrame:
+    """(id, pos, x:double) position-exploded embedding."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.posexplode(F.col("embedding")),
+    ).select(id_alias, F.col("pos"), F.col("col").cast("double").alias("x"))
+
+
+def _norms(df: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
+    d = _dims(df, id_alias)
+    return d.groupBy(id_alias).agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")).alias(
+            norm_alias
+        )
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    qd = _dims(queries, "query_id")
+    cd = _dims(emb, "neighbor_id")
+    dots = (
+        qd.join(cd, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((qd.x * cd.x).cast(_DEC)).cast("double").alias("dot"))
+    )
+    qn = _norms(queries, "query_id", "qnorm")
+    cn = _norms(emb, "neighbor_id", "cnorm")
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims q JOIN dims c ON q.pos = c.pos
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS cosine
+  FROM dots JOIN norms qn ON qn.vec_id = query_id JOIN norms cn ON cn.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def cosine_topk_fast(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Array-native brute-force cosine top-k (bench/production path):
+    broadcast the queries, fold dot products JVM-side, no explode."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("qe"), F.col("ce"))
+        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign all vectors to nearest of 8 deterministic
+    centroids (vec_id < 8), then exact top-5 within the query's cell only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cd = _dims(emb.filter(F.col("vec_id") < IVF_CENTROIDS), "centroid_id")
+    vd = _dims(emb, "vec_id2")
+    vn = _norms(emb, "vec_id2", "vnorm")
+    cn = _norms(
+        emb.filter(F.col("vec_id") < IVF_CENTROIDS), "centroid_id", "cnorm"
+    )
+    sims = (
+        vd.join(F.broadcast(cd), "pos")
+        .groupBy("vec_id2", "centroid_id")
+        .agg(F.sum((vd.x * cd.x).cast(_DEC)).cast("double").alias("dot"))
+        .join(F.broadcast(cn), "centroid_id")
+        .join(vn, "vec_id2")
+        .withColumn("cos_c", F.col("dot") / (F.col("vnorm") * F.col("cnorm")))
+    )
+    wc = Window.partitionBy("vec_id2").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    assign = (
+        sims.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id2").alias("vec_id"), "centroid_id")
+    )
+    # search within the query's cell
+    vd2 = _dims(emb, "vid").join(
+        assign.withColumnRenamed("vec_id", "vid"), "vid"
+    )
+    qd = vd2.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("qx"),
+    )
+    cdd = vd2.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("cx"),
+    )
+    dots = (
+        qd.join(cdd, ["cell", "pos"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    nrm = _norms(emb, "nid", "nrm")
+    scored = (
+        dots.join(
+            F.broadcast(nrm.withColumnRenamed("nid", "query_id")).withColumnRenamed(
+                "nrm", "qnorm"
+            ),
+            "query_id",
+        )
+        .join(
+            nrm.withColumnRenamed("nid", "neighbor_id").withColumnRenamed(
+                "nrm", "cnorm"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims v JOIN dims c ON v.pos = c.pos
+  WHERE c.vec_id < {IVF_CENTROIDS}
+  GROUP BY v.vec_id, c.vec_id
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cd.vec_id, cd.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY cd.vec_id
+        ORDER BY cd.dot / (vn.nrm * cn.nrm) DESC, cd.centroid_id ASC
+      ) AS r
+    FROM cdots cd
+    JOIN norms vn ON vn.vec_id = cd.vec_id
+    JOIN norms cn ON cn.vec_id = cd.centroid_id
+  ) WHERE r = 1
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign ca ON qa.centroid_id = ca.centroid_id
+  JOIN dims c ON c.vec_id = ca.vec_id AND q.pos = c.pos
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM (
+  SELECT query_id, neighbor_id,
+    dot / (qn.nrm * cn.nrm) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / (qn.nrm * cn.nrm) DESC, neighbor_id ASC) AS rank
+  FROM dots JOIN norms qn ON qn.vec_id = query_id JOIN norms cn ON cn.vec_id = neighbor_id
+)
+WHERE rank <= {TOP_K}
+"""

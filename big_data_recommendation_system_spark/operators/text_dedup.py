@@ -1,0 +1,230 @@
+"""Near-duplicate text detection — the dedup family a 100 TB training-data
+pipeline needs (exact dedup lives in operators/dedup.py):
+
+- ``ngram_jaccard_pairs``  — exact pairwise n-gram-set jaccard. Baseline /
+  verifier; quadratic, so gated by a size-ratio prefilter (|A∩B|/|A∪B| ≥ t
+  implies |A|/|B| ∈ [t, 1/t]) that prunes most of the cross product before
+  the set intersection runs.
+- ``minhash_lsh_pairs``    — the scale path: shingle → 16 MinHash
+  permutations → 8 LSH bands (r=2) → bucket self-join → exact-jaccard
+  verification of candidates only. Cost is linear in corpus size + the
+  (tiny) bucket collisions; this is the shape that survives 100× scale-up.
+- ``simhash_fingerprints`` — 48-bit SimHash per document (bitwise majority
+  over per-token md5 bits), one aggregation pass.
+
+Engine-neutral hashing: all hashes are md5-of-string (identical hex in
+Spark and DuckDB), so the oracle reproduces signatures bit-for-bit —
+including which candidate pairs LSH emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import shingles, shingles_sql, tokens, tokens_sql
+from ..sources.tables import load_table
+
+SHINGLE_N = 2
+NUM_PERMS = 16
+LSH_BANDS = 8  # r = NUM_PERMS / LSH_BANDS = 2
+JACCARD_THRESHOLD = 0.4
+
+_R = NUM_PERMS // LSH_BANDS
+
+_DOCS_SHINGLED_CTE = f"""WITH t AS (
+  SELECT doc_id, {tokens_sql()} AS tok FROM documents
+), d AS (
+  SELECT doc_id, {shingles_sql("tok", SHINGLE_N)} AS sh FROM t WHERE len(tok) >= {SHINGLE_N}
+)"""
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tok", tokens(F.col("text")))
+        .filter(F.size("tok") >= SHINGLE_N)
+        .select("doc_id", shingles("tok", SHINGLE_N).alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs jaccard ≥ threshold on word-2-gram sets."""
+    d = _shingled_docs(spark, sf_dir).withColumn("n", F.size("sh"))
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    t = JACCARD_THRESHOLD
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("n_b") * F.lit(t) <= F.col("n_a"))
+        & (F.col("n_a") * F.lit(t) <= F.col("n_b")),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""{_DOCS_SHINGLED_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND len(b.sh) * {JACCARD_THRESHOLD} <= len(a.sh)
+ AND len(a.sh) * {JACCARD_THRESHOLD} <= len(b.sh)
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(d: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min md5(f"{i}:{shingle}").
+    Explode → per-(doc, perm) min → re-assemble ordered array. The min is
+    map-side combined, so only (doc, perm, min) triples shuffle."""
+    exploded = d.select("doc_id", F.explode("sh").alias("s"))
+    perms = exploded.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("i"), "s"
+    )
+    mins = perms.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("i"), F.col("s")))).alias("h")
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "h"))).alias("pairs"))
+        .select("doc_id", F.transform("pairs", lambda p: p["h"]).alias("sig"))
+    )
+
+
+def lsh_band_keys(sig_df: DataFrame, bands: int = LSH_BANDS, r: int = _R) -> DataFrame:
+    """(doc_id, band, band_key) — band_key = md5(sig[b*r] || ... )."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "", *[F.element_at("sig", b * r + j + 1) for j in range(r)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact-jaccard verification of candidates."""
+    d = _shingled_docs(spark, sf_dir)
+    bands = lsh_band_keys(minhash_signatures(d))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(da, "doc_a").join(db, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = f"""{_DOCS_SHINGLED_CTE}
+, sh AS (SELECT doc_id, unnest(sh) AS s FROM d)
+, sig AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+  FROM sh CROSS JOIN range({NUM_PERMS}) r(i)
+  GROUP BY doc_id, i
+)
+, band AS (
+  SELECT doc_id, CAST(i // {_R} AS INT) AS band,
+         md5(string_agg(h, '' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc_id, i // {_R}
+)
+, cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band x JOIN band y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def _bit_expr_spark(j: int) -> str:
+    """SQL-expr string: bit j of md5(token) as ±1 contribution."""
+    hex_pos = j // 4 + 1
+    shift = j % 4
+    return (
+        f"2 * (shiftright(locate(substring(md5(tokval), {hex_pos}, 1), '0123456789abcdef') - 1, {shift}) & 1) - 1"
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per doc: majority vote over per-token-occurrence md5
+    bits (term frequency = natural weighting since tokens repeat)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.withColumn("tok", tokens(F.col("text")))
+        .select("doc_id", F.explode("tok").alias("tokval"))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(_bit_expr_spark(j))).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(2 * (((strpos('0123456789abcdef', substring(md5(tokval), {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1) - 1) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, unnest({tokens_sql()}) AS tokval FROM documents
+), s AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, {recon} AS simhash FROM s
+"""
+
+
+SIMHASH_SQL = _simhash_sql()

@@ -1,0 +1,155 @@
+"""Text-analysis plans over the ``documents`` table — the per-document
+stages of a large-scale training-data pipeline: token statistics, quality
+scoring, heuristic language ID, content fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no shuffle — these are
+embarrassingly parallel map stages that scale linearly with executors).
+Oracle SQL is generated from the same stopword/weight tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    punct_ratio,
+    punct_ratio_sql,
+    shingles,
+    shingles_sql,
+    stopword_hits,
+    stopword_hits_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources.tables import load_table
+
+_DOCS_TOK_CTE = f"WITH t AS (SELECT doc_id, text, lang, source, n_chars, {tokens_sql()} AS tok FROM documents)"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("tok", tokens(F.col("text")))
+    n_tokens = F.size("tok")
+    sw = stopword_hits(F.col("tok"), LANG_STOPWORDS["en"])
+    token_chars = F.aggregate(
+        F.transform(F.col("tok"), F.length), F.lit(0), lambda a, x: a + x
+    )
+    out = t.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        (sw.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+    # composite quality score: favor mid-length docs with low punctuation —
+    # an engine-defined heuristic, mirrored exactly in SQL
+    quality = (
+        F.lit(100.0) * F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+        - F.lit(50.0) * F.col("punct_ratio")
+        + F.lit(10.0) * F.col("stopword_ratio")
+    )
+    return out.withColumn("quality_score", quality)
+
+
+TEXT_STATS_SQL = f"""{_DOCS_TOK_CTE}
+SELECT
+  doc_id,
+  source,
+  n_chars_measured,
+  n_tokens,
+  avg_token_len,
+  punct_ratio,
+  stopword_ratio,
+  100.0 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+    - 50.0 * punct_ratio + 10.0 * stopword_ratio AS quality_score
+FROM (
+  SELECT doc_id, source,
+    length(text) AS n_chars_measured,
+    len(tok) AS n_tokens,
+    CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) AS avg_token_len,
+    {punct_ratio_sql()} AS punct_ratio,
+    CAST({stopword_hits_sql("tok", LANG_STOPWORDS["en"])} AS DOUBLE) / len(tok) AS stopword_ratio
+  FROM t
+)
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-table language classifier; deterministic
+    tie-break = alphabetically-first language, zero hits = 'unknown'."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("tok", tokens(F.col("text")))
+    hit_cols = {
+        lang: stopword_hits(F.col("tok"), words).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    t = t.select("doc_id", F.col("lang").alias("labeled_lang"), *hit_cols.values())
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return t.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("labeled_lang")).alias("is_correct"),
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n    ".join(
+        f"{stopword_hits_sql('tok', LANG_STOPWORDS[lang])} AS hits_{lang}"
+        for lang in langs
+    )
+    best = f"GREATEST({', '.join('hits_' + lang for lang in langs)})"
+    case = " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""{_DOCS_TOK_CTE}
+, h AS (SELECT doc_id, lang AS labeled_lang, {hits} FROM t)
+, p AS (
+  SELECT doc_id, labeled_lang,
+    CASE WHEN best = 0 THEN 'unknown' {case} ELSE 'unknown' END AS predicted_lang
+  FROM (SELECT *, {best} AS best FROM h)
+)
+SELECT doc_id, labeled_lang, predicted_lang,
+       predicted_lang = labeled_lang AS is_correct
+FROM p
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the normalized token stream plus a
+    min-hash-of-shingles rolling fingerprint (bottom-1 sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("tok", tokens(F.col("text"))).withColumn(
+        "sh3", shingles("tok", 3)
+    )
+    return t.select(
+        "doc_id",
+        F.md5(F.array_join("tok", " ")).alias("content_hash"),
+        F.array_min(F.transform(F.col("sh3"), lambda s: F.md5(s))).alias(
+            "min_shingle_hash"
+        ),
+        F.size("sh3").alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""{_DOCS_TOK_CTE}
+SELECT doc_id,
+  md5(array_to_string(tok, ' ')) AS content_hash,
+  list_min(list_transform({shingles_sql("tok", 3)}, s -> md5(s))) AS min_shingle_hash,
+  len({shingles_sql("tok", 3)}) AS n_shingles
+FROM t
+"""

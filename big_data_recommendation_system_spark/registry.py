@@ -13,8 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, topk, windows
-from .plans import gold, relational, silver
+from .operators import dedup, similarity, text_dedup, topk, windows
+from .plans import gold, relational, silver, text_analysis
 from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -51,6 +51,14 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "top_event_types_per_user": topk.top_event_types_per_user,
     "dq_rule_stats": dq_report.dq_rule_stats,
     "dq_daily_validity": dq_report.dq_daily_validity,
+    "text_stats": text_analysis.text_stats,
+    "lang_id": text_analysis.lang_id,
+    "doc_fingerprints": text_analysis.doc_fingerprints,
+    "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
+    "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
+    "simhash_fingerprints": text_dedup.simhash_fingerprints,
+    "ann_cosine_topk": similarity.ann_cosine_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -72,4 +80,12 @@ ORACLES: dict[str, str] = {
     "top_event_types_per_user": topk.TOP_EVENT_TYPES_PER_USER_SQL,
     "dq_rule_stats": dq_report.DQ_RULE_STATS_SQL,
     "dq_daily_validity": dq_report.DQ_DAILY_VALIDITY_SQL,
+    "text_stats": text_analysis.TEXT_STATS_SQL,
+    "lang_id": text_analysis.LANG_ID_SQL,
+    "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
+    "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
+    "simhash_fingerprints": text_dedup.SIMHASH_SQL,
+    "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
+    "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
 }
