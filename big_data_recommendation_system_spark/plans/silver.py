@@ -60,7 +60,7 @@ def clean_events(df: DataFrame) -> DataFrame:
             cut_right_closed(F.col("value"), VALUE_TIER_BINS, VALUE_TIER_LABELS).alias(
                 "value_tier"
             ),
-            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("prop_k"),
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("int").alias("prop_k"),
             F.to_date("ts").alias("event_date"),
         )
     )

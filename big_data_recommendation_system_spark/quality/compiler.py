@@ -35,12 +35,12 @@ def compile_rule(rule: Rule) -> Column:
     if t == "enum":
         return c.isNull() | c.isin(p["allowed"])
     if t == "numeric_range":
-        d = c.cast("double")
+        d = c.try_cast("double")
         return c.isNull() | (d.isNotNull() & d.between(p["min"], p["max"]))
     if t == "timestamp_valid":
-        return c.isNull() | F.to_timestamp(c).isNotNull()
+        return c.isNull() | F.try_to_timestamp(c.cast("string")).isNotNull()
     if t == "timestamp_range":
-        ts = c.cast("timestamp")
+        ts = c.try_cast("timestamp")
         return c.isNull() | ts.between(
             F.lit(p["min"]).cast("timestamp"), F.lit(p["max"]).cast("timestamp")
         )

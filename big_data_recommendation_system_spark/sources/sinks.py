@@ -1,0 +1,71 @@
+"""Silver/gold sinks (reference: storage_manager.py:108-146 parquet writes,
+main_pipeline.py:364-374 checkpoint JSON blobs).
+
+- ``write_silver``: date-partitioned snappy parquet, the reference's
+  ``<table>/date=YYYY-MM-DD/`` layout (storage_manager.py:119-129) via
+  native ``partitionBy`` — downstream readers get partition pruning on
+  ``date`` for free.
+- ``record_run``: run metadata appended to a ``_pipeline_runs`` parquet
+  table instead of per-run JSON blobs — queryable with the same engine
+  (A6 trend stats read it directly).
+
+Small-file hygiene (the reference accumulated 1,274 ten-record files —
+logs/bronze_to_silver.log): writes coalesce to ``files_per_partition``
+output files per date partition, and ``compact_silver`` rewrites an
+existing table to the target file count.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_silver(
+    df: DataFrame,
+    path: str,
+    date_col: str = "date",
+    mode: str = "append",
+    files_per_partition: int = 1,
+) -> None:
+    (
+        df.repartition(files_per_partition, F.col(date_col))
+        .write.mode(mode)
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
+def compact_silver(spark: SparkSession, path: str, files_per_partition: int = 1) -> None:
+    """Rewrite a date-partitioned table to bounded file counts."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(files_per_partition, F.col("date")).write.mode(
+        "overwrite"
+    ).partitionBy("date").parquet(tmp)
+    # atomic-ish swap (rename) is storage-specific; local impl:
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def record_run(
+    spark: SparkSession,
+    path: str,
+    run_info: dict,
+) -> None:
+    """Append one run-metadata row (S9) to the _pipeline_runs table."""
+    row = {
+        "run_ts": time.time(),
+        "payload": json.dumps(run_info, sort_keys=True),
+        **{
+            k: v
+            for k, v in run_info.items()
+            if isinstance(v, (int, float, str, bool))
+        },
+    }
+    spark.createDataFrame([row]).write.mode("append").parquet(path)
