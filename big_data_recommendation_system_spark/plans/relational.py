@@ -159,3 +159,104 @@ WHERE r_name = 'AMERICA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + scalar aggregate. The whole predicate
+    set pushes into the parquet scan (PushedFilters) — at 100 TB this is
+    an I/O-bound row-group-skipping scan, no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        decimal_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority): subtotal + grand-total
+    rows in one pass (Spark expands grouping sets map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORDERS_PRIORITY_ROLLUP_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event-type counts as columns. Explicit value list
+    keeps it a single-pass pivot (no extra distinct-values job) — the
+    form that scales."""
+    from .silver import silver_events
+
+    silver = silver_events(spark, sf_dir)
+    return (
+        silver.groupBy("event_date")
+        .pivot("event_type", ["view", "click", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["view", "click", "purchase", "signup"])
+        .withColumnsRenamed(
+            {
+                "view": "n_view",
+                "click": "n_click",
+                "purchase": "n_purchase",
+                "signup": "n_signup",
+            }
+        )
+    )
+
+
+DAILY_EVENT_PIVOT_SQL = None  # filled below to reuse the silver CTE
+
+
+def _daily_event_pivot_sql() -> str:
+    from .silver import silver_cte
+
+    return silver_cte("""
+SELECT event_date,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+FROM silver
+GROUP BY event_date
+""")
+
+
+DAILY_EVENT_PIVOT_SQL = _daily_event_pivot_sql()

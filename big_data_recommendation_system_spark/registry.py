@@ -77,6 +77,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q3_shipping_priority": relational.q3_shipping_priority,
     "q5_regional_revenue": relational.q5_regional_revenue,
+    "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "orders_priority_rollup": relational.orders_priority_rollup,
+    "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
@@ -109,6 +112,9 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": relational.Q1_SQL,
     "q3_shipping_priority": relational.Q3_SQL,
     "q5_regional_revenue": relational.Q5_SQL,
+    "q6_forecast_revenue": relational.Q6_SQL,
+    "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
+    "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
