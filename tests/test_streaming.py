@@ -110,3 +110,40 @@ def test_multi_sink_routing(spark, stream_env):
         == uf.filter(F.col("event_type").isin("purchase", "signup")).count()
     )
     assert pf.count() > 0
+
+
+def test_streaming_dedup_within_watermark(spark, stream_env):
+    """X1 streaming: duplicate event_ids across micro-batches are dropped
+    by dropDuplicatesWithinWatermark (at-least-once source → exactly-once
+    downstream, SURVEY §2.11 R7)."""
+    import json
+
+    dup_src = os.path.join(stream_env["tmp"], "dup_source")
+    os.makedirs(dup_src, exist_ok=True)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "event_weight": 1}
+        for i in range(3)
+    ]
+    # the same 3 events land twice (two files → two micro-batches)
+    for fname in ["a.json", "b.json"]:
+        with open(os.path.join(dup_src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, event_weight int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(dup_src)
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM dedup_out").first().c == 3
