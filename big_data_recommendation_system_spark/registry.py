@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
 from .operators import dedup, similarity, skew, text_dedup, topk, windows
-from .plans import gold, multimodal, relational, silver, text_analysis
+from .plans import gold, joins, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -105,6 +105,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
     "approx_distinct_daily": skew.approx_distinct_daily,
+    "users_without_purchase": joins.users_without_purchase,
+    "orders_with_returns": joins.orders_with_returns,
+    "small_quantity_revenue": joins.small_quantity_revenue,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -139,6 +142,9 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
+    "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
+    "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
+    "small_quantity_revenue": joins.SMALL_QUANTITY_REVENUE_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -42,10 +42,12 @@ from pyspark.sql.types import (
 from ..config import SESSION_GAP_MINUTES, WATERMARK_DELAY
 
 
-def session_features(events: DataFrame) -> DataFrame:
-    """Gap-based session aggregates per user (R1 with bounded state)."""
+def session_features(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Gap-based session aggregates per user (R1 with bounded state).
+    Events later than the watermark are dropped — the explicit lateness
+    policy the reference never defined (R4)."""
     return (
-        events.withWatermark("ts", WATERMARK_DELAY)
+        events.withWatermark("ts", watermark)
         .groupBy(
             F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
             F.col("user_id"),

@@ -205,3 +205,38 @@ def test_micro_fixture_schema_drift(spark):
         assert clean_clickstream(raw).count() == 0  # no product_id → all drop
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compaction_bounds_files(spark, bronze_dir):
+    """compact_silver rewrites the small-file mess (the reference had
+    1,274 ten-record files) to one file per date partition."""
+    import glob
+
+    from big_data_recommendation_system_spark.sources.bronze import (
+        read_bronze,
+        split_corrupt,
+    )
+    from big_data_recommendation_system_spark.sources.sinks import (
+        compact_silver,
+        write_silver,
+    )
+
+    raw, _ = split_corrupt(
+        read_bronze(spark, "clickstream", os.path.join(bronze_dir, "clickstream"))
+    )
+    silver = clean_clickstream(raw)
+    out = tempfile.mkdtemp(prefix="bdrs_compact_") + "/t"
+    try:
+        # simulate many small appends
+        for _ in range(4):
+            write_silver(silver, out, files_per_partition=2)
+        before = spark.read.parquet(out)
+        n_rows, n_files = before.count(), len(glob.glob(f"{out}/date=*/*.parquet"))
+        assert n_files >= 8
+        compact_silver(spark, out, files_per_partition=1)
+        after = spark.read.parquet(out)
+        assert after.count() == n_rows
+        dates = len(glob.glob(f"{out}/date=*"))
+        assert len(glob.glob(f"{out}/date=*/*.parquet")) == dates
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -147,3 +147,83 @@ def test_streaming_dedup_within_watermark(spark, stream_env):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM dedup_out").first().c == 3
+
+
+def test_session_window_matches_batch_sessionize(spark, stream_env, sf_dir_small):
+    """The streaming session_window (30-min gap) and the batch
+    gap-and-island sessionize must agree on session count and event
+    totals per user — one semantics, two execution models.
+
+    Real streams have bounded disorder, so the source here is written in
+    event-time order (range-partitioned files with increasing mtimes) and
+    a final sentinel event advances the watermark past every real
+    session so append mode flushes them all."""
+    import time as _time
+
+    from big_data_recommendation_system_spark.operators.windows import user_sessions
+
+    silver = silver_events(spark, sf_dir_small)
+    src = os.path.join(stream_env["tmp"], "ordered_source")
+    (
+        silver.repartitionByRange(4, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(src)
+    )
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: spark.read.parquet(os.path.join(src, f))
+        .agg(F.min("ts"))
+        .first()[0],
+    )
+    now = _time.time()
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (now + i, now + i))
+    # sentinel: one far-future event for a user id outside the data
+    max_ts = silver.agg(F.max("ts")).first()[0]
+    sentinel = silver.limit(1).select(
+        F.lit(10**9).alias("event_id"),
+        F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 10 DAYS"),
+        F.lit(999999).alias("user_id"),
+        *[F.col(c) for c in silver.columns if c not in ("event_id", "ts", "user_id")],
+    ).toDF(*silver.columns)
+    sentinel_path = os.path.join(src, "zz-sentinel.parquet")
+    sentinel.coalesce(1).write.parquet(sentinel_path + "_dir")
+    part = [f for f in os.listdir(sentinel_path + "_dir") if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(sentinel_path + "_dir", part), sentinel_path)
+    shutil.rmtree(sentinel_path + "_dir")
+    os.utime(sentinel_path, (now + 100, now + 100))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        session_features(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_cmp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, count(*) n_sessions, sum(events_in_session) n_events "
+            "FROM sessions_cmp WHERE user_id != 999999 GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in user_sessions(spark, sf_dir_small)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert streamed == batch
