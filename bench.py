@@ -35,6 +35,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries may cache small intermediates; drop them so timings are
+        # independent and memory doesn't accumulate across the run
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

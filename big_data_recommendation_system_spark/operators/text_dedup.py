@@ -42,8 +42,19 @@ _DOCS_SHINGLED_CTE = f"""WITH t AS (
 )"""
 
 
-def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled_docs(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
+    """Shingled documents, spread across cores BEFORE the expensive map:
+    higher-order shingle expressions are interpreted (not codegen'd), and
+    the documents table arrives as few files — without an explicit
+    repartition one core would do all the work. Any doc_id bound is
+    applied BEFORE the repartition so it pushes into the scan (filters
+    don't migrate through a user-inserted Repartition)."""
     docs = load_table(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return (
         docs.withColumn("tok", tokens(F.col("text")))
         .filter(F.size("tok") >= SHINGLE_N)
@@ -55,9 +66,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs jaccard ≥ threshold on word-2-gram sets, over the
     bounded audit slice (see module docstring)."""
     d = (
-        _shingled_docs(spark, sf_dir)
-        .filter(F.col("doc_id") < EXACT_PAIRS_MAX_DOC_ID)
+        _shingled_docs(spark, sf_dir, max_doc_id=EXACT_PAIRS_MAX_DOC_ID)
         .withColumn("n", F.size("sh"))
+        .cache()  # feeds both sides of the self-join
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
@@ -155,13 +166,32 @@ def lsh_band_keys(sig_df: DataFrame, bands: int = LSH_BANDS, r: int = _R) -> Dat
 # collisions that dominate the candidate set.
 MIN_SIG_AGREEMENT = 4
 
+# Buckets with more members than this are "stop buckets" — band keys so
+# common they carry no similarity signal (here: low-entropy 2-gram bands
+# over a tiny synthetic vocabulary; in real corpora, boilerplate). They
+# are skipped before the self-join, bounding the per-bucket n² blowup.
+# Standard LSH practice; mirrored in the oracle so parity holds.
+MAX_BUCKET_SIZE = 64
+
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → signature-estimate prefilter → exact-jaccard
     verification of survivors."""
-    d = _shingled_docs(spark, sf_dir)
-    sigs = minhash_signatures(d)
-    bands = lsh_band_keys(sigs)
+    # cache the small intermediates: the shingled frame feeds signatures
+    # AND both sides of the verification join; signatures feed band keys
+    # AND the agreement prefilter; bands feed both sides of the
+    # candidate self-join. Without caching, each reuse recomputes the
+    # whole upstream chain (the shingle map alone would run 5×).
+    d = _shingled_docs(spark, sf_dir).cache()
+    sigs = minhash_signatures(d).cache()
+    bands = lsh_band_keys(sigs).cache()
+    small_buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") <= MAX_BUCKET_SIZE)
+        .select("band", "band_key")
+    )
+    bands = bands.join(F.broadcast(small_buckets), ["band", "band_key"])
     cand = (
         bands.alias("x")
         .join(
@@ -175,8 +205,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    agreement = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    # explicit element comparisons (codegen) rather than zip_with/filter
+    # higher-order functions (interpreted per row)
+    agreement = sum(
+        (
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)
+        ).cast("int")
+        for i in range(NUM_PERMS)
     )
     cand = (
         cand.join(F.broadcast(sa), "doc_a")
@@ -231,9 +266,17 @@ def _minhash_sql() -> str:
 , band AS (
   {band_selects}
 )
+, small_buckets AS (
+  SELECT band, band_key FROM band
+  GROUP BY band, band_key HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+)
+, fband AS (
+  SELECT b.* FROM band b JOIN small_buckets s
+    ON b.band = s.band AND b.band_key = s.band_key
+)
 , cand0 AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM band x JOIN band y
+  FROM fband x JOIN fband y
     ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
 )
 , cand AS (
