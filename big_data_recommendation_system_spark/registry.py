@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
-from .operators import dedup, similarity, skew, text_dedup, topk, windows
+from .operators import asof, dedup, similarity, skew, text_dedup, topk, windows
 from .plans import gold, joins, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
 
@@ -108,6 +108,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "users_without_purchase": joins.users_without_purchase,
     "orders_with_returns": joins.orders_with_returns,
     "small_quantity_revenue": joins.small_quantity_revenue,
+    "events_with_last_signup": asof.events_with_last_signup,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -145,6 +146,7 @@ ORACLES: dict[str, str] = {
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
     "small_quantity_revenue": joins.SMALL_QUANTITY_REVENUE_SQL,
+    "events_with_last_signup": asof.EVENTS_WITH_LAST_SIGNUP_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from big_data_recommendation_system_spark.plans import reference_gold, reference_silver
-from big_data_recommendation_system_spark.sources.bronze import read_bronze, split_corrupt
+from big_data_recommendation_system_spark.sources.bronze import read_bronze
+from big_data_recommendation_system_spark.sources.schemas import CORRUPT_COL
 from big_data_recommendation_system_spark.sources.sinks import record_run, write_silver
 from big_data_recommendation_system_spark.session import get_spark
 
@@ -40,18 +41,30 @@ GOLD_TABLES = {
 
 
 def run_silver(args: argparse.Namespace) -> None:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     spark = get_spark("bdrs-silver")
     results = {}
     for topic in args.topics.split(","):
         t0 = time.time()
         raw = read_bronze(spark, topic, os.path.join(args.bronze_dir, topic))
-        good, bad = split_corrupt(raw)
-        n_raw, n_bad = good.count(), bad.count()
-        silver = CLEANERS[topic](good)
+        # Observations ride the write job — raw/corrupt/clean counts come
+        # from the single pass that writes silver, no caching, no rescans
+        # (split_corrupt's cached two-branch split is for small batches)
+        obs_in, obs_out = Observation(), Observation()
+        raw = raw.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("bad"),
+        )
+        good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        silver = CLEANERS[topic](good).observe(
+            obs_out, F.count(F.lit(1)).alias("n")
+        )
         write_silver(silver, os.path.join(args.silver_dir, f"{topic}_silver"))
-        n_clean = spark.read.parquet(
-            os.path.join(args.silver_dir, f"{topic}_silver")
-        ).count()
+        n_raw, n_bad = obs_in.get["n"], obs_in.get["bad"] or 0
+        n_clean = obs_out.get["n"]
         rate = n_clean / n_raw if n_raw else 1.0
         results[f"{topic}_rate"] = round(rate, 4)
         if rate < 0.8:  # reference quality threshold (main_pipeline.py:177)
