@@ -19,8 +19,11 @@ from big_data_recommendation_system_spark.registry import ORACLES, QUERIES  # no
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY §7.1's minimum
+    end-to-end slice: events → silver clean → user_summary gold —
+    exercises scan, filters, casts, derived columns, dedup, windows,
+    countDistinct aggregation and the deterministic mode)."""
+    return QUERIES["user_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,57 @@
+"""MLlib-native near-duplicate detection: HashingTF → MinHashLSH →
+approxSimilarityJoin (the SURVEY §7.2 phase-7 building block).
+
+This is the library alternative to the hand-rolled, oracle-exact LSH in
+operators/text_dedup.py. MLlib's hash families are seeded internally, so
+results are not reproducible in DuckDB — the query is registered without
+an oracle (rows-only driver check) and its recall is instead validated
+in pytest against the exact-jaccard baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.text_dedup import JACCARD_THRESHOLD, SHINGLE_N, _shingled_docs
+
+
+def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MLlib MinHashLSH, verified with exact
+    jaccard (same threshold as the hand-rolled operator)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = _shingled_docs(spark, sf_dir).cache()
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(d).filter(F.expr("size(sh) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    # approxSimilarityJoin distance = jaccard DISTANCE (1 - similarity)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    pairs = joined.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        (1.0 - F.col("jaccard_dist")).alias("jaccard"),
+    )
+    # exact-verify like the hand-rolled path (HashingTF collisions can
+    # slightly inflate similarity)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("jaccard", exact)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
+from .ml import similarity as ml_similarity
 from .operators import asof, dedup, similarity, skew, text_dedup, topk, windows
 from .plans import gold, joins, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
@@ -78,6 +79,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": relational.q3_shipping_priority,
     "q5_regional_revenue": relational.q5_regional_revenue,
     "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q10_returned_revenue": relational.q10_returned_revenue,
+    "q14_promo_share": relational.q14_promo_share,
+    "q18_large_orders": relational.q18_large_orders,
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
@@ -109,6 +113,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "orders_with_returns": joins.orders_with_returns,
     "small_quantity_revenue": joins.small_quantity_revenue,
     "events_with_last_signup": asof.events_with_last_signup,
+    "mllib_minhash_pairs": ml_similarity.mllib_minhash_pairs,
 }
 
 QUERIES: dict[str, QueryFn] = {name: _pinned(fn) for name, fn in _RAW_QUERIES.items()}
@@ -118,6 +123,9 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": relational.Q3_SQL,
     "q5_regional_revenue": relational.Q5_SQL,
     "q6_forecast_revenue": relational.Q6_SQL,
+    "q10_returned_revenue": relational.Q10_SQL,
+    "q14_promo_share": relational.Q14_SQL,
+    "q18_large_orders": relational.Q18_SQL,
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,

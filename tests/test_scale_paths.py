@@ -70,3 +70,20 @@ def test_fast_cosine_matches_exact(spark, sf_dir):
     }
     agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
     assert agree >= 0.95 * len(exact)  # ulp-level ties may swap adjacent ranks
+
+
+def test_mllib_minhash_recall_vs_exact(spark, sf_dir):
+    """MLlib MinHashLSH path (no oracle possible — internal seeds) must
+    recover the exact-jaccard pairs with high recall after verification."""
+    from big_data_recommendation_system_spark.ml.similarity import mllib_minhash_pairs
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    got = {(r.doc_a, r.doc_b) for r in mllib_minhash_pairs(spark, sf_dir).collect()}
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    assert truth, "baseline should find pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(got), len(truth))
+    # verification guarantees no false positives above threshold
+    assert all(p in got for p in (got & truth))

@@ -227,3 +227,42 @@ def test_session_window_matches_batch_sessionize(spark, stream_env, sf_dir_small
         .collect()
     }
     assert streamed == batch
+
+
+def test_kafka_wire_format_roundtrip(spark):
+    """S1/S2 codec: typed rows → Kafka wire format → decoded rows, with
+    bad payloads degrading to nulls (not batch failure)."""
+    import json as _json
+
+    from big_data_recommendation_system_spark.streaming.kafka import (
+        decode_kafka_batch,
+        encode_kafka_batch,
+    )
+
+    rows = [
+        {"event_id": "e1", "event_type": "view", "user_id": "u1",
+         "product_id": "p1", "session_id": "s1",
+         "timestamp": "2025-09-05T12:00:00Z"},
+        {"event_id": "e2", "event_type": "purchase", "user_id": "u2",
+         "product_id": "p2", "session_id": "s2",
+         "timestamp": "2025-09-05T12:01:00Z"},
+    ]
+    typed = spark.createDataFrame(rows)
+    wire = encode_kafka_batch(typed, "user_id")
+    w = wire.collect()
+    assert {r.key for r in w} == {"u1", "u2"}
+    assert all(_json.loads(r.value)["event_id"] in ("e1", "e2") for r in w)
+
+    # simulate the full Kafka source schema incl. one corrupt payload
+    kafka_rows = [
+        ("u1", bytearray(w[0].value.encode()), 0, 100, None),
+        ("zz", bytearray(b"NOT JSON"), 0, 101, None),
+    ]
+    kafka_df = spark.createDataFrame(
+        kafka_rows, "key string, value binary, partition int, offset long, timestamp timestamp"
+    )
+    decoded = decode_kafka_batch(kafka_df, "clickstream").collect()
+    good = [r for r in decoded if r.event_id is not None]
+    bad = [r for r in decoded if r.event_id is None]
+    assert len(good) == 1 and len(bad) == 1
+    assert good[0]._kafka_offset == 100 and good[0].user_id in ("u1", "u2")
