@@ -101,7 +101,7 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine"), F.desc("co_count"), F.asc("item_b")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("item_a", "item_b", "co_count", "cosine", "rank")
     )

@@ -23,7 +23,7 @@ def topk_per_group(
     counts = df.groupBy(group, value).agg(F.count(F.lit(1)).alias(measure_alias))
     w = Window.partitionBy(group).orderBy(F.desc(measure_alias), F.asc(value))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

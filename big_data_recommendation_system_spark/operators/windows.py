@@ -27,7 +27,7 @@ _GAP_SECONDS = SESSION_GAP_MINUTES * 60
 def with_sequence(df: DataFrame, key: str = "user_id") -> DataFrame:
     """W1: 1-based event sequence per key, ordered by (ts, event_id)."""
     w = Window.partitionBy(key).orderBy("ts", "event_id")
-    return df.withColumn("seq", F.row_number().over(w))
+    return df.withColumn("seq", F.row_number().over(w).cast("long"))
 
 
 def with_time_since_last(df: DataFrame, key: str = "user_id") -> DataFrame:
@@ -117,15 +117,15 @@ USER_SESSIONS_SQL = silver_cte(f"""
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, event_id, event_weight,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_no
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
   MIN(ts) AS session_start,
   MAX(ts) AS session_end,
   COUNT(*) AS n_events,
-  SUM(event_weight) AS session_engagement,
+  CAST(SUM(event_weight) AS BIGINT) AS session_engagement,
   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_seconds
 FROM numbered
 GROUP BY user_id, session_no
@@ -147,7 +147,7 @@ def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select(
         "user_id",
         "total_value",
-        F.ntile(4).over(w).alias("value_quartile"),
+        F.ntile(4).over(w).cast("long").alias("value_quartile"),
         F.percent_rank().over(w).alias("value_pct_rank"),
     )
 

@@ -94,7 +94,7 @@ USER_SUMMARY_SQL = silver_cte(f"""
     COUNT(*) AS total_events,
     COUNT(DISTINCT event_type) AS event_types,
     COUNT(DISTINCT event_date) AS active_days,
-    SUM(event_weight) AS total_engagement,
+    CAST(SUM(event_weight) AS BIGINT) AS total_engagement,
     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
   FROM silver GROUP BY user_id
@@ -150,12 +150,12 @@ SELECT
   event_date,
   COUNT(DISTINCT user_id) AS daily_active_users,
   COUNT(*) AS total_events,
-  SUM(event_weight) AS total_engagement,
+  CAST(SUM(event_weight) AS BIGINT) AS total_engagement,
   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
   MAX(is_weekend) AS is_weekend,
   CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS events_per_user,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS purchase_pct
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) * 100.0 / COUNT(*) AS purchase_pct
 FROM silver
 GROUP BY event_date
 """)
@@ -183,7 +183,7 @@ SELECT
   event_type,
   COUNT(DISTINCT user_id) AS unique_users,
   COUNT(*) AS total_events,
-  SUM(event_weight) AS total_engagement,
+  CAST(SUM(event_weight) AS BIGINT) AS total_engagement,
   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
   COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () AS event_pct
 FROM silver

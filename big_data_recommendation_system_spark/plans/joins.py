@@ -36,7 +36,7 @@ def users_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 USERS_WITHOUT_PURCHASE_SQL = silver_cte("""
-SELECT user_id, COUNT(*) AS total_events, SUM(event_weight) AS total_engagement
+SELECT user_id, COUNT(*) AS total_events, CAST(SUM(event_weight) AS BIGINT) AS total_engagement
 FROM silver
 WHERE user_id NOT IN (SELECT user_id FROM silver WHERE event_type = 'purchase')
 GROUP BY user_id

@@ -250,10 +250,10 @@ def _daily_event_pivot_sql() -> str:
 
     return silver_cte("""
 SELECT event_date,
-  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
 FROM silver
 GROUP BY event_date
 """)

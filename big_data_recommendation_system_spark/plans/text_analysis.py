@@ -40,8 +40,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t.select(
         "doc_id",
         "source",
-        F.length("text").alias("n_chars_measured"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
         (token_chars.cast("double") / n_tokens).alias("avg_token_len"),
         punct_ratio(F.col("text")).alias("punct_ratio"),
         (sw.cast("double") / n_tokens).alias("stopword_ratio"),
@@ -142,7 +142,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("sh3"), lambda s: F.md5(s))).alias(
             "min_shingle_hash"
         ),
-        F.size("sh3").alias("n_shingles"),
+        F.size("sh3").cast("long").alias("n_shingles"),
     )
 
 

@@ -87,7 +87,7 @@ def dq_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rule_stats_sql() -> str:
     rules = EVENTS_RULES
     sums = ",\n    ".join(
-        f"SUM(CASE WHEN NOT {_sql_pass_predicate(r)} THEN 1 ELSE 0 END) AS {r.name}"
+        f"CAST(SUM(CASE WHEN NOT {_sql_pass_predicate(r)} THEN 1 ELSE 0 END) AS BIGINT) AS {r.name}"
         for r in rules
     )
     selects = "\nUNION ALL\n".join(
@@ -144,8 +144,8 @@ def _daily_validity_sql() -> str:
 )
 SELECT event_date,
   COUNT(*) AS total_records,
-  SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS valid_records,
-  SUM(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS invalid_records,
+  CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_records,
+  CAST(SUM(CASE WHEN NOT is_valid THEN 1 ELSE 0 END) AS BIGINT) AS invalid_records,
   AVG(quality_score) AS avg_quality_score,
   CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS validity_rate
 FROM scored
