@@ -95,3 +95,68 @@ def test_quality_compiler_scoring(spark):
     assert not rows[4].is_valid and rows[4].quality_score == 95
     assert rows[5].is_valid and rows[5].quality_score == 100
     assert rows[5].dq_warnings == 2
+
+
+def test_quality_rule_types_url_email_country_length(spark):
+    """The four rule types no default table uses — compile paths for
+    url_valid / email_valid / country_code / string_length
+    (reference data_quality.py:440-510)."""
+    from big_data_recommendation_system_spark.quality.compiler import compile_rule
+    from big_data_recommendation_system_spark.quality.rules import Rule, Severity
+
+    df = spark.createDataFrame(
+        [
+            ("https://x.io/p", "a@b.com", "US", "abc"),
+            ("notaurl", "nope", "XX", "toolongvalue"),
+            (None, None, None, None),
+        ],
+        ["url", "email", "cc", "s"],
+    )
+    rules = {
+        "u": Rule("u", "url", "url_valid", Severity.WARNING),
+        "e": Rule("e", "email", "email_valid", Severity.WARNING),
+        "c": Rule(
+            "c", "cc", "country_code", Severity.WARNING, {"allowed": ["US", "DE", "FR"]}
+        ),
+        "l": Rule("l", "s", "string_length", Severity.WARNING, {"min": 1, "max": 5}),
+    }
+    out = df.select(
+        *[compile_rule(r).alias(k) for k, r in rules.items()]
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (True, True, True, True),
+        (False, False, False, False),
+        (True, True, True, True),  # nulls pass non-required rules
+    ]
+
+
+def test_asof_join_edges(spark):
+    """As-of join: no prior right row → null payload; equal timestamps
+    match the right row (DuckDB ASOF >= convention)."""
+    from datetime import datetime
+
+    from big_data_recommendation_system_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [
+            ("k", 1, datetime(2025, 1, 1)),  # before any right row
+            ("k", 2, datetime(2025, 1, 2)),  # exactly at right ts -> match
+            ("k", 3, datetime(2025, 1, 5)),  # carries latest right
+            ("z", 4, datetime(2025, 1, 9)),  # key with no right rows
+        ],
+        ["key", "id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", datetime(2025, 1, 2), 10.0),
+            ("k", datetime(2025, 1, 4), 20.0),
+        ],
+        ["key", "rts", "payload"],
+    )
+    got = {
+        r.id: r.payload
+        for r in asof_join_backward(
+            left, right, key="key", left_ts="ts", right_ts="rts", payload=["payload"]
+        ).collect()
+    }
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: None}
