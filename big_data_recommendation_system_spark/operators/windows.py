@@ -165,3 +165,38 @@ SELECT
 FROM totals
 WINDOW w AS (ORDER BY total_value, user_id)
 """)
+
+
+def trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, how many of the same user's events
+    fall in the trailing hour (event-time, not row-count — the batch form
+    of the streaming sliding window R3). rangeBetween over epoch micros."""
+    silver = silver_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return silver.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.sum("event_weight").over(w).cast("long").alias("engagement_last_hour"),
+    )
+
+
+TRAILING_HOUR_COUNTS_SQL = silver_cte("""
+SELECT
+  user_id,
+  event_id,
+  ts,
+  COUNT(*) OVER w AS events_last_hour,
+  CAST(SUM(event_weight) OVER w AS BIGINT) AS engagement_last_hour
+FROM silver
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+""")

@@ -82,6 +82,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q10_returned_revenue": relational.q10_returned_revenue,
     "q14_promo_share": relational.q14_promo_share,
     "q18_large_orders": relational.q18_large_orders,
+    "q15_top_suppliers": relational.q15_top_suppliers,
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
@@ -94,6 +95,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "event_sequences": windows.event_sequences,
     "user_sessions": windows.user_sessions,
     "user_value_quartiles": windows.user_value_quartiles,
+    "trailing_hour_counts": windows.trailing_hour_counts,
     "top_event_types_per_user": topk.top_event_types_per_user,
     "dq_rule_stats": dq_report.dq_rule_stats,
     "dq_daily_validity": dq_report.dq_daily_validity,
@@ -126,6 +128,7 @@ ORACLES: dict[str, str] = {
     "q10_returned_revenue": relational.Q10_SQL,
     "q14_promo_share": relational.Q14_SQL,
     "q18_large_orders": relational.Q18_SQL,
+    "q15_top_suppliers": relational.Q15_SQL,
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
@@ -138,6 +141,7 @@ ORACLES: dict[str, str] = {
     "event_sequences": windows.EVENT_SEQUENCES_SQL,
     "user_sessions": windows.USER_SESSIONS_SQL,
     "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
+    "trailing_hour_counts": windows.TRAILING_HOUR_COUNTS_SQL,
     "top_event_types_per_user": topk.TOP_EVENT_TYPES_PER_USER_SQL,
     "dq_rule_stats": dq_report.DQ_RULE_STATS_SQL,
     "dq_daily_validity": dq_report.DQ_DAILY_VALIDITY_SQL,
