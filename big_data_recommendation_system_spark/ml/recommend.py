@@ -65,13 +65,31 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_baskets(ui: DataFrame, max_basket: int = MAX_BASKET) -> DataFrame:
+    """Skew guard for the pair self-join: drop users whose basket exceeds
+    ``max_basket`` distinct items. A single power user with 50k items would
+    otherwise emit ~1.25B pair rows in one key group — the quadratic
+    blowup that kills the zipfian tail at 100 TB. Whole-partition count
+    window: one shuffle on user_id, reused by the self-join that follows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        ui.withColumn("_basket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_basket_n") <= max_basket)
+        .drop("_basket_n")
+    )
+
+
 def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence with cosine normalization, top-5 neighbors
-    per item (deterministic tie-breaks)."""
+    per item (deterministic tie-breaks). Baskets larger than MAX_BASKET
+    are excluded before the self-join (see cap_baskets); item user-counts
+    are computed over the same capped frame so cosine stays consistent."""
     from pyspark.sql.window import Window
 
     silver = silver_events(spark, sf_dir)
-    ui = (
+    ui = cap_baskets(
         silver.filter(F.col("prop_k").isNotNull())
         .select("user_id", F.col("prop_k").alias("item_id"))
         .distinct()
@@ -107,9 +125,12 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ITEM_COOCCURRENCE_SQL = silver_cte("""
-, ui AS (
+ITEM_COOCCURRENCE_SQL = silver_cte(f"""
+, ui0 AS (
   SELECT DISTINCT user_id, prop_k AS item_id FROM silver WHERE prop_k IS NOT NULL
+), ui AS (
+  SELECT user_id, item_id FROM ui0
+  QUALIFY COUNT(*) OVER (PARTITION BY user_id) <= {MAX_BASKET}
 ), ic AS (
   SELECT item_id, COUNT(*) AS n_users FROM ui GROUP BY item_id
 ), pairs AS (

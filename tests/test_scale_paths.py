@@ -72,6 +72,19 @@ def test_fast_cosine_matches_exact(spark, sf_dir):
     assert agree >= 0.95 * len(exact)  # ulp-level ties may swap adjacent ranks
 
 
+def test_cap_baskets_drops_power_user(spark):
+    """The co-occurrence skew guard must exclude a power user's basket
+    entirely (and leave normal baskets untouched) before the self-join."""
+    from big_data_recommendation_system_spark.ml.recommend import cap_baskets
+
+    rows = [("power", i) for i in range(300)] + [("normal", i) for i in range(5)]
+    ui = spark.createDataFrame(rows, ["user_id", "item_id"])
+    kept = cap_baskets(ui, max_basket=200).collect()
+    users = {r.user_id for r in kept}
+    assert users == {"normal"}
+    assert len(kept) == 5
+
+
 def test_mllib_minhash_recall_vs_exact(spark, sf_dir):
     """MLlib MinHashLSH path (no oracle possible — internal seeds) must
     recover the exact-jaccard pairs with high recall after verification."""
