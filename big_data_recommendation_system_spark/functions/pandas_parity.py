@@ -82,3 +82,16 @@ def decimal_sum(col: Column) -> Column:
 def decimal_avg(col: Column) -> Column:
     """Order-independent mean: exact decimal sum, then one double division."""
     return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+
+
+def round2_neutral(col: Column) -> Column:
+    """Engine-neutral 2-decimal round-half-up on doubles:
+    ``floor(x*100 + 0.5) / 100``.
+
+    ``F.round(x, 2)`` re-reads the double through BigDecimal's shortest
+    string form while DuckDB multiplies and rounds the raw double — the
+    two disagree when x*100 sits on a .5 boundary (observed: 68.615 →
+    Spark 68.62, DuckDB 68.61). This formula is plain IEEE arithmetic, so
+    any engine given the same double produces the same rounded value.
+    """
+    return F.floor(col * 100 + F.lit(0.5)) / 100

@@ -1,0 +1,95 @@
+"""Scalable exact global ranking — the scale path for every "ntile /
+percent_rank over the whole frame" shape (qcut tiers, gold_pipeline.py
+:252-260; value quartiles, product_features_transformer.py:64-65).
+
+A plain ``Window.orderBy(...)`` with no partition funnels the entire frame
+through ONE task (Spark logs ``WindowExec: No Partition Defined``) — fine
+at test scale, a stall at 10^8+ rows. This module computes the identical
+rank with no single-task stage:
+
+1. ``repartitionByRange`` on the order key — a total order across ordered,
+   non-overlapping partitions (the same machinery a global sort uses).
+2. Local ``row_number`` per range partition (window IS partitioned).
+3. Per-partition counts (≤ shuffle-partitions rows) turned into prefix
+   offsets via a triangular self-join on that tiny frame — no
+   unpartitioned window anywhere, so the metadata step can't become the
+   bottleneck it was meant to remove.
+4. ``global rank = local row_number + offset`` joined back via broadcast.
+
+The result is bit-identical to ``row_number().over(Window.orderBy(...))``
+(callers must pass a total order — include a unique tiebreak column), so
+oracle SQL twins keep using the plain window form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RANK_COL = "_global_rank"
+TOTAL_COL = "_global_n"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``_global_rank`` (1-based, dense total-order row_number) and
+    ``_global_n`` (total row count) without a single-partition window.
+
+    ``order_cols`` must define a total order (unique tiebreak last) for the
+    rank to be deterministic.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum over ≤ `parts` rows: triangular self-join beats an
+    # unpartitioned window (no WindowExec single-task stage, no warning)
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_opid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_offset"))
+    )
+    total = counts.agg(F.sum("_cnt").cast("long").alias(TOTAL_COL))
+    local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(local))
+        .join(F.broadcast(offsets), F.col("_pid") == F.col("_opid"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(RANK_COL, (F.col("_offset") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_opid", "_offset", "_lrn")
+    )
+
+
+def ntile_from_rank(rank: Column, n_total: Column, n_buckets: int) -> Column:
+    """SQL-standard NTILE from a global rank: the first ``n_total %
+    n_buckets`` buckets hold ``ceil(n/b)`` rows, the rest ``floor(n/b)``.
+    Matches ``F.ntile(b).over(Window.orderBy(...))`` and DuckDB NTILE
+    exactly (all intermediates < 2^53, so double division is exact)."""
+    b = F.lit(n_buckets)
+    base = F.floor(n_total / b)
+    rem = n_total % b
+    big = base + 1
+    cutoff = rem * big
+    safe_base = F.greatest(base, F.lit(1))
+    return F.when(rank <= cutoff, F.floor((rank + big - 1) / big)).otherwise(
+        rem + F.floor((rank - cutoff + safe_base - 1) / safe_base)
+    )
+
+
+def percent_rank_from_rank(rank: Column, n_total: Column) -> Column:
+    """SQL PERCENT_RANK from a global rank over a total order (no ties):
+    (rank-1)/(n-1), 0.0 for a single-row frame."""
+    return F.when(
+        n_total > 1, (rank - F.lit(1)) / (n_total - F.lit(1))
+    ).otherwise(F.lit(0.0))

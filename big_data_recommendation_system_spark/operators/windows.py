@@ -135,20 +135,33 @@ GROUP BY user_id, session_no
 def user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8/D9: qcut-style quartile + percent_rank over per-user total value
     (gold_pipeline.py:252-260; product_features_transformer.py:64-65).
-    Whole-partition window over the *aggregated* (one-row-per-user) frame —
-    tiny relative to the fact table, so the single-partition window is fine
-    even at 100 TB of raw events.
+
+    Scale path: the aggregated one-row-per-user frame is still ~10^8-9
+    rows at 100 TB of events — far too big for an unpartitioned
+    ``Window.orderBy`` (single WindowExec task). The exact rank comes from
+    operators/ranking.py (range-repartition + local row_number + prefix
+    offsets); NTILE/PERCENT_RANK are then pure arithmetic on that rank,
+    bit-identical to the plain-window form the oracle SQL uses.
     """
+    from .ranking import (
+        RANK_COL,
+        TOTAL_COL,
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_rank,
+    )
+
     silver = silver_events(spark, sf_dir)
     totals = silver.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value")
     )
-    w = Window.orderBy("total_value", "user_id")
-    return totals.select(
+    ranked = with_global_rank(totals, ["total_value", "user_id"])
+    rank, n = F.col(RANK_COL), F.col(TOTAL_COL)
+    return ranked.select(
         "user_id",
         "total_value",
-        F.ntile(4).over(w).cast("long").alias("value_quartile"),
-        F.percent_rank().over(w).alias("value_pct_rank"),
+        ntile_from_rank(rank, n, 4).cast("long").alias("value_quartile"),
+        percent_rank_from_rank(rank, n).alias("value_pct_rank"),
     )
 
 

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..config import ACTIVITY_BINS, ACTIVITY_LABELS
-from ..functions.pandas_parity import cut_right_closed, decimal_avg, decimal_sum
+from ..functions.pandas_parity import (
+    cut_right_closed,
+    decimal_avg,
+    decimal_sum,
+    round2_neutral,
+)
 
 POPULARITY_TIER_LABELS = ["low", "medium", "high", "viral"]
 
@@ -82,7 +87,7 @@ def product_summary(clickstream: DataFrame) -> DataFrame:
         F.round(decimal_sum(F.col("event_weight").cast("double")), 2).alias(
             "total_engagement"
         ),
-        F.round(decimal_avg(F.col("product_price")), 2).alias("avg_price"),
+        round2_neutral(decimal_avg(F.col("product_price"))).alias("avg_price"),
         F.first("product_category", ignorenulls=True).alias("category"),
     )
     scored = base.withColumn(
@@ -96,20 +101,32 @@ def product_summary(clickstream: DataFrame) -> DataFrame:
     )
     # qcut(4) ≈ ntile over a deterministic total order; the reference
     # falls back to a constant 'medium' when bins collapse
-    # (gold_pipeline.py:259-260) — mirrored via the distinct-count guard.
-    n_distinct = scored.select(
-        F.countDistinct("popularity_score").alias("n")
-    ).first()["n"]
-    if n_distinct >= 4:
-        w = Window.orderBy("popularity_score", "product_id")
-        tier = F.element_at(
+    # (gold_pipeline.py:259-260). The guard is a LAZY scalar aggregate
+    # (broadcast cross-join, evaluated per-row) — no driver-side
+    # ``.first()`` materializing the plan mid-build — and the ntile comes
+    # from the scalable exact ranker, not an unpartitioned window.
+    from ..operators.ranking import (
+        RANK_COL,
+        TOTAL_COL,
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    nd = scored.agg(F.countDistinct("popularity_score").alias("_nd"))
+    ranked = with_global_rank(scored, ["popularity_score", "product_id"])
+    tile = ntile_from_rank(F.col(RANK_COL), F.col(TOTAL_COL), 4)
+    tier = F.when(
+        F.col("_nd") >= 4,
+        F.element_at(
             F.array(*[F.lit(x) for x in POPULARITY_TIER_LABELS]),
-            F.ntile(4).over(w),
-        )
-    else:
-        tier = F.lit("medium")
-    return scored.withColumn("popularity_tier", tier).withColumn(
-        "created_date", F.current_date().cast("string")
+            tile.cast("int"),
+        ),
+    ).otherwise(F.lit("medium"))
+    return (
+        ranked.crossJoin(F.broadcast(nd))
+        .withColumn("popularity_tier", tier)
+        .withColumn("created_date", F.current_date().cast("string"))
+        .drop(RANK_COL, TOTAL_COL, "_nd")
     )
 
 

@@ -9,6 +9,8 @@ lenient casts reproduce pandas ``errors='coerce'`` (null on failure).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -79,12 +81,20 @@ def clean_clickstream(df: DataFrame) -> DataFrame:
     return out
 
 
-def clean_users(df: DataFrame, now: Column | None = None) -> DataFrame:
+def clean_users(
+    df: DataFrame,
+    now: Column | None = None,
+    tiebreak: Sequence[Column] = (),
+) -> DataFrame:
     """main_pipeline.py:265-311: required drop (:276-277), ts coerce
     (:280-281), numeric coerce (:284-287), value_segment on
     total_spent.fillna(0) (:290-296 — NOTE pandas cut sends 0 outside the
     (0,100] bin → null segment; reproduced exactly), account_age_days
-    (:298-300), keep-LATEST per user (:303), stamp (:306)."""
+    (:298-300), keep-LATEST per user (:303), stamp (:306).
+
+    ``tiebreak``: extra order columns after ts DESC — pandas keep='last'
+    resolves ties by file order, which has no distributed equivalent;
+    pass a unique column for run-to-run determinism."""
     now = now if now is not None else F.current_timestamp()
     out = (
         df.na.drop(subset=["user_id", "timestamp"])
@@ -106,13 +116,13 @@ def clean_users(df: DataFrame, now: Column | None = None) -> DataFrame:
             F.datediff(now, F.try_to_timestamp(F.col("created_at"))),
         )
     )
-    out = keep_latest(out, ["user_id"], [F.col("ts").desc()])
+    out = keep_latest(out, ["user_id"], [F.col("ts").desc(), *tiebreak])
     return out.withColumn("silver_processed_at", F.current_timestamp()).withColumn(
         "date", F.to_date("ts")
     )
 
 
-def clean_products(df: DataFrame) -> DataFrame:
+def clean_products(df: DataFrame, tiebreak: Sequence[Column] = ()) -> DataFrame:
     """main_pipeline.py:313-362: required drop (:324-325), ts coerce
     (:328-329), price coerce + positive filter (:332-334), price_tier
     (:337-342), category initcap(trim) (:345-346), is_in_stock (:349-351),
@@ -131,7 +141,7 @@ def clean_products(df: DataFrame) -> DataFrame:
         .withColumn("stock_quantity", _num("stock_quantity"))
         .withColumn("is_in_stock", F.col("stock_quantity") > 0)
     )
-    out = keep_latest(out, ["product_id"], [F.col("ts").desc()])
+    out = keep_latest(out, ["product_id"], [F.col("ts").desc(), *tiebreak])
     return out.withColumn("silver_processed_at", F.current_timestamp()).withColumn(
         "date", F.to_date("ts")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .ml import recommend
 from .ml import similarity as ml_similarity
 from .operators import asof, dedup, similarity, skew, text_dedup, topk, windows
-from .plans import gold, joins, multimodal, relational, silver, text_analysis
+from .plans import clickstream, gold, joins, multimodal, relational, silver, text_analysis
 from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -86,6 +86,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
+    "clean_clickstream": clickstream.clean_clickstream_query,
+    "clean_users": clickstream.clean_users_query,
+    "clean_products": clickstream.clean_products_query,
+    "product_summary": clickstream.product_summary_query,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
@@ -132,6 +136,10 @@ ORACLES: dict[str, str] = {
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
+    "clean_clickstream": clickstream.CLEAN_CLICKSTREAM_SQL,
+    "clean_users": clickstream.CLEAN_USERS_SQL,
+    "clean_products": clickstream.CLEAN_PRODUCTS_SQL,
+    "product_summary": clickstream.PRODUCT_SUMMARY_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,
