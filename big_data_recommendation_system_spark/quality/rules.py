@@ -17,6 +17,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from enum import Enum
 
+from .countries import ISO2_COUNTRY_CODES
+
 
 class Severity(str, Enum):
     INFO = "INFO"
@@ -76,6 +78,27 @@ EVENTS_RULES: list[Rule] = [
         Severity.INFO,
         {"when_column": "value", "op": "gt", "threshold": 400.0},
     ),
+    # The remaining five rule types run against columns derived
+    # deterministically from events (quality/report.py::derive_dq_columns,
+    # mirrored in the oracle CTE) so every rule type the reference declares
+    # (data_quality.py:57-217) is exercised under the hard oracle check.
+    Rule("email_format", "contact_email", "email_valid", Severity.WARNING),
+    Rule("url_format", "referrer_url", "url_valid", Severity.WARNING),
+    Rule(
+        "country_iso2",
+        "country",
+        "country_code",
+        Severity.WARNING,
+        {"allowed": ISO2_COUNTRY_CODES},
+    ),
+    Rule(
+        "props_length",
+        "props",
+        "string_length",
+        Severity.WARNING,
+        {"min": 9, "max": 16},  # single-digit props payloads fail, 2-digit pass
+    ),
+    Rule("ts_str_valid", "ts_str", "timestamp_valid", Severity.WARNING),
 ]
 
 # Per-record quality score (data_quality.py:560):

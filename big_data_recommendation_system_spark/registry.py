@@ -103,6 +103,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "top_event_types_per_user": topk.top_event_types_per_user,
     "dq_rule_stats": dq_report.dq_rule_stats,
     "dq_daily_validity": dq_report.dq_daily_validity,
+    "dq_trend": dq_report.dq_trend,
     "text_stats": text_analysis.text_stats,
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
@@ -153,6 +154,7 @@ ORACLES: dict[str, str] = {
     "top_event_types_per_user": topk.TOP_EVENT_TYPES_PER_USER_SQL,
     "dq_rule_stats": dq_report.DQ_RULE_STATS_SQL,
     "dq_daily_validity": dq_report.DQ_DAILY_VALIDITY_SQL,
+    "dq_trend": dq_report.DQ_TREND_SQL,
     "text_stats": text_analysis.TEXT_STATS_SQL,
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,

@@ -88,13 +88,20 @@ def test_quality_compiler_scoring(spark):
         ],
         ["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
-    rows = {r.event_id: r for r in with_quality(df, EVENTS_RULES).collect()}
+    from big_data_recommendation_system_spark.quality.report import derive_dq_columns
+
+    rows = {
+        r.event_id: r
+        for r in with_quality(derive_dq_columns(df), EVENTS_RULES).collect()
+    }
     assert rows[1].is_valid and rows[1].quality_score == 100
     assert not rows[2].is_valid and rows[2].quality_score == 90
     assert not rows[3].is_valid and rows[3].quality_score == 95
     assert not rows[4].is_valid and rows[4].quality_score == 95
     assert rows[5].is_valid and rows[5].quality_score == 100
-    assert rows[5].dq_warnings == 2
+    # row 5: props_format + ts_range, plus the derived props_length
+    # ('oops' is 4 chars) — WARNINGs never flip is_valid or the score
+    assert rows[5].dq_warnings == 3
 
 
 def test_quality_rule_types_url_email_country_length(spark):
