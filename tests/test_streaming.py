@@ -15,6 +15,7 @@ from big_data_recommendation_system_spark.streaming.feature_processor import (
     route_to_sinks,
     session_features,
     sliding_hourly_counts,
+    stateful_product_features,
     stateful_user_features,
 )
 
@@ -93,6 +94,176 @@ def test_stateful_user_features(spark, stream_env):
         F.max("user_event_count").alias("max_count"), F.count("*").alias("n")
     )
     assert totals.filter(F.col("max_count") != F.col("n")).count() == 0
+
+
+def _ordered_stream_src(spark, stream_env, sf_dir_small, name):
+    """Single time-ordered parquet file so the stream's processing order
+    equals event-time order (deterministic state replay)."""
+    import shutil as _sh
+
+    silver = silver_events(spark, sf_dir_small)
+    src = os.path.join(stream_env["tmp"], name)
+    tmp_dir = src + "_dir"
+    silver.orderBy("ts", "event_id").coalesce(1).write.parquet(tmp_dir)
+    os.makedirs(src, exist_ok=True)
+    part = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")][0]
+    _sh.move(os.path.join(tmp_dir, part), os.path.join(src, "data.parquet"))
+    _sh.rmtree(tmp_dir)
+    return src
+
+
+def _replay_user_features(rows, gap_us):
+    """Pure-Python replay of the reference's per-event loop
+    (kafka_streams_processor.py:88-178) over time-ordered events —
+    independent oracle for the vectorized stateful operator."""
+    cats = ["electronics", "books", "home_garden", "toys", "sports", "unknown"]
+    state = {}
+    out = {}
+    for r in rows:
+        s = state.setdefault(
+            r.user_id,
+            {
+                "count": 0, "weight": 0, "last": None, "sess_start": None,
+                "sess_n": 0, "cat": {}, "seen": set(), "types": [], "prods": [],
+            },
+        )
+        ts_us = int(r.ts.timestamp() * 1_000_000)
+        secs = (ts_us - s["last"]) / 1e6 if s["last"] is not None else None
+        if s["last"] is None or ts_us - s["last"] > gap_us:
+            s.update({"sess_start": ts_us, "sess_n": 0, "cat": {}, "seen": set(),
+                      "types": [], "prods": []})
+        s["count"] += 1
+        s["weight"] += r.event_weight
+        s["sess_n"] += 1
+        prop = r.prop_k if r.prop_k is not None else -1
+        cat = cats[prop % 5] if prop >= 0 else "unknown"
+        s["cat"][cat] = s["cat"].get(cat, 0) + 1
+        if r.event_type in ("view", "click") and prop >= 0:
+            s["seen"].add(prop)
+        s["types"].append(r.event_type)
+        s["prods"].append(prop)
+        top = sorted(s["cat"].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        returning = prop >= 0 and prop in s["prods"][-5:-1]
+        out[r.event_id] = {
+            "user_event_count": s["count"],
+            "user_total_weight": s["weight"],
+            "secs_since_last": secs,
+            "session_start_us": s["sess_start"],
+            "session_duration_seconds": (ts_us - s["sess_start"]) / 1e6,
+            "events_in_session": s["sess_n"],
+            "categories_explored": len(s["cat"]),
+            "products_viewed_count": len(s["seen"]),
+            "preferred_categories": ",".join(k for k, _ in top),
+            "recent_event_sequence": ",".join(s["types"][-5:]),
+            "is_returning_to_product": returning,
+        }
+        s["last"] = ts_us
+    return out
+
+
+def test_stateful_user_features_full_replay(spark, stream_env, sf_dir_small):
+    """The full R5 feature set must match an independent per-event Python
+    replay of the reference loop, row for row, across micro-batches."""
+    from big_data_recommendation_system_spark.streaming.feature_processor import (
+        _GAP_US,
+        _OUTPUT_SCHEMA,
+    )
+
+    src = _ordered_stream_src(spark, stream_env, sf_dir_small, "ordered_user_src")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stateful_user_features(stream)
+        .writeStream.format("memory")
+        .queryName("r5_full_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM r5_full_out").collect()
+    assert {f.name for f in _OUTPUT_SCHEMA.fields} == set(got[0].asDict())
+
+    silver_rows = (
+        silver_events(spark, sf_dir_small).orderBy("ts", "event_id").collect()
+    )
+    expect = _replay_user_features(silver_rows, _GAP_US)
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[r.event_id]
+        assert r.user_event_count == e["user_event_count"], r
+        assert r.user_total_weight == e["user_total_weight"], r
+        if e["secs_since_last"] is None:
+            assert r.secs_since_last is None or r.secs_since_last != r.secs_since_last
+        else:
+            assert abs(r.secs_since_last - e["secs_since_last"]) < 1e-6, r
+        assert int(r.session_start.timestamp() * 1e6) == e["session_start_us"], r
+        assert abs(r.session_duration_seconds - e["session_duration_seconds"]) < 1e-6
+        assert r.events_in_session == e["events_in_session"], r
+        assert r.categories_explored == e["categories_explored"], r
+        assert r.products_viewed_count == e["products_viewed_count"], r
+        assert r.preferred_categories == e["preferred_categories"], r
+        assert r.recent_event_sequence == e["recent_event_sequence"], r
+        assert r.is_returning_to_product == e["is_returning_to_product"], r
+        assert r.hour_of_day == r.ts.hour and r.is_weekend == (r.ts.weekday() >= 5)
+
+
+def test_stateful_product_features_replay(spark, stream_env, sf_dir_small):
+    """Product-keyed R5 half: running views/conversion/cart rates and the
+    trailing-hour view count vs a direct Python replay."""
+    src = _ordered_stream_src(spark, stream_env, sf_dir_small, "ordered_prod_src")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stateful_product_features(stream)
+        .writeStream.format("memory")
+        .queryName("r5_prod_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM r5_prod_out").collect()
+
+    state = {}
+    expect = {}
+    rows = (
+        silver_events(spark, sf_dir_small)
+        .filter(F.col("prop_k").isNotNull())
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    for r in rows:
+        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0, "vts": []})
+        ts_us = int(r.ts.timestamp() * 1_000_000)
+        if r.event_type in ("view", "click"):
+            s["v"] += 1
+            s["vts"].append(ts_us)
+        elif r.event_type == "signup":
+            s["c"] += 1
+        elif r.event_type == "purchase":
+            s["b"] += 1
+        denom = max(s["v"], 1)
+        recent = sum(1 for t in s["vts"][-1000:] if ts_us - 3_600_000_000 < t <= ts_us)
+        expect[r.event_id] = (
+            s["v"],
+            recent,
+            int(s["b"] / denom * 10000 + 0.5) / 100,
+            int(s["c"] / denom * 10000 + 0.5) / 100,
+        )
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[r.event_id]
+        assert (
+            r.product_total_views,
+            r.product_recent_views,
+            r.product_conversion_rate,
+            r.product_cart_rate,
+        ) == e, (r, e)
 
 
 def test_multi_sink_routing(spark, stream_env):
