@@ -40,29 +40,28 @@ def asof_join_backward(
     payload: Sequence[str],
 ) -> DataFrame:
     """Backward as-of join; right ``payload`` columns are appended to
-    every left row (null when no right row precedes it)."""
+    every left row (null when no right row precedes it).
+
+    The payload is carried as ONE struct per right row, so (a) a matched
+    right row whose payload value is legitimately NULL stays NULL (a
+    per-column ``last(ignorenulls)`` would skip it and attach an older
+    row's value — DuckDB ASOF, the oracle convention, returns the matched
+    row's NULL), and (b) multiple payload columns can never mix values
+    from different right rows."""
     lcols = left.columns
-    l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    r = (
-        right.select(
-            F.col(key),
-            F.col(right_ts).alias("__ts"),
-            *[F.col(c) for c in payload],
-        )
-        .withColumn("__side", F.lit(0))
-    )
-    # align schemas for the union: left gets null payload slots, right
-    # gets null left columns
-    for c in payload:
-        l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r = r.select(
-        key,
-        "__ts",
-        "__side",
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.struct(*[F.col(c) for c in payload]).alias("__pp"),
+    ).withColumn("__side", F.lit(0))
+    struct_type = r.schema["__pp"].dataType
+    l = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__pp", F.lit(None).cast(struct_type))
     )
     l_aligned = l.select(
-        key, "__ts", "__side", *[f"__p_{c}" for c in payload], *[c for c in lcols if c != key]
+        key, "__ts", "__side", "__pp", *[c for c in lcols if c != key]
     )
     unioned = l_aligned.unionByName(r, allowMissingColumns=True)
 
@@ -71,14 +70,12 @@ def asof_join_backward(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload
-        ],
+    carried = unioned.withColumn(
+        "__matched", F.last("__pp", ignorenulls=True).over(w)
     )
-    return carried.filter(F.col("__side") == 1).select(*lcols, *payload)
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__matched.{c}").alias(c) for c in payload]
+    )
 
 
 def events_with_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,11 +47,14 @@ def compile_rule(rule: Rule) -> Column:
     if t == "conditional_required":
         # intended semantics of the reference's broken rule
         # (data_quality.py:427-438): when <when_column> <op> <threshold>,
-        # <column> must be non-null/non-empty
+        # <column> must be non-null/non-empty. The trigger is coalesced so
+        # a NULL when_column means not-required in BOTH with_quality and
+        # validity_column (a raw NULL would pass one and drop in the other).
         cond = F.col(p["when_column"])
-        trigger = cond > p["threshold"] if p.get("op", "gt") == "gt" else cond.isin(
+        raw = cond > p["threshold"] if p.get("op", "gt") == "gt" else cond.isin(
             p.get("values", [])
         )
+        trigger = F.coalesce(raw, F.lit(False))
         return ~trigger | (c.isNotNull() & (c.cast("string") != ""))
     if t == "url_valid":
         return c.isNull() | c.rlike(_URL_PATTERN)

@@ -46,11 +46,16 @@ def compact_silver(spark: SparkSession, path: str, files_per_partition: int = 1)
     df.repartition(files_per_partition, F.col("date")).write.mode(
         "overwrite"
     ).partitionBy("date").parquet(tmp)
-    # atomic-ish swap (rename) is storage-specific; local impl:
+    # swap via rename-aside: a crash at any point leaves either the old or
+    # the new table intact (never a destroyed one); true atomic swap is
+    # storage-specific (object-store manifest commit), this is the local
+    # filesystem equivalent
     import shutil
 
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def record_run(

@@ -79,9 +79,10 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0) -> None:
-    """Assert spark_df matches the DuckDB oracle. Raises AssertionError
-    with a readable diff on mismatch."""
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Assert spark_df matches the DuckDB oracle (exact comparison —
+    floats canonicalized via repr, by design; no tolerance knob).
+    Raises AssertionError with a readable diff on mismatch."""
     spark_pd = spark_df.toPandas()
     duck_pd = duckdb_run(oracle_sql, sf_dir)
 

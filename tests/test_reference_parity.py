@@ -159,11 +159,9 @@ def test_reference_gold_tables(spark, bronze_dir):
     assert us["u1"].total_value_browsed == 1100.01
     assert us["u1"].events_per_session == 3.0
     assert us["u1"].activity_level == "low"
-    # mode tie-break: mobile/desktop/tablet all once → alphabetically first
-    assert us["u1"].preferred_device == "Mobile" or us["u1"].preferred_device in (
-        "desktop",
-        "tablet",
-    )
+    # mode tie-break: Mobile/desktop/tablet all once → count DESC then
+    # value ASC, and uppercase sorts before lowercase → exactly "Mobile"
+    assert us["u1"].preferred_device == "Mobile"
 
     ps = {r.product_id: r for r in product_summary(silver).collect()}
     assert ps["p1"].unique_viewers == 1 and ps["p1"].total_interactions == 3

@@ -167,3 +167,27 @@ def test_asof_join_edges(spark):
         ).collect()
     }
     assert got == {1: None, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_asof_join_null_payload_from_matched_row(spark):
+    """A matched right row whose payload is legitimately NULL must yield
+    NULL (DuckDB ASOF convention), not an older row's value — and with
+    multiple payload columns, both must come from the SAME matched row."""
+    from datetime import datetime
+
+    from big_data_recommendation_system_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("k", 1, datetime(2025, 1, 5))], ["key", "id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", datetime(2025, 1, 2), 10.0, "old"),
+            ("k", datetime(2025, 1, 4), None, "new"),  # matched; a is NULL
+        ],
+        ["key", "rts", "a", "b"],
+    )
+    row = asof_join_backward(
+        left, right, key="key", left_ts="ts", right_ts="rts", payload=["a", "b"]
+    ).first()
+    assert row.a is None and row.b == "new"
