@@ -25,10 +25,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bdrs-bench")
 
-    # JVM/codegen warmup on the smallest sf so measured times are steady-state
-    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM/codegen warmup: run EVERY query once at the smallest sf so the
+    # timed pass measures steady-state execution, not whole-stage-codegen
+    # compilation of each plan shape (first compile of the wide synth/clean
+    # projections costs ~10-25 s once per JVM and amortizes to zero on a
+    # real cluster run).
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # a query failing surfaces in the timed pass below
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

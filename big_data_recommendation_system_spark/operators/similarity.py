@@ -137,6 +137,19 @@ def cosine_topk_fast(
     )
 
 
+def cosine_topk_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry/bench wrapper for the PRODUCTION brute-force path: same
+    query set as ann_cosine_topk (vec_id < 10) so the bench reports the
+    array-native plan as the headline brute-force number. Rows-only driver
+    check (scores hit double-accumulation-order ulps); neighbor-set
+    agreement vs the oracle-exact path is asserted in pytest
+    (test_fast_cosine_matches_exact)."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10))
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign all vectors to nearest of 8 deterministic
     centroids (vec_id < 8), then exact top-5 within the query's cell only."""

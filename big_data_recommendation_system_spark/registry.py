@@ -111,6 +111,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
     "ann_cosine_topk": similarity.ann_cosine_topk,
+    "cosine_topk_fast": similarity.cosine_topk_fast_query,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,

@@ -73,6 +73,111 @@ def test_dayofweek_matches_pandas(spark, day_offsets):
     assert got == expected
 
 
+# --- D8: qcut vs the engine's ntile quartiles ------------------------------
+#
+# The engine maps pd.qcut(4) to SQL NTILE over a deterministic total
+# order (SURVEY §2: "matches closely"). These tests pin down exactly how
+# close:
+#  * ntile_from_rank == SQL NTILE by construction (independent pandas
+#    reimplementation, heavy ties included)
+#  * vs pandas qcut on DISTINCT values: identical when n ≡ 1 (mod 4)
+#    (quantile edges land on integer positions); otherwise each bucket
+#    boundary may shift by at most one row (interpolated edges vs
+#    equal-count split)
+#  * on TIED values qcut keeps ties together while NTILE splits them
+#    across buckets — a documented semantic divergence
+#  * fallback guard: countDistinct >= 4 approximates qcut's ValueError;
+#    they agree whenever <4 distinct values exist, and can diverge when
+#    >=4 distinct values still collapse the quantile edges (heavy skew) —
+#    asserted below as known behavior
+
+
+def _pandas_ntile(values, n_buckets=4):
+    """Independent NTILE: first (n % b) buckets get one extra row, order
+    by (value, original index)."""
+    order = sorted(range(len(values)), key=lambda i: (values[i], i))
+    n = len(values)
+    base, rem = divmod(n, n_buckets)
+    out = [0] * n
+    pos = 0
+    for b in range(1, n_buckets + 1):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            if pos < n:
+                out[order[pos]] = b
+                pos += 1
+    return out
+
+
+def _engine_quartiles(spark, values):
+    from big_data_recommendation_system_spark.operators.ranking import (
+        RANK_COL,
+        TOTAL_COL,
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], ["idx", "x"]
+    )
+    ranked = with_global_rank(df, ["x", "idx"], num_partitions=4)
+    rows = ranked.select(
+        "idx", ntile_from_rank(F.col(RANK_COL), F.col(TOTAL_COL), 4).alias("q")
+    ).collect()
+    return [int(r.q) for r in sorted(rows, key=lambda r: r.idx)]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from([1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 5.0, 8.0]),  # heavy ties
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_engine_ntile_matches_independent_ntile_on_ties(spark, values):
+    assert _engine_quartiles(spark, values) == _pandas_ntile(values)
+
+
+@settings(**_SETTINGS)
+@given(st.sets(st.integers(min_value=0, max_value=10_000), min_size=4, max_size=41))
+def test_engine_quartiles_vs_qcut_on_distinct(spark, distinct):
+    values = [float(v) for v in distinct]
+    qcut = (pd.qcut(pd.Series(values), 4, labels=False) + 1).tolist()
+    got = _engine_quartiles(spark, values)
+    n = len(values)
+    if n % 4 == 1:
+        assert got == qcut
+    else:
+        # each cumulative bucket boundary shifts by at most one row
+        for b in range(1, 4):
+            assert abs(
+                sum(1 for q in got if q <= b) - sum(1 for q in qcut if q <= b)
+            ) <= 1
+
+
+def test_qcut_collapse_guard_agreement_and_known_divergence(spark):
+    """The product_summary fallback guard (countDistinct >= 4) vs pandas
+    qcut's ValueError on collapsed edges."""
+    # <4 distinct values: qcut(duplicates='drop') always collapses, the
+    # guard always falls back — agreement
+    tied = [9.0] * 8 + [1.0, 2.0]
+    with pytest.raises(ValueError):
+        pd.qcut(pd.Series(tied), 4, labels=["a", "b", "c", "d"], duplicates="drop")
+    assert len(set(tied)) < 4  # guard would fall back too
+
+    # KNOWN DIVERGENCE: >=4 distinct values under heavy skew still
+    # collapse the interpolated quantile edges, so pandas falls back while
+    # the engine (4 distinct -> ntile) assigns real tiers. Documented
+    # behavior: the engine guard is a cardinality approximation of the
+    # reference's edge-collapse detection.
+    skewed = [1.0, 2.0, 3.0] + [9.0] * 97
+    with pytest.raises(ValueError):
+        pd.qcut(pd.Series(skewed), 4, labels=["a", "b", "c", "d"], duplicates="drop")
+    assert len(set(skewed)) >= 4  # engine still tiers; qcut does not
+    assert set(_engine_quartiles(spark, skewed)) == {1, 2, 3, 4}
+
+
 @settings(**_SETTINGS)
 @given(
     st.lists(
