@@ -83,6 +83,11 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q14_promo_share": relational.q14_promo_share,
     "q18_large_orders": relational.q18_large_orders,
     "q15_top_suppliers": relational.q15_top_suppliers,
+    "q4_priority_exists": relational.q4_priority_exists,
+    "q7_volume_shipping": relational.q7_volume_shipping,
+    "q13_order_count_distribution": relational.q13_order_count_distribution,
+    "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+    "q22_idle_rich_customers": relational.q22_idle_rich_customers,
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
@@ -135,6 +140,11 @@ ORACLES: dict[str, str] = {
     "q14_promo_share": relational.Q14_SQL,
     "q18_large_orders": relational.Q18_SQL,
     "q15_top_suppliers": relational.Q15_SQL,
+    "q4_priority_exists": relational.Q4_SQL,
+    "q7_volume_shipping": relational.Q7_SQL,
+    "q13_order_count_distribution": relational.Q13_SQL,
+    "q19_disjunctive_revenue": relational.Q19_SQL,
+    "q22_idle_rich_customers": relational.Q22_SQL,
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
