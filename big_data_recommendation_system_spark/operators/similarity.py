@@ -150,10 +150,10 @@ def cosine_topk_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10))
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign all vectors to nearest of 8 deterministic
-    centroids (vec_id < 8), then exact top-5 within the query's cell only."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): every vector assigned to its nearest of the
+    deterministic centroids (vec_id < IVF_CENTROIDS) by cosine, ties to
+    the lowest centroid id."""
     cd = _dims(emb.filter(F.col("vec_id") < IVF_CENTROIDS), "centroid_id")
     vd = _dims(emb, "vec_id2")
     vn = _norms(emb, "vec_id2", "vnorm")
@@ -169,11 +169,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_c", F.col("dot") / (F.col("vnorm") * F.col("cnorm")))
     )
     wc = Window.partitionBy("vec_id2").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    assign = (
+    return (
         sims.withColumn("r", F.row_number().over(wc))
         .filter(F.col("r") == 1)
         .select(F.col("vec_id2").alias("vec_id"), "centroid_id")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign all vectors to nearest of 8 deterministic
+    centroids (vec_id < 8), then exact top-5 within the query's cell only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assignments(emb)
     # search within the query's cell
     vd2 = _dims(emb, "vid").join(
         assign.withColumnRenamed("vec_id", "vid"), "vid"
@@ -262,4 +269,98 @@ FROM (
   FROM dots JOIN norms qn ON qn.vec_id = query_id JOIN norms cn ON cn.vec_id = neighbor_id
 )
 WHERE rank <= {TOP_K}
+"""
+
+
+# --- embedding near-duplicate pairs (cell-blocked cosine threshold) ---------
+
+NEAR_DUP_TAU = 0.4
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection as a first-class pair
+    query: all pairs (a < b) in the SAME IVF cell with cosine >= tau.
+
+    This is the blocked-dedup shape that scales: candidate pairs are
+    generated only inside coarse-quantization cells (the same trade-off
+    as LSH banding — cross-cell near-dups are the documented recall
+    loss; raise IVF_CENTROIDS with corpus size so cells stay bounded).
+    Within each cell the scoring is exact decimal accumulation, so the
+    query is fully oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _ivf_assignments(emb)
+    vd = _dims(emb, "vid").join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    a = vd.select(
+        F.col("vid").alias("vec_a"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("ax"),
+    )
+    b = vd.select(
+        F.col("vid").alias("vec_b"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("bx"),
+    )
+    dots = (
+        a.join(b, ["cell", "pos"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("ax") * F.col("bx")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    nrm = _norms(emb, "nid", "nrm")
+    return (
+        dots.join(
+            nrm.withColumnRenamed("nid", "vec_a").withColumnRenamed("nrm", "na"),
+            "vec_a",
+        )
+        .join(
+            nrm.withColumnRenamed("nid", "vec_b").withColumnRenamed("nrm", "nb"),
+            "vec_b",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims v JOIN dims c ON v.pos = c.pos
+  WHERE c.vec_id < {IVF_CENTROIDS}
+  GROUP BY v.vec_id, c.vec_id
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cd.vec_id, cd.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY cd.vec_id
+        ORDER BY cd.dot / (vn.nrm * cn.nrm) DESC, cd.centroid_id ASC
+      ) AS r
+    FROM cdots cd
+    JOIN norms vn ON vn.vec_id = cd.vec_id
+    JOIN norms cn ON cn.vec_id = cd.centroid_id
+  ) WHERE r = 1
+), pdots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.centroid_id = aa.centroid_id
+  JOIN dims b ON b.vec_id = ab.vec_id AND b.pos = a.pos
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM pdots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE dot / (na.nrm * nb.nrm) >= {NEAR_DUP_TAU}
 """

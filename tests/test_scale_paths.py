@@ -72,6 +72,54 @@ def test_fast_cosine_matches_exact(spark, sf_dir):
     assert agree >= 0.95 * len(exact)  # ulp-level ties may swap adjacent ranks
 
 
+def test_embedding_near_dup_subset_of_bruteforce(spark, sf_dir):
+    """Cell-blocked near-dup pairs must be a SUBSET of the brute-force
+    cosine>=tau pairs with identical scores (no false positives; missed
+    cross-cell pairs are the documented recall trade-off), and non-empty
+    at this sf."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        NEAR_DUP_TAU,
+        _dims,
+        _norms,
+        embedding_near_dup_pairs,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got, "expected some near-dup pairs at this sf"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = _dims(emb, "vec_a"), _dims(emb, "vec_b")
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum((a.x * b.x).cast("decimal(38,12)")).cast("double").alias("dot")
+        )
+    )
+    nrm = _norms(emb, "nid", "nrm")
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dots.join(
+            nrm.withColumnRenamed("nid", "vec_a").withColumnRenamed("nrm", "na"),
+            "vec_a",
+        )
+        .join(
+            nrm.withColumnRenamed("nid", "vec_b").withColumnRenamed("nrm", "nb"),
+            "vec_b",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .collect()
+    }
+    assert set(got) <= set(brute)
+    for k, v in got.items():
+        assert abs(v - brute[k]) < 1e-12
+
+
 def test_cap_baskets_drops_power_user(spark):
     """The co-occurrence skew guard must exclude a power user's basket
     entirely (and leave normal baskets untouched) before the self-join."""
