@@ -74,3 +74,30 @@ def record_run(
         },
     }
     spark.createDataFrame([row]).write.mode("append").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write (S7 scale extension): co-locates rows by hash
+    of ``bucket_cols`` at WRITE time so every later equi-join or
+    aggregation on those columns runs with ZERO exchange — the shuffle is
+    paid once, when the data lands, instead of per query.
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    for every user-keyed join and reading pre-bucketed files; pick
+    ``n_buckets`` so each bucket file stays in the 128 MB - 1 GB band.
+    Requires a catalog (``saveAsTable``) — Spark's bucketing metadata
+    lives in the table definition, not the files.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -191,3 +191,76 @@ def test_asof_join_null_payload_from_matched_row(spark):
         left, right, key="key", left_ts="ts", right_ts="rts", payload=["a", "b"]
     ).first()
     assert row.a is None and row.b == "new"
+
+
+def test_bucketed_write_join_without_exchange(spark, sf_dir_small, tmp_path):
+    """S7 scale extension: two tables bucketed on the same key must join
+    with ZERO Exchange in the physical plan (the shuffle was paid at
+    write time), and bucketed aggregation needs no re-shuffle either."""
+    from big_data_recommendation_system_spark.plans.silver import silver_events
+    from big_data_recommendation_system_spark.sources.sinks import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-join path (what bucketing optimizes away) — with
+    # broadcast on, the planner ignores bucketing for these tiny tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    silver = silver_events(spark, sf_dir_small)
+    write_bucketed(
+        silver.select("user_id", "event_id", "event_weight"),
+        "bkt_events",
+        ["user_id"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        silver.groupBy("user_id").count(), "bkt_users", ["user_id"], n_buckets=8
+    )
+    try:
+        a = spark.table("bkt_events")
+        b = spark.table("bkt_users")
+        joined = a.join(b, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # no shuffle exchange: the bucketed layout satisfies the join's
+        # required distribution (BroadcastExchange would be fine; hash
+        # repartitioning is what bucketing exists to eliminate)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        agg_plan = (
+            a.groupBy("user_id")
+            .sum("event_weight")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        assert joined.count() == a.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_events")
+        spark.sql("DROP TABLE IF EXISTS bkt_users")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_dir_small, tmp_path):
+    """write_silver's date layout must give readers partition PRUNING:
+    a date filter appears as a PartitionFilter, not a data filter, and
+    only the matching directory is read."""
+    import os
+
+    from big_data_recommendation_system_spark.plans.silver import silver_events
+    from big_data_recommendation_system_spark.sources.sinks import write_silver
+
+    path = os.path.join(str(tmp_path), "silver_dated")
+    silver = silver_events(spark, sf_dir_small).withColumnRenamed(
+        "event_date", "date"
+    )
+    write_silver(silver, path, mode="overwrite")
+    day = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("date=")
+    )[0]
+    rd = spark.read.parquet(path).filter(F.col("date") == day)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    on_disk = spark.read.parquet(os.path.join(path, f"date={day}"))
+    assert rd.count() == on_disk.count() > 0
