@@ -648,3 +648,412 @@ WHERE c_acctbal > (
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min: for each mid-size LARGE part, the
+    EUROPE supplier(s) whose shipped line hit the minimum extended price
+    for that part (lineitem plays partsupp's role — the testdata has no
+    partsupp table). Shape: groupBy-min + join-back, the decorrelated
+    form Catalyst would produce from the correlated subquery. All
+    dimensions broadcast; the min frame re-joins on (partkey, price) so
+    no row survives that isn't a per-part minimum."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    elig = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "p_partkey", "p_name", "s_acctbal", "s_name", "n_name", "l_extendedprice"
+        )
+    )
+    mins = elig.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        elig.join(
+            F.broadcast(mins),
+            (elig.p_partkey == mins.mk) & (elig.l_extendedprice == mins.min_price),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH elig AS (
+  SELECT p_partkey, p_name, s_acctbal, s_name, n_name, l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS min_price
+FROM elig
+WHERE l_extendedprice = (
+  SELECT MIN(e2.l_extendedprice) FROM elig e2 WHERE e2.p_partkey = elig.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of ECONOMY-part revenue sold
+    into the ASIA customer market, the share supplied by NATION_3, per
+    order year. Two nation roles (customer-side region filter,
+    supplier-side share flag); conditional decimal aggregation gives an
+    order-independent ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            decimal_sum(nation_volume).alias("nation_revenue"),
+            decimal_sum(volume).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    l_extendedprice * (1 - l_discount) AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS nation_revenue,
+  CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year.
+    The testdata has no partsupp.ps_supplycost, so cost is modeled as
+    half the part's retail price per unit — the join topology (part
+    name filter driving a fact scan, supplier nation rollup) is Q9's.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(decimal_sum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+               AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part shipped value from
+    AFRICA suppliers, keeping parts above a fraction of the global total
+    (scalar-aggregate threshold broadcast back — the decorrelated HAVING
+    subquery). Value stays exact decimal until the comparison so the
+    threshold cut is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    value_dec = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(value_dec.alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+    SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AFRICA'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM v
+WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM v)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-delay audit: lines shipped >30 days after
+    their order date in 1996, split by line status (shipmode stand-in —
+    the testdata has no l_shipmode), counting critical- vs
+    normal-priority orders. Fact-to-fact shuffle join on orderkey with
+    the date filters pushed into both scans."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety: distinct suppliers that shipped
+    each (brand, type, size) bucket, excluding one brand, PROMO parts,
+    and negative-balance suppliers (the NOT IN subquery → broadcast
+    anti-join). lineitem bridges part↔supplier in place of partsupp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style semi-join chain: suppliers who shipped more than a
+    threshold quantity of any 'red' part during 1996 (availqty stand-in —
+    the testdata has no partsupp). part filter broadcast into the fact
+    scan → per-(supplier, part) decimal quantity rollup → HAVING →
+    LEFT SEMI back to supplier, so the supplier table is never joined to
+    the fact rows themselves."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 40
+)
+ORDER BY s_name
+"""
+
+
+def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting-supplier hunt: suppliers with a returned
+    line on a multi-supplier order where they were the ONLY supplier
+    with a return. The double EXISTS/NOT EXISTS decorrelates to one
+    per-order distinct-supplier rollup joined back to the returned
+    pairs — two shuffles on orderkey total, versus the naive plan's two
+    correlated fact self-joins. The oracle keeps the literal
+    EXISTS/NOT EXISTS form as the semantic spec."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    rpairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    per_order_ret = rpairs.groupBy(F.col("l_orderkey").alias("rk")).agg(
+        F.count(F.lit(1)).alias("n_ret")
+    )
+    culprit = (
+        rpairs.join(per_order, "l_orderkey")
+        .join(per_order_ret, rpairs.l_orderkey == F.col("rk"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+    )
+    return (
+        culprit.join(F.broadcast(supp), culprit.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, COUNT(*) AS numwait
+FROM r
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = r.l_orderkey AND l2.l_suppkey <> r.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = r.l_orderkey AND l3.l_suppkey <> r.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

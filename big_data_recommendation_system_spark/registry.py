@@ -88,6 +88,14 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q13_order_count_distribution": relational.q13_order_count_distribution,
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+    "q2_min_price_supplier": relational.q2_min_price_supplier,
+    "q8_market_share": relational.q8_market_share,
+    "q9_product_type_profit": relational.q9_product_type_profit,
+    "q11_important_part_value": relational.q11_important_part_value,
+    "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+    "q16_part_supplier_variety": relational.q16_part_supplier_variety,
+    "q20_heavy_shippers": relational.q20_heavy_shippers,
+    "q21_sole_return_suppliers": relational.q21_sole_return_suppliers,
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "silver_events": silver.silver_events,
@@ -146,6 +154,14 @@ ORACLES: dict[str, str] = {
     "q13_order_count_distribution": relational.Q13_SQL,
     "q19_disjunctive_revenue": relational.Q19_SQL,
     "q22_idle_rich_customers": relational.Q22_SQL,
+    "q2_min_price_supplier": relational.Q2_SQL,
+    "q8_market_share": relational.Q8_SQL,
+    "q9_product_type_profit": relational.Q9_SQL,
+    "q11_important_part_value": relational.Q11_SQL,
+    "q12_late_shipment_priority": relational.Q12_SQL,
+    "q16_part_supplier_variety": relational.Q16_SQL,
+    "q20_heavy_shippers": relational.Q20_SQL,
+    "q21_sole_return_suppliers": relational.Q21_SQL,
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
