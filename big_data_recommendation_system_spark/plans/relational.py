@@ -654,10 +654,11 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-style correlated-min: for each mid-size LARGE part, the
     EUROPE supplier(s) whose shipped line hit the minimum extended price
     for that part (lineitem plays partsupp's role — the testdata has no
-    partsupp table). Shape: groupBy-min + join-back, the decorrelated
-    form Catalyst would produce from the correlated subquery. All
-    dimensions broadcast; the min frame re-joins on (partkey, price) so
-    no row survives that isn't a per-part minimum."""
+    partsupp table). The correlated MIN subquery decorrelates to a
+    min-over-partition window on the already-filtered eligible frame —
+    ONE fact scan and one (filtered, tiny) shuffle on p_partkey, versus
+    the groupBy-min + join-back form that scans the fact table twice.
+    All dimensions broadcast."""
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
@@ -674,14 +675,12 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_name", "s_acctbal", "s_name", "n_name", "l_extendedprice"
         )
     )
-    mins = elig.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("l_extendedprice").alias("min_price")
-    )
+    from pyspark.sql import Window
+
+    min_price = F.min("l_extendedprice").over(Window.partitionBy("p_partkey"))
     return (
-        elig.join(
-            F.broadcast(mins),
-            (elig.p_partkey == mins.mk) & (elig.l_extendedprice == mins.min_price),
-        )
+        elig.withColumn("min_price", min_price)
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
         .distinct()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
