@@ -1,0 +1,269 @@
+"""Corpus-preparation operators for training-data pipelines over the
+``documents`` table: deterministic train/val/test splitting, Gopher-style
+repetition quality signals, and the composed filter → dedup → split
+pipeline rollup.
+
+Everything is engine-neutral and oracle-checked:
+
+- The split bucket is derived from md5 hex digits via ``ascii()`` —
+  identical in Spark and DuckDB (no reliance on either engine's internal
+  ``hash()``), so the same document always lands in the same split on any
+  engine, any partitioning, any cluster size. That reproducibility is the
+  whole point of hash-based splitting (vs ``rand()`` seeds, which are
+  partitioning-dependent in a distributed engine).
+- Repetition stats use explode + two-level aggregation rather than
+  per-row O(n·distinct) array scans, so a pathological 100k-token
+  document costs O(n log n) shuffle work, not O(n²) CPU in one task.
+
+Reference parity: the reference has no corpus-prep stage (it is a
+clickstream pipeline); these are the §"beyond the reference" LLM-pipeline
+operators the engine adds, built on the same tokenizer as
+plans/text_analysis.py (functions/text.py:tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens, tokens_sql
+from ..sources.tables import load_table
+
+# split fractions: 80% train / 10% validation / 10% test
+TRAIN_UPPER = 80
+VAL_UPPER = 90
+
+
+def split_bucket(col: Column) -> Column:
+    """Deterministic 0..99 bucket from the first two md5 hex digits —
+    byte-identical between Spark and DuckDB (both md5 and ascii agree)."""
+    h = F.md5(col.cast("string"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+
+
+def _split_bucket_sql(col: str) -> str:
+    h = f"md5(CAST({col} AS VARCHAR))"
+    return f"(ascii(substr({h},1,1))*256 + ascii(substr({h},2,1))) % 100"
+
+
+def split_label(bucket: Column) -> Column:
+    return (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_label_sql(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < {TRAIN_UPPER} THEN 'train' "
+        f"WHEN {bucket} < {VAL_UPPER} THEN 'validation' ELSE 'test' END"
+    )
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deterministic split assignment. Pure map stage — no
+    shuffle, scales linearly; the assignment is stable under reordering,
+    repartitioning, and incremental corpus growth (new docs never move
+    old docs between splits, unlike fraction-based randomSplit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = split_bucket(F.col("doc_id")).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        split_label(F.col("bucket")).alias("split"),
+    ).orderBy("doc_id")
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT doc_id, lang, bucket, {_split_label_sql("bucket")} AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST({_split_bucket_sql("doc_id")} AS BIGINT) AS bucket
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio,
+    most-frequent-word share, most-frequent-bigram share. High top-word /
+    top-bigram ratios flag boilerplate and degenerate generations; low
+    distinct ratio flags keyword stuffing.
+
+    Scale shape: explode → (doc_id, token) partial-combined count →
+    per-doc max. Both aggregations hash on doc_id-prefixed keys, so the
+    heavy first phase combines map-side and the second reuses the same
+    partitioning. No per-row quadratic array scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    base = t.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("total_words"),
+        F.size(F.array_distinct("tok")).cast("long").alias("distinct_words"),
+        "tok",
+    )
+
+    top_word = (
+        t.select("doc_id", F.explode("tok").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+
+    bigrams = F.when(
+        F.size("tok") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tok) - 1), "
+            "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bigram = (
+        t.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+
+    zero = F.lit(0).cast("long")
+    return (
+        base.drop("tok")
+        .join(top_word, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_words",
+            "distinct_words",
+            (F.col("distinct_words").cast("double") / F.col("total_words")).alias(
+                "distinct_ratio"
+            ),
+            F.coalesce("top_word_count", zero).alias("top_word_count"),
+            (
+                F.coalesce("top_word_count", zero).cast("double")
+                / F.col("total_words")
+            ).alias("top_word_ratio"),
+            F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+            F.when(
+                F.col("total_words") >= 2,
+                F.coalesce("top_bigram_count", zero).cast("double")
+                / (F.col("total_words") - 1),
+            ).alias("top_bigram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql()} AS tok FROM documents),
+base AS (
+  SELECT doc_id, len(tok) AS total_words,
+    len(list_distinct(tok)) AS distinct_words
+  FROM t
+),
+w AS (SELECT doc_id, unnest(tok) AS w FROM t),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+tw AS (SELECT doc_id, MAX(c) AS top_word_count FROM wc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tok) >= 2
+      THEN list_transform(generate_series(1, len(tok) - 1),
+                          i -> tok[i] || ' ' || tok[i + 1])
+      ELSE CAST([] AS VARCHAR[]) END) AS b
+  FROM t
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+tb AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY doc_id)
+SELECT base.doc_id, total_words, distinct_words,
+  CAST(distinct_words AS DOUBLE) / total_words AS distinct_ratio,
+  COALESCE(top_word_count, 0) AS top_word_count,
+  CAST(COALESCE(top_word_count, 0) AS DOUBLE) / total_words AS top_word_ratio,
+  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+  CASE WHEN total_words >= 2
+    THEN CAST(COALESCE(top_bigram_count, 0) AS DOUBLE) / (total_words - 1)
+    ELSE NULL END AS top_bigram_ratio
+FROM base
+LEFT JOIN tw ON base.doc_id = tw.doc_id
+LEFT JOIN tb ON base.doc_id = tb.doc_id
+ORDER BY base.doc_id
+"""
+
+
+# quality gates for the composed pipeline (engine constants, mirrored in SQL)
+MIN_WORDS = 20
+MAX_WORDS = 1000
+MIN_DISTINCT_RATIO = 0.3
+
+
+def corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline as one declarative plan:
+    quality filter (length + distinct-ratio gates) → exact content dedup
+    (keep lowest doc_id per md5) → deterministic split → per-(split,
+    lang) doc/token counts. This is the "corpus card" a training run
+    starts from.
+
+    Scale: filter is a map stage; dedup shuffles once on content_hash
+    (a window over the hash key — bounded groups); the final rollup is a
+    tiny-key aggregation. One wide shuffle total at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("content_hash"),
+        F.size(tok).cast("long").alias("n_words"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
+    )
+    qual = base.filter(
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & (
+            F.col("n_distinct").cast("double") / F.col("n_words")
+            > MIN_DISTINCT_RATIO
+        )
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = split_bucket(F.col("doc_id"))
+    return (
+        kept.select(
+            split_label(bucket).alias("split"), "lang", "n_words"
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+CORPUS_PREP_SUMMARY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, md5(text) AS content_hash,
+    len({tokens_sql()}) AS n_words,
+    len(list_distinct({tokens_sql()})) AS n_distinct
+  FROM documents
+),
+qual AS (
+  SELECT * FROM base
+  WHERE n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+    AND CAST(n_distinct AS DOUBLE) / n_words > {MIN_DISTINCT_RATIO}
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1
+)
+SELECT {_split_label_sql(_split_bucket_sql("doc_id"))} AS split,
+  lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM kept
+GROUP BY split, lang
+ORDER BY split, lang
+"""

@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from .ml import recommend
 from .ml import similarity as ml_similarity
 from .operators import asof, dedup, similarity, skew, text_dedup, topk, windows
-from .plans import clickstream, gold, joins, multimodal, relational, silver, text_analysis
+from .plans import (
+    clickstream,
+    corpus_prep,
+    gold,
+    joins,
+    multimodal,
+    relational,
+    silver,
+    text_analysis,
+)
 from .quality import report as dq_report
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -120,6 +129,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "text_stats": text_analysis.text_stats,
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
+    "corpus_split": corpus_prep.corpus_split,
+    "doc_repetition_stats": corpus_prep.doc_repetition_stats,
+    "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
@@ -186,6 +198,9 @@ ORACLES: dict[str, str] = {
     "text_stats": text_analysis.TEXT_STATS_SQL,
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
+    "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
+    "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
+    "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
