@@ -36,17 +36,28 @@ VAL_UPPER = 90
 
 
 def split_bucket(col: Column) -> Column:
-    """Deterministic 0..99 bucket from the first two md5 hex digits —
-    byte-identical between Spark and DuckDB (both md5 and ascii agree)."""
+    """Deterministic 0..99 bucket from the first four md5 hex digits,
+    parsed as a uniform 0..65535 integer (conv base-16). Residual mod
+    bias is 1/655 per bucket — negligible. NOT ascii()-arithmetic on the
+    hex chars: their codepoints are non-contiguous, which skews the mod
+    distribution by several percent."""
     h = F.md5(col.cast("string"))
-    return (
-        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-    ) % 100
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+
+
+_HEX = "0123456789abcdef"
 
 
 def _split_bucket_sql(col: str) -> str:
+    # DuckDB has no conv(); parse the 4 hex digits positionally — exact
+    # same 0..65535 value as the Spark side's conv(..., 16, 10).
     h = f"md5(CAST({col} AS VARCHAR))"
-    return f"(ascii(substr({h},1,1))*256 + ascii(substr({h},2,1))) % 100"
+    digit = "(strpos('{hex}', substr({h},{i},1)) - 1)"
+    terms = " + ".join(
+        digit.format(hex=_HEX, h=h, i=i + 1) + f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) % 100)"
 
 
 def split_label(bucket: Column) -> Column:

@@ -264,3 +264,58 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_dir_small, tmp_path)
     )[1].split("]")[0], plan
     on_disk = spark.read.parquet(os.path.join(path, f"date={day}"))
     assert rd.count() == on_disk.count() > 0
+
+
+def test_corpus_split_stable_and_fractioned(spark, sf_dir_small):
+    """Hash-based split must be invariant to partitioning (the property
+    randomSplit lacks) and must land near the declared 80/10/10
+    fractions."""
+    from big_data_recommendation_system_spark.plans.corpus_prep import (
+        corpus_split,
+    )
+
+    base = corpus_split(spark, sf_dir_small)
+    a = {r.doc_id: r.split for r in base.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in corpus_split(spark, sf_dir_small).repartition(17).collect()
+    }
+    assert a == b  # same doc -> same split, regardless of layout
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    frac_val = sum(1 for s in a.values() if s == "validation") / n
+    frac_test = sum(1 for s in a.values() if s == "test") / n
+    assert abs(frac_train - 0.80) < 0.06, frac_train
+    assert abs(frac_val - 0.10) < 0.05, frac_val
+    assert abs(frac_test - 0.10) < 0.05, frac_test
+
+
+def test_corpus_prep_dedup_keeps_lowest_doc_id(spark):
+    """corpus_prep's content dedup must keep exactly the lowest doc_id
+    per identical text and count tokens once per kept doc."""
+    import pandas as pd
+
+    from big_data_recommendation_system_spark.plans import corpus_prep as cp
+
+    text = "alpha beta gamma delta " * 10  # 40 words, distinct ratio 0.1
+    good = " ".join(f"w{i}" for i in range(40))  # distinct ratio 1.0
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 2, 7],
+            "text": [good, good, text, good + " tail"],
+            "lang": ["en", "en", "en", "fr"],
+            "source": ["s"] * 4,
+            "n_chars": [len(good), len(good), len(text), len(good) + 5],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = cp.corpus_prep_summary(spark, td).collect()
+    # doc 2 fails the distinct-ratio gate; docs 1/3 are dupes -> keep 1;
+    # doc 7 unique -> 2 docs survive, grouped by (split, lang)
+    total_docs = sum(r.n_docs for r in out)
+    assert total_docs == 2, out
+    assert sum(r.total_words for r in out) == 40 + 41, out
