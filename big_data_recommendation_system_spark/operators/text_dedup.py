@@ -285,14 +285,23 @@ def _minhash_sql() -> str:
   JOIN sig sb ON sb.doc_id = doc_b
   WHERE ({agreement_sql}) >= {MIN_SIG_AGREEMENT}
 )
-SELECT doc_a, doc_b,
-  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+, pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+  FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+)
 """
 
 
-MINHASH_LSH_PAIRS_SQL = _minhash_sql()
+def minhash_pairs_cte() -> str:
+    """The full LSH-pairs pipeline as a reusable CTE chain ending in
+    ``pairs(doc_a, doc_b, jaccard)`` — consumers append their own CTEs /
+    final SELECT (near_dup_clusters builds its recursive closure on it)."""
+    return _minhash_sql()
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_sql() + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 # --- SimHash ----------------------------------------------------------------
 
@@ -351,3 +360,119 @@ SELECT doc_id, {recon} AS simhash FROM s
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+# --- near-dup cluster assignment (connected components over LSH pairs) ------
+
+_MAX_CC_ITERS = 50
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified LSH near-dup pairs:
+    every document gets a cluster_id (the minimum doc_id reachable
+    through near-dup edges), a cluster_size, and an is_canonical flag —
+    the keep/drop decision a corpus dedup actually executes (keep one
+    canonical doc per near-dup cluster).
+
+    Iterative min-label propagation: labels start as doc_id and each
+    round takes the min over neighbors' labels until fixpoint (bounded
+    by cluster diameter, which for near-dup graphs is tiny — dup
+    clusters are dense). ``localCheckpoint`` truncates lineage per
+    round so the plan doesn't grow with iterations. This is inherently
+    iterative (no SQL equivalent at scale); the DuckDB oracle uses a
+    recursive CTE over the same audit-scale pair set. At 100 TB the
+    same loop runs with the alternating large-star/small-star
+    optimization (Kiveris et al.); the per-round shape — edge join +
+    min-agg on doc_id — is already the distributed form.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(_MAX_CC_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _near_dup_clusters_sql() -> str:
+    base = minhash_pairs_cte()
+    assert base.lstrip().startswith("WITH ")
+    recursive_base = base.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        recursive_base
+        + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+)
+, reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+, labels AS (
+  SELECT dd.doc_id,
+    LEAST(dd.doc_id, COALESCE(MIN(r.v), dd.doc_id)) AS cluster_id
+  FROM documents dd
+  LEFT JOIN reach r ON r.u = dd.doc_id
+  GROUP BY dd.doc_id
+)
+, sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+  l.doc_id = l.cluster_id AS is_canonical
+FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+ORDER BY l.doc_id
+"""
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = _near_dup_clusters_sql()

@@ -134,6 +134,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
+    "near_dup_clusters": text_dedup.near_dup_clusters,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "cosine_topk_fast": similarity.cosine_topk_fast_query,
@@ -203,6 +204,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
+    "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
