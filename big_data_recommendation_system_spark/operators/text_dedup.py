@@ -374,16 +374,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep/drop decision a corpus dedup actually executes (keep one
     canonical doc per near-dup cluster).
 
-    Iterative min-label propagation: labels start as doc_id and each
-    round takes the min over neighbors' labels until fixpoint (bounded
-    by cluster diameter, which for near-dup graphs is tiny — dup
-    clusters are dense). ``localCheckpoint`` truncates lineage per
-    round so the plan doesn't grow with iterations. This is inherently
-    iterative (no SQL equivalent at scale); the DuckDB oracle uses a
-    recursive CTE over the same audit-scale pair set. At 100 TB the
-    same loop runs with the alternating large-star/small-star
-    optimization (Kiveris et al.); the per-round shape — edge join +
-    min-agg on doc_id — is already the distributed form.
+    Iterative min-label propagation, run ONLY over documents that
+    appear in at least one pair — everything else is trivially its own
+    singleton cluster and never enters the loop (at 100 TB the paired
+    subgraph is orders of magnitude smaller than the corpus; this is
+    the difference between iterating over duplicates and iterating
+    over the world). Each round takes the min over neighbors' labels
+    until fixpoint (bounded by cluster diameter — dup clusters are
+    dense, so rounds stay few). ``localCheckpoint`` truncates lineage
+    per round; convergence is detected from the round's label sum
+    (labels only ever decrease, so an unchanged sum IS the fixpoint —
+    one action per round, no extra compare join). Inherently iterative
+    (no SQL equivalent at scale); the DuckDB oracle uses a recursive
+    CTE over the same audit-scale pair set. At 100 TB the same loop
+    runs with the alternating large-star/small-star optimization
+    (Kiveris et al.); the per-round shape — edge join + min-agg on
+    doc_id — is already the distributed form.
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -396,16 +402,20 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(_MAX_CC_ITERS):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -416,20 +426,19 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if new_sum == prev_sum:
             break
-    sizes = labels.groupBy("cluster_id").agg(
+        prev_sum = new_sum
+    # paired docs carry their propagated label; the rest are singletons
+    full = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = full.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        labels.join(sizes, "cluster_id")
+        full.join(sizes, "cluster_id")
         .select(
             "doc_id",
             "cluster_id",
