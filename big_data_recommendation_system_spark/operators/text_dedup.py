@@ -367,32 +367,25 @@ SIMHASH_SQL = _simhash_sql()
 _MAX_CC_ITERS = 50
 
 
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the verified LSH near-dup pairs:
-    every document gets a cluster_id (the minimum doc_id reachable
-    through near-dup edges), a cluster_size, and an is_canonical flag —
-    the keep/drop decision a corpus dedup actually executes (keep one
-    canonical doc per near-dup cluster).
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation. ``nodes`` is (doc_id); ``pairs`` is undirected edges as
+    (doc_a, doc_b). Returns (doc_id, cluster_id, cluster_size,
+    is_canonical) with cluster_id = min doc_id reachable through edges.
 
-    Iterative min-label propagation, run ONLY over documents that
-    appear in at least one pair — everything else is trivially its own
-    singleton cluster and never enters the loop (at 100 TB the paired
-    subgraph is orders of magnitude smaller than the corpus; this is
-    the difference between iterating over duplicates and iterating
-    over the world). Each round takes the min over neighbors' labels
-    until fixpoint (bounded by cluster diameter — dup clusters are
-    dense, so rounds stay few). ``localCheckpoint`` truncates lineage
-    per round; convergence is detected from the round's label sum
-    (labels only ever decrease, so an unchanged sum IS the fixpoint —
-    one action per round, no extra compare join). Inherently iterative
-    (no SQL equivalent at scale); the DuckDB oracle uses a recursive
-    CTE over the same audit-scale pair set. At 100 TB the same loop
-    runs with the alternating large-star/small-star optimization
-    (Kiveris et al.); the per-round shape — edge join + min-agg on
-    doc_id — is already the distributed form.
-    """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    Only documents that appear in at least one pair enter the loop —
+    everything else is trivially its own singleton cluster (at 100 TB
+    the paired subgraph is orders of magnitude smaller than the
+    corpus). Each round takes the min over neighbors' labels until
+    fixpoint (bounded by cluster diameter — dup clusters are dense, so
+    rounds stay few). ``localCheckpoint`` truncates lineage per round;
+    convergence is detected from the round's label sum (labels only
+    ever decrease, so an unchanged sum IS the fixpoint — one action per
+    round, no extra compare join). At 100 TB the same loop runs with
+    the alternating large-star/small-star optimization (Kiveris et
+    al.); the per-round shape — edge join + min-agg on doc_id — is
+    already the distributed form. Reusable over any pair source (text
+    LSH, SimHash bands, embedding near-dups)."""
     edges = (
         pairs.union(
             pairs.select(
@@ -431,7 +424,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     # paired docs carry their propagated label; the rest are singletons
-    full = docs.join(labels, "doc_id", "left").select(
+    full = nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
     sizes = full.groupBy("cluster_id").agg(
@@ -447,6 +440,23 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified LSH near-dup pairs:
+    every document gets a cluster_id (the minimum doc_id reachable
+    through near-dup edges), a cluster_size, and an is_canonical flag —
+    the keep/drop decision a corpus dedup actually executes (keep one
+    canonical doc per near-dup cluster).
+
+    Inherently iterative (no SQL equivalent at scale); the DuckDB
+    oracle uses a recursive CTE over the same audit-scale pair set.
+    The propagation loop itself is the generic ``connected_components``
+    operator above (also property-tested against a union-find model on
+    random graphs)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs)
 
 
 def _near_dup_clusters_sql() -> str:

@@ -196,3 +196,72 @@ def test_event_weight_matches_pandas_map(spark, events):
         .collect()
     ]
     assert got == expected
+
+
+# --- connected components vs union-find model --------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        max_size=40,
+    ),
+    n_nodes=st.integers(1, 30),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges, n_nodes):
+    """The distributed min-label propagation must agree with a
+    reference union-find on arbitrary graphs (chains, cycles, forests,
+    self-contained singletons) — the LSH oracle only ever exercises the
+    one graph the corpus produces."""
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min node of the component
+    expected = {}
+    for x in range(n_nodes):
+        root = find(x)
+        expected.setdefault(root, []).append(x)
+    want = {
+        x: min(members)
+        for members in expected.values()
+        for x in members
+    }
+
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("doc_a != doc_a")  # empty edge set
+    got_rows = connected_components(nodes_df, pairs_df).collect()
+    got = {r.doc_id: r.cluster_id for r in got_rows}
+    assert got == want
+    sizes = {}
+    for v in want.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    for r in got_rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
