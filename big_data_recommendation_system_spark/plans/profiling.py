@@ -1,0 +1,114 @@
+"""Single-pass table profiling: per-column row/null/distinct counts and
+min/max, as one aggregation over the table (the ``describe``/profiling
+rollup a pipeline runs before trusting a new drop of data — the
+data-quality rule engine in quality/ consumes exactly these signals to
+pick thresholds).
+
+One wide ``agg`` computes every metric for every column in a single scan
+(count/min/max combine map-side; the exact countDistincts expand to
+distinct-aggregates that share the scan). The long (one-row-per-column)
+shape is produced by exploding an array of structs AFTER aggregation —
+a 1-row driver-free pivot, not a second pass.
+
+At 100 TB the exact per-column countDistinct is the expensive part
+(one expand row per (column, value)); ``profile_columns(df,
+approx=True)`` swaps in ``approx_count_distinct`` (HLL, one pass, no
+expand) — the oracle-checked registry query uses the exact form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# (column, profile-kind): num -> min/max as double, str -> min/max as
+# string, none -> counts only (timestamps: micro-truncation semantics are
+# loader-defined, so min/max stay out of the cross-engine contract)
+EVENTS_PROFILE_COLS: list[tuple[str, str]] = [
+    ("event_id", "num"),
+    ("ts", "none"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[tuple[str, str]],
+    approx: bool = False,
+) -> DataFrame:
+    """Profile ``cols`` of ``df`` in one aggregation pass; returns one
+    row per column: (col_name, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c, kind in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))  # non-null count
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        )
+        aggs.append(distinct.alias(f"__nd_{c}"))
+        if kind == "num":
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+    prof = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c, kind in cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if kind == "num" else null_d).alias("min_num"),
+                (F.col(f"__max_{c}") if kind == "num" else null_d).alias("max_num"),
+                (F.col(f"__min_{c}") if kind == "str" else null_s).alias("min_str"),
+                (F.col(f"__max_{c}") if kind == "str" else null_s).alias("max_str"),
+            )
+        )
+    return (
+        prof.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact profile of the raw events table (all six columns)."""
+    return profile_columns(
+        load_table(spark, sf_dir, "events"), EVENTS_PROFILE_COLS
+    )
+
+
+def _profile_events_sql() -> str:
+    selects = []
+    for c, kind in EVENTS_PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM events"
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_name"
+
+
+PROFILE_EVENTS_SQL = _profile_events_sql()

@@ -25,6 +25,7 @@ from .plans import (
     gold,
     joins,
     multimodal,
+    profiling,
     relational,
     silver,
     text_analysis,
@@ -129,6 +130,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "text_stats": text_analysis.text_stats,
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
+    "profile_events": profiling.profile_events,
     "corpus_split": corpus_prep.corpus_split,
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
@@ -199,6 +201,7 @@ ORACLES: dict[str, str] = {
     "text_stats": text_analysis.TEXT_STATS_SQL,
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
+    "profile_events": profiling.PROFILE_EVENTS_SQL,
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
