@@ -334,7 +334,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBEDDING_NEAR_DUP_SQL = f"""
+_EMBEDDING_NEAR_DUP_CTE = f"""
 WITH dims AS (
   SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
   FROM embeddings CROSS JOIN range(64) r(i)
@@ -368,10 +368,71 @@ WITH dims AS (
   JOIN dims b ON b.vec_id = ab.vec_id AND b.pos = a.pos
   WHERE a.vec_id < b.vec_id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+  FROM pdots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE dot / (na.nrm * nb.nrm) >= {NEAR_DUP_TAU}
 )
-SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
-FROM pdots
-JOIN norms na ON na.vec_id = vec_a
-JOIN norms nb ON nb.vec_id = vec_b
-WHERE dot / (na.nrm * nb.nrm) >= {NEAR_DUP_TAU}
 """
+
+EMBEDDING_NEAR_DUP_SQL = (
+    _EMBEDDING_NEAR_DUP_CTE + "\nSELECT vec_a, vec_b, cosine FROM pairs"
+)
+
+
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment over embedding space: connected
+    components (operators/text_dedup.connected_components — the same
+    reusable min-label-propagation loop as the text LSH clusters) on the
+    IVF-cell-blocked cosine pairs. Every vector in the audit slice gets
+    cluster_id = min reachable vec_id, cluster_size, and the
+    is_canonical keep/drop flag."""
+    from .text_dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < NEAR_DUP_MAX_VEC_ID)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return connected_components(nodes, pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )
+
+
+EMBEDDING_CLUSTERS_SQL = (
+    _EMBEDDING_NEAR_DUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM pairs
+)
+, reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+, labels AS (
+  SELECT ee.vec_id,
+    LEAST(ee.vec_id, COALESCE(MIN(r.v), ee.vec_id)) AS cluster_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_VEC_ID}) ee
+  LEFT JOIN reach r ON r.u = ee.vec_id
+  GROUP BY ee.vec_id
+)
+, csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.vec_id, l.cluster_id, s.cluster_size,
+  l.vec_id = l.cluster_id AS is_canonical
+FROM labels l JOIN csizes s ON l.cluster_id = s.cluster_id
+ORDER BY l.vec_id
+"""
+)

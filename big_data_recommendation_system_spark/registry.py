@@ -142,6 +142,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "cosine_topk_fast": similarity.cosine_topk_fast_query,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+    "embedding_clusters": similarity.embedding_clusters,
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
@@ -212,6 +213,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+    "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
