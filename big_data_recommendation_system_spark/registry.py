@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
 from .ml import similarity as ml_similarity
-from .operators import asof, dedup, similarity, skew, text_dedup, topk, windows
+from .operators import asof, dedup, merge, similarity, skew, text_dedup, topk, windows
 from .plans import (
     clickstream,
     corpus_prep,
@@ -119,6 +119,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "latest_event_per_user": dedup.latest_event_per_user,
     "first_event_per_user_type_day": dedup.first_event_per_user_type_day,
     "dedup_exact_events": dedup.dedup_exact_events,
+    "events_upsert_corrections": merge.events_upsert_corrections,
     "event_sequences": windows.event_sequences,
     "user_sessions": windows.user_sessions,
     "user_value_quartiles": windows.user_value_quartiles,
@@ -191,6 +192,7 @@ ORACLES: dict[str, str] = {
     "latest_event_per_user": dedup.LATEST_EVENT_PER_USER_SQL,
     "first_event_per_user_type_day": dedup.FIRST_EVENT_PER_USER_TYPE_DAY_SQL,
     "dedup_exact_events": dedup.DEDUP_EXACT_EVENTS_SQL,
+    "events_upsert_corrections": merge.EVENTS_UPSERT_SQL,
     "event_sequences": windows.EVENT_SEQUENCES_SQL,
     "user_sessions": windows.USER_SESSIONS_SQL,
     "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
