@@ -1,0 +1,112 @@
+"""Cohort retention analysis over the events table — the acquisition-
+cohort × day-offset activity matrix (the product-analytics rollup the
+reference's gold layer stops short of; its user_summary keeps only
+first/last seen).
+
+Plan shape (the one that scales):
+- first-touch per user: one hash agg on user_id
+- activity: distinct (user_id, day) — hash agg on the compound key
+- the two join on user_id (co-partitioned: both sides were just hashed
+  on user_id-prefixed keys), then a tiny (cohort_day, k) rollup.
+No windows, no fact-to-fact shuffle beyond the two aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MAX_OFFSET_DAYS = 7
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (cohort_day, day_offset 0..MAX_OFFSET_DAYS): how many of the
+    users first seen on cohort_day were active again day_offset days
+    later, and the retention rate against the cohort size."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = days.join(first, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    retained = (
+        joined.filter(F.col("day_offset").between(0, MAX_OFFSET_DAYS))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        retained.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_retained",
+            "cohort_size",
+            (
+                F.col("n_retained").cast("double") / F.col("cohort_size")
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+),
+cohort_sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY cohort_day
+),
+retained AS (
+  SELECT f.cohort_day,
+    CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+    COUNT(*) AS n_retained
+  FROM days d JOIN first f ON d.user_id = f.user_id
+  WHERE date_diff('day', f.cohort_day, d.day) BETWEEN 0 AND {MAX_OFFSET_DAYS}
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.n_retained, c.cohort_size,
+  CAST(r.n_retained AS DOUBLE) / c.cohort_size AS retention_rate
+FROM retained r JOIN cohort_sizes c ON r.cohort_day = c.cohort_day
+ORDER BY r.cohort_day, r.day_offset
+"""
+
+
+def daily_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_date, event_type): every margin — per-day,
+    per-type, per-cell, grand total — in one grouping-sets expansion
+    (map-side, no repeated scans)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.to_date("ts").alias("event_date"), "event_type")
+        .cube("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce(F.col("event_date").cast("string"), F.lit("ALL")).alias(
+                "event_date"
+            ),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+DAILY_TYPE_CUBE_SQL = """
+SELECT
+  COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS event_date,
+  COALESCE(event_type, 'ALL') AS event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY CUBE (CAST(ts AS DATE), event_type)
+ORDER BY event_date, event_type
+"""

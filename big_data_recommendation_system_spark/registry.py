@@ -27,6 +27,7 @@ from .plans import (
     multimodal,
     profiling,
     relational,
+    retention,
     silver,
     text_analysis,
 )
@@ -108,6 +109,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "q21_sole_return_suppliers": relational.q21_sole_return_suppliers,
     "orders_priority_rollup": relational.orders_priority_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
+    "cohort_retention": retention.cohort_retention,
+    "daily_type_cube": retention.daily_type_cube,
     "silver_events": silver.silver_events,
     "clean_clickstream": clickstream.clean_clickstream_query,
     "clean_users": clickstream.clean_users_query,
@@ -181,6 +184,8 @@ ORACLES: dict[str, str] = {
     "q21_sole_return_suppliers": relational.Q21_SQL,
     "orders_priority_rollup": relational.ORDERS_PRIORITY_ROLLUP_SQL,
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
+    "cohort_retention": retention.COHORT_RETENTION_SQL,
+    "daily_type_cube": retention.DAILY_TYPE_CUBE_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
     "clean_clickstream": clickstream.CLEAN_CLICKSTREAM_SQL,
     "clean_users": clickstream.CLEAN_USERS_SQL,
