@@ -110,3 +110,100 @@ FROM events
 GROUP BY CUBE (CAST(ts AS DATE), event_type)
 ORDER BY event_date, event_type
 """
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day staged conversion funnel with temporal ordering: a click
+    counts only at-or-after the user's first view that day, a purchase
+    only at-or-after that click. Three hash aggregations, all keyed on
+    (user_id, day) — the stages re-join co-partitioned (no extra
+    exchange after the first shuffle), then a tiny per-day rollup.
+
+    This is the multi-stage temporal pattern (funnel) that a plain
+    groupBy-count gets WRONG (counting same-day purchases that happened
+    before the view)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("tv"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("tc"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("tp"))
+    )
+    staged = views.join(clicks, ["user_id", "day"], "left").join(
+        purchases, ["user_id", "day"], "left"
+    )
+    return (
+        staged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("tc").alias("n_clicked"),
+            F.count("tp").alias("n_purchased"),
+        )
+        .select(
+            "day",
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            (F.col("n_clicked").cast("double") / F.col("n_viewed")).alias(
+                "click_rate"
+            ),
+            (F.col("n_purchased").cast("double") / F.col("n_viewed")).alias(
+                "purchase_rate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events
+),
+views AS (
+  SELECT user_id, day, MIN(ts) AS tv FROM e
+  WHERE event_type = 'view' GROUP BY user_id, day
+),
+clicks AS (
+  SELECT e.user_id, e.day, MIN(e.ts) AS tc
+  FROM e JOIN views v ON e.user_id = v.user_id AND e.day = v.day
+  WHERE e.event_type = 'click' AND e.ts >= v.tv
+  GROUP BY e.user_id, e.day
+),
+purchases AS (
+  SELECT e.user_id, e.day, MIN(e.ts) AS tp
+  FROM e JOIN clicks c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type = 'purchase' AND e.ts >= c.tc
+  GROUP BY e.user_id, e.day
+),
+staged AS (
+  SELECT v.user_id, v.day, c.tc, p.tp
+  FROM views v
+  LEFT JOIN clicks c ON v.user_id = c.user_id AND v.day = c.day
+  LEFT JOIN purchases p ON v.user_id = p.user_id AND v.day = p.day
+)
+SELECT day,
+  COUNT(*) AS n_viewed,
+  COUNT(tc) AS n_clicked,
+  COUNT(tp) AS n_purchased,
+  CAST(COUNT(tc) AS DOUBLE) / COUNT(*) AS click_rate,
+  CAST(COUNT(tp) AS DOUBLE) / COUNT(*) AS purchase_rate
+FROM staged
+GROUP BY day
+ORDER BY day
+"""

@@ -111,6 +111,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "daily_event_pivot": relational.daily_event_pivot,
     "cohort_retention": retention.cohort_retention,
     "daily_type_cube": retention.daily_type_cube,
+    "conversion_funnel": retention.conversion_funnel,
     "silver_events": silver.silver_events,
     "clean_clickstream": clickstream.clean_clickstream_query,
     "clean_users": clickstream.clean_users_query,
@@ -186,6 +187,7 @@ ORACLES: dict[str, str] = {
     "daily_event_pivot": relational.DAILY_EVENT_PIVOT_SQL,
     "cohort_retention": retention.COHORT_RETENTION_SQL,
     "daily_type_cube": retention.DAILY_TYPE_CUBE_SQL,
+    "conversion_funnel": retention.CONVERSION_FUNNEL_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
     "clean_clickstream": clickstream.CLEAN_CLICKSTREAM_SQL,
     "clean_users": clickstream.CLEAN_USERS_SQL,
