@@ -112,3 +112,38 @@ def _profile_events_sql() -> str:
 
 
 PROFILE_EVENTS_SQL = _profile_events_sql()
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p90 of event value per event type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
+    interpolation on doubles (verified bit-identical incl. ulp tails),
+    so the exact form is oracle-checkable. At 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, bounded memory, no per-group
+    sort buffer) — the exact version buffers each group's values."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+  COUNT(*) AS n_values,
+  quantile_cont(value, 0.25) AS p25,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

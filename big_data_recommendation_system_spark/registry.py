@@ -136,6 +136,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
     "profile_events": profiling.profile_events,
+    "value_percentiles_by_type": profiling.value_percentiles_by_type,
     "corpus_split": corpus_prep.corpus_split,
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
@@ -212,6 +213,7 @@ ORACLES: dict[str, str] = {
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
+    "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
