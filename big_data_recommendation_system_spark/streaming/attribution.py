@@ -1,0 +1,61 @@
+"""Stream-stream attribution join — the two-stream stateful operator the
+reference cannot express at all (its consumer loop is single-topic):
+attribute each purchase to the same user's most recent qualifying view
+within the attribution window.
+
+Spark executes this as a watermarked stream-stream inner join: both
+sides buffer state, and the time-interval join condition plus the
+watermarks bound that state (rows older than
+watermark + attribution window are evicted). Without the interval
+condition the state would grow forever — the condition is load-bearing,
+not a filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_MINUTES = 60
+STREAM_WATERMARK = "30 minutes"
+
+
+def attribution_join(events: DataFrame) -> DataFrame:
+    """(possibly streaming) silver events → one row per (view, purchase)
+    pair where the purchase happened within ATTRIBUTION_MINUTES after
+    the view, same user. Downstream pick-latest-view dedup is a
+    separate keyed choice; the join emits the full candidate set."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", STREAM_WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", STREAM_WATERMARK)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {ATTRIBUTION_MINUTES} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "view_event_id",
+        "view_ts",
+        "purchase_event_id",
+        "purchase_ts",
+        "purchase_value",
+    )

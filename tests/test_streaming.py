@@ -437,3 +437,55 @@ def test_kafka_wire_format_roundtrip(spark):
     bad = [r for r in decoded if r.event_id is None]
     assert len(good) == 1 and len(bad) == 1
     assert good[0]._kafka_offset == 100 and good[0].user_id in ("u1", "u2")
+
+
+def test_stream_stream_attribution_join(spark, stream_env):
+    """Watermarked stream-stream join (view→purchase attribution) over
+    multiple micro-batches must equal the same join run as one batch.
+    The source is range-partitioned by ts so later micro-batches only
+    carry newer events — watermark eviction then never drops a
+    legitimate pair (which is exactly how a time-ordered production
+    source behaves)."""
+    from big_data_recommendation_system_spark.streaming.attribution import (
+        attribution_join,
+    )
+
+    import glob
+    import time
+
+    tmp = stream_env["tmp"]
+    src = os.path.join(tmp, "source_by_ts")
+    if not os.path.exists(src):
+        spark.read.parquet(stream_env["src"]).repartitionByRange(
+            4, "ts"
+        ).write.parquet(src)
+        # FileStreamSource orders batches by file MTIME, not path; stamp
+        # strictly increasing mtimes so arrival order == event-time order
+        # (all four part files otherwise share one timestamp and the
+        # arrival order would be arbitrary — old files arriving after
+        # the watermark advanced would be dropped as late, correctly).
+        now = time.time()
+        for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+            os.utime(f, (now + i, now + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        attribution_join(stream)
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM attr_out")
+    expected = attribution_join(spark.read.parquet(src))
+    n_got, n_expected = got.count(), expected.count()
+    assert n_expected > 0
+    assert n_got == n_expected
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
