@@ -32,6 +32,7 @@ from .plans import (
     text_analysis,
 )
 from .quality import report as dq_report
+from .streaming import attribution
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -112,6 +113,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "cohort_retention": retention.cohort_retention,
     "daily_type_cube": retention.daily_type_cube,
     "conversion_funnel": retention.conversion_funnel,
+    "view_purchase_attribution": attribution.view_purchase_attribution,
     "silver_events": silver.silver_events,
     "clean_clickstream": clickstream.clean_clickstream_query,
     "clean_users": clickstream.clean_users_query,
@@ -189,6 +191,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": retention.COHORT_RETENTION_SQL,
     "daily_type_cube": retention.DAILY_TYPE_CUBE_SQL,
     "conversion_funnel": retention.CONVERSION_FUNNEL_SQL,
+    "view_purchase_attribution": attribution.VIEW_PURCHASE_ATTRIBUTION_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
     "clean_clickstream": clickstream.CLEAN_CLICKSTREAM_SQL,
     "clean_users": clickstream.CLEAN_USERS_SQL,

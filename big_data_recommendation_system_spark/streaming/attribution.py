@@ -59,3 +59,39 @@ def attribution_join(events: DataFrame) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+def view_purchase_attribution(spark, sf_dir: str) -> DataFrame:
+    """Batch registration of the SAME operator (withWatermark is a no-op
+    on batch frames): attribution pairs over the cleaned events table,
+    oracle-checked — so the streaming operator's join semantics sit
+    under the hard correctness signal, not just the e2e equality test."""
+    from ..plans.silver import silver_events
+
+    return attribution_join(silver_events(spark, sf_dir)).orderBy(
+        "user_id", "view_ts", "purchase_ts"
+    )
+
+
+def _attribution_sql() -> str:
+    from ..plans.silver import silver_cte
+
+    return silver_cte(f"""
+, views AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id
+  FROM silver WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id AS p_user_id, ts AS purchase_ts,
+    event_id AS purchase_event_id, value AS purchase_value
+  FROM silver WHERE event_type = 'purchase'
+)
+SELECT user_id, view_event_id, view_ts, purchase_event_id, purchase_ts, purchase_value
+FROM views JOIN purchases
+  ON user_id = p_user_id
+ AND purchase_ts >= view_ts
+ AND purchase_ts <= view_ts + INTERVAL {ATTRIBUTION_MINUTES} MINUTE
+ORDER BY user_id, view_ts, purchase_ts
+""")
+
+
+VIEW_PURCHASE_ATTRIBUTION_SQL = _attribution_sql()
