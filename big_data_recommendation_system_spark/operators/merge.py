@@ -60,3 +60,75 @@ WHERE u.event_id IS NULL
 UNION ALL
 SELECT event_id, ts, user_id, event_type, value, props FROM updates
 """
+
+
+def scd2_intervals(
+    rows: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an observation
+    stream: collapse consecutive equal values of ``attr`` per ``key``
+    (ordered by ``ts_col``, ``tiebreak``) into validity intervals
+    [effective_from, effective_to), open-ended for the current value.
+
+    One shuffle on ``key``; change-point detection (lag), interval close
+    (lead) and the current flag all ride the same per-key window
+    partitioning."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changed = rows.withColumn("__prev", F.lag(attr).over(w)).filter(
+        F.col("__prev").isNull() | (F.col(attr) != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    return (
+        changed.withColumn("effective_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key),
+            F.col(attr),
+            F.col(ts_col).alias("effective_from"),
+            "effective_to",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's value tier as observed in the cleaned
+    event stream — when did a user move between spend tiers, and which
+    interval is current."""
+    from ..plans.silver import silver_events
+
+    silver = silver_events(spark, sf_dir).select(
+        "user_id", "value_tier", "ts", "event_id"
+    )
+    return scd2_intervals(silver, "user_id", "value_tier").orderBy(
+        "user_id", "effective_from"
+    )
+
+
+def _user_tier_scd2_sql() -> str:
+    from ..plans.silver import silver_cte
+
+    return silver_cte("""
+, ordered AS (
+  SELECT user_id, value_tier, ts, event_id,
+    LAG(value_tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+  FROM silver
+), changed AS (
+  SELECT user_id, value_tier, ts, event_id FROM ordered
+  WHERE prev_tier IS NULL OR value_tier != prev_tier
+)
+SELECT user_id, value_tier,
+  ts AS effective_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changed
+ORDER BY user_id, effective_from
+""")
+
+
+USER_TIER_SCD2_SQL = _user_tier_scd2_sql()

@@ -126,6 +126,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "first_event_per_user_type_day": dedup.first_event_per_user_type_day,
     "dedup_exact_events": dedup.dedup_exact_events,
     "events_upsert_corrections": merge.events_upsert_corrections,
+    "user_tier_scd2": merge.user_tier_scd2,
     "event_sequences": windows.event_sequences,
     "user_sessions": windows.user_sessions,
     "user_value_quartiles": windows.user_value_quartiles,
@@ -204,6 +205,7 @@ ORACLES: dict[str, str] = {
     "first_event_per_user_type_day": dedup.FIRST_EVENT_PER_USER_TYPE_DAY_SQL,
     "dedup_exact_events": dedup.DEDUP_EXACT_EVENTS_SQL,
     "events_upsert_corrections": merge.EVENTS_UPSERT_SQL,
+    "user_tier_scd2": merge.USER_TIER_SCD2_SQL,
     "event_sequences": windows.EVENT_SEQUENCES_SQL,
     "user_sessions": windows.USER_SESSIONS_SQL,
     "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
