@@ -71,6 +71,61 @@ def with_global_rank(
     )
 
 
+PREFIX_COL = "_prefix_sum"
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``_prefix_sum`` — the EXCLUSIVE running total of
+    ``value_col`` over the global order ``order_cols`` — without a
+    single-partition window. Same machinery as :func:`with_global_rank`
+    (range repartition → per-partition local cumsum → per-partition
+    totals → triangular prefix offsets broadcast back), but summing a
+    value instead of counting rows. Bit-identical to
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` when ``order_cols`` is a total order and the values are
+    integral (no float reorder drift).
+
+    This is the scale path for sequence packing / chunk assignment: a
+    plain ordered-window cumsum funnels 10^9 docs through one WindowExec
+    task; this shape never materializes an unpartitioned window."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("_pid").agg(
+        F.sum(value_col).cast("long").alias("_psum")
+    )
+    offsets = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_opid"))
+        .agg(F.coalesce(F.sum("b._psum"), F.lit(0)).alias("_offset"))
+    )
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            "_lsum", F.coalesce(F.sum(value_col).over(local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), F.col("_pid") == F.col("_opid"))
+        .withColumn(
+            PREFIX_COL, (F.col("_offset") + F.col("_lsum")).cast("long")
+        )
+        .drop("_pid", "_opid", "_offset", "_lsum")
+    )
+
+
 def ntile_from_rank(rank: Column, n_total: Column, n_buckets: int) -> Column:
     """SQL-standard NTILE from a global rank: the first ``n_total %
     n_buckets`` buckets hold ``ceil(n/b)`` rows, the rest ``floor(n/b)``.

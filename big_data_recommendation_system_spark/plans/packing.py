@@ -1,0 +1,210 @@
+"""Sequence packing and deterministic mixture sampling over the
+``documents`` table — the two remaining corpus-assembly steps between a
+cleaned corpus (plans/corpus_prep.py) and a training run.
+
+- **Sequence packing**: assign documents, in a deterministic total
+  order, to fixed token-budget training sequences ("packs"). The
+  assignment is a pure function of the exclusive global prefix sum of
+  token counts: ``pack_id = floor(prefix / BUDGET)`` — document-level
+  next-fit where a doc that straddles a boundary belongs to the pack it
+  starts in (the downstream loader truncates/continues; the engine's job
+  is the deterministic, partitioning-independent assignment). The prefix
+  sum uses operators/ranking.py's range-repartition + triangular-offset
+  machinery, so there is NO unpartitioned window even at 10^9 docs; the
+  DuckDB oracle uses the plain ordered-window form, which is
+  bit-identical on integral token counts.
+
+- **Mixture sampling**: per-language sampling rates applied via a
+  salted md5 bucket (same engine-neutral construction as
+  corpus_prep.split_bucket, different salt so the sample is independent
+  of the train/val/test split). Hash-gated sampling is reproducible
+  under any partitioning and any cluster size — ``df.sample()``'s
+  seeded Bernoulli is partitioning-dependent and cannot be
+  oracle-checked. Each kept row carries ``sample_weight = 1/rate`` so
+  downstream token counts stay unbiased (Horvitz-Thompson).
+
+Reference parity: the reference (a clickstream pipeline) has no corpus
+assembly stage; these are "beyond the reference" LLM-pipeline operators
+per the build brief, sharing the tokenizer with plans/text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+from ..operators.ranking import PREFIX_COL, with_global_prefix_sum
+from ..plans.corpus_prep import _HEX
+from ..sources.tables import load_table
+
+# token budget per training sequence (4k-context run with headroom)
+PACK_BUDGET = 2048
+
+# per-language mixture rates (languages absent from the map are dropped —
+# rate 0.0 — which is itself a mixture decision, kept explicit here)
+MIXTURE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "zh": 0.50,
+    "es": 0.40,
+    "de": 0.30,
+    "fr": 0.20,
+}
+_MIX_SALT = "mix:"
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document pack assignment: (doc_id, n_tokens, start_offset,
+    pack_id, offset_in_pack), ordered by doc_id. start_offset is the
+    exclusive prefix sum of tokens in doc_id order; a doc starting at
+    offset o lands in pack floor(o / BUDGET) at in-pack offset
+    o mod BUDGET."""
+    t = _doc_tokens(spark, sf_dir)
+    pref = with_global_prefix_sum(t, ["doc_id"], "n_tokens")
+    return pref.select(
+        "doc_id",
+        "n_tokens",
+        F.col(PREFIX_COL).alias("start_offset"),
+        F.floor(F.col(PREFIX_COL) / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col(PREFIX_COL) % PACK_BUDGET).cast("long").alias("offset_in_pack"),
+    ).orderBy("doc_id")
+
+
+_PACKING_BASE_SQL = f"""
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM (SELECT doc_id, len({tokens_sql()}) AS n_tokens FROM documents)
+"""
+
+SEQUENCE_PACKING_SQL = f"""
+SELECT doc_id, n_tokens, start_offset,
+  CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+  start_offset % {PACK_BUDGET} AS offset_in_pack
+FROM ({_PACKING_BASE_SQL})
+ORDER BY doc_id
+"""
+
+
+def packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack rollup of the assignment above: how many docs start in
+    each pack, their token mass, and the fill ratio of the budget
+    (straddling docs overflow into the next pack, so fill can exceed 1
+    for the pack they start in — the loader-side truncation signal)."""
+    t = _doc_tokens(spark, sf_dir)
+    pref = with_global_prefix_sum(t, ["doc_id"], "n_tokens")
+    pack = F.floor(F.col(PREFIX_COL) / PACK_BUDGET).cast("long")
+    return (
+        pref.select(
+            pack.alias("pack_id"),
+            "doc_id",
+            "n_tokens",
+            F.col(PREFIX_COL).alias("start_offset"),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            "first_doc_id",
+            "last_doc_id",
+            (F.col("pack_tokens").cast("double") / PACK_BUDGET).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("pack_id")
+    )
+
+
+PACKING_SUMMARY_SQL = f"""
+SELECT CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs,
+  SUM(n_tokens) AS pack_tokens,
+  MIN(doc_id) AS first_doc_id,
+  MAX(doc_id) AS last_doc_id,
+  CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
+FROM ({_PACKING_BASE_SQL})
+GROUP BY 1
+ORDER BY pack_id
+"""
+
+
+# --- mixture sampling -------------------------------------------------------
+
+
+def _mix_bucket_spark(doc_id: Column) -> Column:
+    h = F.md5(F.concat(F.lit(_MIX_SALT), doc_id.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10_000
+
+
+def _mix_bucket_sql() -> str:
+    h = f"md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR))"
+    digit = "(strpos('{hex}', substr({h},{i},1)) - 1)"
+    terms = " + ".join(
+        digit.format(hex=_HEX, h=h, i=i + 1) + f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) % 10000)"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff its salted
+    md5 bucket (0..9999) falls under rate*10000 for its language. Pure
+    map stage — no shuffle, linear scan, stable under corpus growth (a
+    new doc never flips an old doc's keep decision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _mix_bucket_spark(F.col("doc_id"))
+    rate = F.lit(None).cast("double")
+    for lang, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("mix_bucket"),
+        F.coalesce(rate, F.lit(0.0)).alias("rate"),
+    ).filter(F.col("mix_bucket") < F.col("rate") * 10_000)
+    return out.select(
+        "doc_id",
+        "lang",
+        "mix_bucket",
+        "rate",
+        (F.lit(1.0) / F.col("rate")).alias("sample_weight"),
+    ).orderBy("doc_id")
+
+
+_RATE_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {r!r}"
+        for lang, r in sorted(MIXTURE_RATES.items())
+    )
+    + " ELSE 0.0 END"
+)
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, mix_bucket, rate, 1.0 / rate AS sample_weight
+FROM (
+  SELECT doc_id, lang,
+    CAST({_mix_bucket_sql()} AS BIGINT) AS mix_bucket,
+    {_RATE_CASE_SQL} AS rate
+  FROM documents
+)
+WHERE mix_bucket < rate * 10000
+ORDER BY doc_id
+"""

@@ -25,6 +25,8 @@ from .plans import (
     gold,
     joins,
     multimodal,
+    packing,
+    pii,
     profiling,
     relational,
     retention,
@@ -143,6 +145,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_split": corpus_prep.corpus_split,
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
+    "pii_scrub": pii.pii_scrub,
+    "mixture_sample": packing.mixture_sample,
+    "sequence_packing": packing.sequence_packing,
+    "packing_summary": packing.packing_summary,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "near_dup_clusters": text_dedup.near_dup_clusters,
@@ -222,6 +228,10 @@ ORACLES: dict[str, str] = {
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
+    "pii_scrub": pii.PII_SCRUB_SQL,
+    "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
+    "sequence_packing": packing.SEQUENCE_PACKING_SQL,
+    "packing_summary": packing.PACKING_SUMMARY_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,

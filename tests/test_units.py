@@ -319,3 +319,118 @@ def test_corpus_prep_dedup_keeps_lowest_doc_id(spark):
     total_docs = sum(r.n_docs for r in out)
     assert total_docs == 2, out
     assert sum(r.total_words for r in out) == 40 + 41, out
+
+
+def test_global_prefix_sum_matches_plain_window(spark):
+    """with_global_prefix_sum must be bit-identical to the plain
+    single-task ordered-window cumsum it replaces, including across an
+    adversarial repartition of the input."""
+    from pyspark.sql.window import Window
+
+    from big_data_recommendation_system_spark.operators.ranking import (
+        PREFIX_COL,
+        with_global_prefix_sum,
+    )
+
+    rows = [(i * 7919 % 1000, (i * 31 % 97) + 1) for i in range(1000)]
+    df = (
+        spark.createDataFrame(rows, ["k", "v"])
+        .dropDuplicates(["k"])
+        .repartition(13)
+    )
+    got = {
+        r.k: r[PREFIX_COL]
+        for r in with_global_prefix_sum(df, ["k"], "v").collect()
+    }
+    w = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.k: r.p
+        for r in df.withColumn(
+            "p", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sequence_packing_invariants(spark, sf_dir_small):
+    """Pack assignment must tile the corpus: offsets contiguous in
+    doc_id order, pack_id monotone, every pack's start derived from the
+    exclusive prefix."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        PACK_BUDGET,
+        sequence_packing,
+    )
+
+    rows = sequence_packing(spark, sf_dir_small).collect()
+    run = 0
+    prev_pack = 0
+    for r in rows:  # already ordered by doc_id
+        assert r.start_offset == run, (r.doc_id, r.start_offset, run)
+        assert r.pack_id == r.start_offset // PACK_BUDGET
+        assert r.offset_in_pack == r.start_offset % PACK_BUDGET
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
+        run += r.n_tokens
+    assert prev_pack > 0  # sf0.001 corpus spans multiple packs
+
+
+def test_mixture_sample_deterministic_and_weighted(spark, sf_dir_small):
+    """Keep decision must be stable under repartitioning; realized rates
+    must track the configured per-language rates; weights = 1/rate."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        MIXTURE_RATES,
+        mixture_sample,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    kept = mixture_sample(spark, sf_dir_small).collect()
+    kept_again = {
+        r.doc_id
+        for r in mixture_sample(spark, sf_dir_small).repartition(11).collect()
+    }
+    assert {r.doc_id for r in kept} == kept_again
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir_small, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, rate in MIXTURE_RATES.items():
+        got = sum(1 for r in kept if r.lang == lang) / totals[lang]
+        assert abs(got - rate) < 0.18, (lang, got, rate)
+    for r in kept:
+        assert r.sample_weight == 1.0 / MIXTURE_RATES[r.lang]
+
+
+def test_pii_scrub_redacts_everything_it_counts(spark, sf_dir_small):
+    """After redaction no detector pattern may still match, every doc
+    with an injected span must be counted, and clean docs pass through
+    with has_pii = false."""
+    from big_data_recommendation_system_spark.plans.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_scrub,
+    )
+
+    out = pii_scrub(spark, sf_dir_small)
+    leftovers = out.filter(
+        (F.size(F.regexp_extract_all("redacted", F.lit(EMAIL_RE), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("redacted", F.lit(PHONE_RE), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("redacted", F.lit(IPV4_RE), F.lit(0))) > 0)
+    ).count()
+    assert leftovers == 0
+    rows = out.collect()
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            assert r.n_emails >= 1 and "<EMAIL>" in r.redacted, r.doc_id
+        if r.doc_id % 11 == 0:
+            assert r.n_phones >= 1 and "<PHONE>" in r.redacted, r.doc_id
+        if r.doc_id % 13 == 0:
+            assert r.n_ipv4 >= 1 and "<IP>" in r.redacted, r.doc_id
+        if r.doc_id % 7 and r.doc_id % 11 and r.doc_id % 13:
+            assert not r.has_pii and r.pii_total == 0, r.doc_id
+    assert any(r.has_pii for r in rows)
