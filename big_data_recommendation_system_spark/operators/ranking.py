@@ -48,8 +48,17 @@ def with_global_rank(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist: the ranged frame feeds BOTH the per-partition-count branch
+    # and the local-rank branch. Without it the subtree (including any
+    # expensive upstream projection) executes once per branch — and,
+    # worse, repartitionByRange re-SAMPLES its bounds per execution, so
+    # the two branches could disagree on _pid assignment under
+    # recomputation. Callers pass a narrow projection, so the cached
+    # footprint is small even at 10^9 rows.
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ≤ `parts` rows: triangular self-join beats an
@@ -97,8 +106,13 @@ def with_global_prefix_sum(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist for the same two reasons as with_global_rank: single
+    # execution of the (possibly expensive) upstream subtree, and a
+    # consistent sampled range partitioning across both consumer branches
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     totals = ranged.groupBy("_pid").agg(
         F.sum(value_col).cast("long").alias("_psum")
