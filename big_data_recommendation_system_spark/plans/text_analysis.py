@@ -153,3 +153,59 @@ SELECT doc_id,
   len({shingles_sql("tok", 3)}) AS n_shingles
 FROM t
 """
+
+
+# --- BPE-ish regex tokenization --------------------------------------------
+
+# GPT-2-style pre-tokenizer pattern restricted to the Java-regex ∩ RE2
+# common subset (no lookahead — the original's trailing-space lookahead
+# is dropped; both engines run leftmost-FIRST alternation, so segment
+# boundaries agree token-for-token): contraction suffixes, then
+# optionally-space-prefixed letter runs, digit runs, punctuation runs,
+# then residual whitespace.
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the BPE-ish pre-tokenizer vs the plain
+    whitespace split — the fertility-style ratio training pipelines use
+    for sizing and mixture decisions. Pure map stage, one regex pass,
+    whole-stage codegen; no shuffle but the output orderBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    # whitespace tokens: split on runs of whitespace, drop empties
+    ws = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    n_bpe = F.size(
+        F.filter(pieces, lambda p: F.trim(p) != "")
+    )  # whitespace runs segment but are not tokens
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        (
+            n_bpe.cast("double") / F.greatest(F.size(ws), F.lit(1))
+        ).alias("fertility"),
+        (F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+_BPE_SQL_PAT = BPE_SPLIT_PATTERN.replace("'", "''")
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+  CAST(n_bpe_tokens AS DOUBLE) / GREATEST(n_ws_tokens, 1) AS fertility,
+  CAST(length(text) AS DOUBLE) / GREATEST(n_bpe_tokens, 1) AS chars_per_token
+FROM (
+  SELECT doc_id, text,
+    CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                         p -> trim(p) != '')) AS BIGINT) AS n_bpe_tokens,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t != '')) AS BIGINT) AS n_ws_tokens
+  FROM documents
+)
+ORDER BY doc_id
+"""

@@ -140,6 +140,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "text_stats": text_analysis.text_stats,
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
+    "bpe_token_stats": text_analysis.bpe_token_stats,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
     "corpus_split": corpus_prep.corpus_split,
@@ -223,6 +224,7 @@ ORACLES: dict[str, str] = {
     "text_stats": text_analysis.TEXT_STATS_SQL,
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
+    "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,

@@ -434,3 +434,24 @@ def test_pii_scrub_redacts_everything_it_counts(spark, sf_dir_small):
         if r.doc_id % 7 and r.doc_id % 11 and r.doc_id % 13:
             assert not r.has_pii and r.pii_total == 0, r.doc_id
     assert any(r.has_pii for r in rows)
+
+
+def test_bpe_pattern_segments_like_gpt2_subset(spark):
+    """The RE2∩Java-subset pre-tokenizer must produce the classic GPT-2
+    segmentation on contractions / digits / punctuation (minus the
+    lookahead-dependent space handling, which the subset drops)."""
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        BPE_SPLIT_PATTERN,
+    )
+
+    df = spark.createDataFrame(
+        [("it's 2024, don't panic!!",)], ["text"]
+    ).select(
+        F.regexp_extract_all(
+            "text", F.lit(BPE_SPLIT_PATTERN), F.lit(0)
+        ).alias("p")
+    )
+    got = df.collect()[0].p
+    assert got == [
+        "it", "'s", " 2024", ",", " don", "'t", " panic", "!!",
+    ], got
