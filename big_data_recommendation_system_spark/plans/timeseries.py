@@ -1,0 +1,103 @@
+"""Time-series resampling: calendar gap-fill + carry-forward over the
+``events`` table.
+
+A daily rollup keyed on (event_type, day) silently drops days with no
+events — downstream trend/alerting logic then sees a shorter series,
+not a zero. The gap-fill operator densifies the series against an
+explicit calendar spine and forward-fills slowly-moving values:
+
+1. rollup: one shuffle on (event_type, day), decimal-stable mean;
+2. spine: global [min_day, max_day] from a scalar agg (broadcast — two
+   rows of metadata, never a re-scan) × distinct event types via
+   ``sequence()``/``explode`` — the spine is |days| × |types| rows of
+   pure metadata, tiny at any data scale;
+3. left join rollup onto spine (broadcast of the day range is implicit:
+   the join is keyed on (event_type, day) and AQE sees the small side);
+4. ``last(..., ignorenulls)`` over (type, day) carries the last
+   observed mean across gap days — one partitioned window, no
+   unpartitioned window anywhere.
+
+The 100 TB shape: the only full-data pass is the first rollup; spine
+construction and the fill window run on the rolled-up frame
+(|types| × |days| rows — calendar-bounded metadata, same argument as
+dq_trend).
+
+Reference parity: none (the reference's daily_stats drops empty days);
+beyond-the-reference time-series operator per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.pandas_parity import decimal_avg
+from ..sources.tables import load_table
+
+
+def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(event_type, day) daily series: observed count (0 on
+    gap days), observed mean (NULL on gap days), carry-forward mean,
+    and the is_gap flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.to_date("ts").alias("day"), F.col("value")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_avg(F.col("value")).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        F.col("n_events").isNull().alias("is_gap"),
+    ).orderBy("event_type", "day")
+
+
+DAILY_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+  FROM ev GROUP BY event_type, day
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+  SELECT t.event_type, CAST(gs.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs(day)
+)
+SELECT s.event_type, s.day,
+  COALESCE(d.n_events, 0) AS n_events,
+  d.avg_value,
+  last_value(d.avg_value IGNORE NULLS) OVER (
+    PARTITION BY s.event_type ORDER BY s.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ff,
+  d.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d
+  ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""

@@ -455,3 +455,42 @@ def test_bpe_pattern_segments_like_gpt2_subset(spark):
     assert got == [
         "it", "'s", " 2024", ",", " don", "'t", " panic", "!!",
     ], got
+
+
+def test_daily_gapfill_fills_and_carries(spark, tmp_path):
+    """Gap days must appear with n_events=0, NULL observed mean, the
+    last observed mean carried forward, and leading gaps (before any
+    observation for that type) must stay NULL."""
+    import big_data_recommendation_system_spark.plans.timeseries as ts
+
+    rows = [
+        # type a: days 1,2 then gap 3,4 then 5
+        ("a", "2024-01-01 10:00:00", 10.0),
+        ("a", "2024-01-02 10:00:00", 20.0),
+        ("a", "2024-01-05 10:00:00", 50.0),
+        # type b: starts at day 3 -> leading gaps on 1,2
+        ("b", "2024-01-03 10:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).select(
+        "event_type",
+        # events.parquet stores nanosecond longs (see sources/tables.py)
+        (F.col("ts").cast("timestamp").cast("long") * 1_000_000_000).alias("ts"),
+        "value",
+        F.lit(1).alias("event_id"), F.lit(1).alias("user_id"),
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    out = {
+        (r.event_type, str(r.day)): r
+        for r in ts.daily_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 10  # 2 types x 5 days
+    g = out[("a", "2024-01-03")]
+    assert g.is_gap and g.n_events == 0 and g.avg_value is None
+    assert g.avg_value_ff == 20.0
+    assert out[("a", "2024-01-04")].avg_value_ff == 20.0
+    assert out[("a", "2024-01-05")].avg_value_ff == 50.0
+    lead = out[("b", "2024-01-01")]
+    assert lead.is_gap and lead.avg_value_ff is None
+    assert out[("b", "2024-01-03")].avg_value_ff == 7.0
