@@ -208,3 +208,101 @@ FROM (
 WHERE mix_bucket < rate * 10000
 ORDER BY doc_id
 """
+
+
+# --- document chunking ------------------------------------------------------
+
+# fixed-size character chunks with overlap (RAG / embedding prep)
+CHUNK_SIZE = 400
+CHUNK_OVERLAP = 80
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping fixed-size character
+    chunks (size 400, stride 320): (doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_hash). Chunk count is integer-exact on both
+    engines: greatest(1, ceil((len - overlap) / stride)) via int
+    arithmetic. One narrow map + explode — no shuffle but the output
+    order; chunk text is carried as md5 so the oracle checks exact
+    content without hashing megabytes of repeated substrings."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((ln - CHUNK_OVERLAP + _STRIDE - 1) / F.lit(_STRIDE)),
+    ).cast("int")
+    c = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * _STRIDE + 1).cast("int")
+    chunk = F.col("text").substr(start, F.lit(CHUNK_SIZE))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+    GREATEST(1, (length(text) - {CHUNK_OVERLAP} + {_STRIDE} - 1) // {_STRIDE})
+      AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, CAST(gs.i AS BIGINT) AS chunk_idx
+  FROM n CROSS JOIN LATERAL unnest(generate_series(0, n_chunks - 1)) AS gs(i)
+)
+SELECT doc_id, chunk_idx,
+  chunk_idx * {_STRIDE} + 1 AS chunk_start,
+  CAST(length(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+       AS BIGINT) AS chunk_len,
+  md5(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+    AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- balanced per-key sampling ----------------------------------------------
+
+SAMPLE_K = 5
+_BS_SALT = "bs:"
+
+
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-docs-per-source sample (eval-set construction):
+    rank docs within each source by a salted md5 and keep the first K.
+    One shuffle on source; equivalent to per-key reservoir sampling but
+    reproducible on any engine/partitioning."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_BS_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .orderBy("source", "sample_rank")
+    )
+
+
+BALANCED_SAMPLE_SQL = f"""
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('{_BS_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_K}
+ORDER BY source, sample_rank
+"""

@@ -18,7 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .ml import recommend
 from .ml import similarity as ml_similarity
-from .operators import asof, dedup, merge, similarity, skew, text_dedup, topk, windows
+from .operators import (
+    asof,
+    dedup,
+    merge,
+    rangejoin,
+    similarity,
+    skew,
+    text_dedup,
+    topk,
+    windows,
+)
 from .plans import (
     clickstream,
     corpus_prep,
@@ -130,6 +140,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_events": dedup.dedup_exact_events,
     "events_upsert_corrections": merge.events_upsert_corrections,
     "user_tier_scd2": merge.user_tier_scd2,
+    "purchases_with_prior_tier": rangejoin.purchases_with_prior_tier,
     "event_sequences": windows.event_sequences,
     "user_sessions": windows.user_sessions,
     "user_value_quartiles": windows.user_value_quartiles,
@@ -152,6 +163,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "mixture_sample": packing.mixture_sample,
     "sequence_packing": packing.sequence_packing,
     "packing_summary": packing.packing_summary,
+    "chunk_documents": packing.chunk_documents,
+    "balanced_sample": packing.balanced_sample,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "near_dup_clusters": text_dedup.near_dup_clusters,
@@ -215,6 +228,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_events": dedup.DEDUP_EXACT_EVENTS_SQL,
     "events_upsert_corrections": merge.EVENTS_UPSERT_SQL,
     "user_tier_scd2": merge.USER_TIER_SCD2_SQL,
+    "purchases_with_prior_tier": rangejoin.PURCHASES_WITH_PRIOR_TIER_SQL,
     "event_sequences": windows.EVENT_SEQUENCES_SQL,
     "user_sessions": windows.USER_SESSIONS_SQL,
     "user_value_quartiles": windows.USER_VALUE_QUARTILES_SQL,
@@ -237,6 +251,8 @@ ORACLES: dict[str, str] = {
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
     "packing_summary": packing.PACKING_SUMMARY_SQL,
+    "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
+    "balanced_sample": packing.BALANCED_SAMPLE_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,

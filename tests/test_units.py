@@ -494,3 +494,57 @@ def test_daily_gapfill_fills_and_carries(spark, tmp_path):
     lead = out[("b", "2024-01-01")]
     assert lead.is_gap and lead.avg_value_ff is None
     assert out[("b", "2024-01-03")].avg_value_ff == 7.0
+
+
+def test_chunk_documents_cover_with_overlap(spark, tmp_path):
+    """Chunks must start every stride chars, overlap by CHUNK_OVERLAP,
+    cover the full doc, and short docs must yield exactly one chunk."""
+    from big_data_recommendation_system_spark.plans import packing as pk
+
+    text = "".join(chr(97 + (i * 7) % 26) for i in range(1000))
+    rows = [(1, text, "en", "s0", len(text)), (2, "tiny", "en", "s0", 4)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = pk.chunk_documents(spark, str(tmp_path)).collect()
+    doc1 = [r for r in out if r.doc_id == 1]
+    stride = pk.CHUNK_SIZE - pk.CHUNK_OVERLAP
+    import hashlib
+
+    assert len(doc1) == -(-(1000 - pk.CHUNK_OVERLAP) // stride)
+    for r in doc1:
+        assert r.chunk_start == r.chunk_idx * stride + 1
+        expect = text[r.chunk_start - 1 : r.chunk_start - 1 + pk.CHUNK_SIZE]
+        assert r.chunk_len == len(expect)
+        assert r.chunk_hash == hashlib.md5(expect.encode()).hexdigest()
+    # coverage: last chunk reaches the end of the doc
+    last = doc1[-1]
+    assert last.chunk_start - 1 + last.chunk_len == 1000
+    doc2 = [r for r in out if r.doc_id == 2]
+    assert len(doc2) == 1 and doc2[0].chunk_len == 4
+
+
+def test_balanced_sample_exactly_k_per_source(spark, sf_dir_small):
+    from big_data_recommendation_system_spark.plans import packing as pk
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    out = pk.balanced_sample(spark, sf_dir_small).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir_small, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, ranks in per.items():
+        k = min(pk.SAMPLE_K, totals[src])
+        assert sorted(ranks) == list(range(1, k + 1)), (src, ranks)
+    assert set(per) == set(totals)
+    again = {
+        (r.doc_id, r.sample_rank)
+        for r in pk.balanced_sample(spark, sf_dir_small).collect()
+    }
+    assert {(r.doc_id, r.sample_rank) for r in out} == again
