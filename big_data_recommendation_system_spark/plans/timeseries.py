@@ -43,14 +43,16 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type"), F.to_date("ts").alias("day"), F.col("value")
     )
+    # one full-data pass; bounds and the type list derive from the tiny
+    # rolled-up frame (persisted — three consumers), never a re-scan
     daily = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n_events"),
         decimal_avg(F.col("value")).alias("avg_value"),
-    )
-    bounds = ev.agg(
+    ).persist()
+    bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(
@@ -83,10 +85,10 @@ daily AS (
     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
   FROM ev GROUP BY event_type, day
 ),
-bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
 spine AS (
   SELECT t.event_type, CAST(gs.day AS DATE) AS day
-  FROM (SELECT DISTINCT event_type FROM ev) t
+  FROM (SELECT DISTINCT event_type FROM daily) t
   CROSS JOIN bounds
   CROSS JOIN LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gs(day)
 )
