@@ -209,3 +209,68 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# --- vocabulary / document-frequency stats ----------------------------------
+
+VOCAB_TOP_K = 100
+
+
+def vocab_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the VOCAB_TOP_K most document-frequent
+    tokens with collection frequency, document frequency and the exact
+    smoothed inverse-df ratio (N+1)/(df+1) — downstream idf is
+    ln(ratio)+1, kept OUT of the compared output because ln() is not
+    bit-identical across math libraries (division is IEEE-exact).
+
+    Shape: explode → (token) agg with map-side combine (array_distinct
+    per doc first, so df counts each doc once); N rides the plan as a
+    broadcast scalar agg — no driver-side count mid-plan; the top-k cut
+    is a tiny sort over |vocab| rows, not a data-sized window. Ties
+    broken by token text for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    cf = (
+        t.select(F.explode("tok").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("collection_freq"))
+    )
+    df_ = (
+        t.select("doc_id", F.explode(F.array_distinct("tok")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    out = cf.join(df_, "token").crossJoin(F.broadcast(n))
+    return (
+        out.select(
+            "token",
+            "collection_freq",
+            "doc_freq",
+            (
+                (F.col("n_docs").cast("double") + 1.0)
+                / (F.col("doc_freq") + 1.0)
+            ).alias("inv_doc_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCAB_DF_STATS_SQL = f"""{_DOCS_TOK_CTE}
+, cfa AS (
+  SELECT token, COUNT(*) AS collection_freq
+  FROM (SELECT unnest(tok) AS token FROM t) GROUP BY token
+),
+dfa AS (
+  SELECT token, COUNT(*) AS doc_freq FROM (
+    SELECT doc_id, unnest(list_distinct(tok)) AS token FROM t
+  ) GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM t)
+SELECT cfa.token, collection_freq, doc_freq,
+  (CAST(n_docs AS DOUBLE) + 1.0) / (doc_freq + 1.0) AS inv_doc_freq
+FROM cfa JOIN dfa ON cfa.token = dfa.token CROSS JOIN n
+ORDER BY doc_freq DESC, cfa.token ASC
+LIMIT {VOCAB_TOP_K}
+"""

@@ -153,6 +153,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "lang_id": text_analysis.lang_id,
     "doc_fingerprints": text_analysis.doc_fingerprints,
     "bpe_token_stats": text_analysis.bpe_token_stats,
+    "vocab_df_stats": text_analysis.vocab_df_stats,
     "daily_gapfill": timeseries.daily_gapfill,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
@@ -241,6 +242,7 @@ ORACLES: dict[str, str] = {
     "lang_id": text_analysis.LANG_ID_SQL,
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
     "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
+    "vocab_df_stats": text_analysis.VOCAB_DF_STATS_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,
