@@ -265,3 +265,70 @@ def test_connected_components_matches_union_find(spark, edges, n_nodes):
     for r in got_rows:
         assert r.cluster_size == sizes[r.cluster_id]
         assert r.is_canonical == (r.doc_id == r.cluster_id)
+
+
+@settings(**_SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user key
+            st.integers(min_value=0, max_value=50),  # observation hour
+            st.sampled_from(["a", "b", "c"]),        # attribute value
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user (4 = never observed)
+            st.integers(min_value=-5, max_value=55),  # probe hour
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_enrich_matches_python_reference(spark, obs, probes):
+    """SCD2 intervals + point-in-interval join vs an independent per-row
+    Python evaluation: the enriched attribute must be the last observed
+    CHANGED value at or before the probe time, NULL before the first
+    observation."""
+    from big_data_recommendation_system_spark.operators.merge import (
+        scd2_intervals,
+    )
+    from big_data_recommendation_system_spark.operators.rangejoin import (
+        interval_enrich,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(hours=h), v, i)
+        for i, (u, h, v) in enumerate(obs)
+    ]
+    rdf = spark.createDataFrame(rows, ["user_id", "ts", "attr", "event_id"])
+    iv = scd2_intervals(rdf, "user_id", "attr").withColumnRenamed(
+        "attr", "attr_then"
+    )
+    pdf = spark.createDataFrame(
+        [(j, u, t0 + timedelta(hours=h)) for j, (u, h) in enumerate(probes)],
+        ["probe_id", "user_id", "ts"],
+    )
+    got = {
+        r.probe_id: r.attr_then
+        for r in interval_enrich(
+            pdf, iv, "user_id", F.col("ts"), ["attr_then"]
+        ).collect()
+    }
+    # independent reference: sort observations per user, replay
+    by_user = {}
+    for u, h, v in sorted(obs, key=lambda t: (t[0], t[1])):
+        by_user.setdefault(u, []).append((h, v))
+    for j, (u, h) in enumerate(probes):
+        expect = None
+        for oh, v in by_user.get(u, []):
+            if oh <= h:
+                expect = v
+            else:
+                break
+        assert got[j] == expect, (j, u, h, got[j], expect)
+    assert len(got) == len(probes)  # non-overlap => row count preserved
