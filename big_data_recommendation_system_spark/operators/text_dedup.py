@@ -408,13 +408,30 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("neigh_min", F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: label(u) <- min(label(u), label(label(u))).
+        # A label is always the id of a node in u's component, so the
+        # indirection stays inside the component and labels remain
+        # monotone-decreasing — the fixpoint is unchanged, but
+        # propagation distance doubles per round (O(log diameter) rounds
+        # on chain-shaped components instead of O(diameter)). The extra
+        # join runs on the label frame (paired docs only), not the data.
+        lut = stepped.select(
+            F.col("doc_id").alias("_cid"), F.col("cluster_id").alias("_cid2")
+        )
         labels = (
-            labels.join(neigh, "doc_id", "left")
+            stepped.join(lut, stepped.cluster_id == lut._cid, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce("neigh_min", F.col("cluster_id")),
+                    F.coalesce("_cid2", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
