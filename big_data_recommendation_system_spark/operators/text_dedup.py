@@ -362,6 +362,112 @@ SELECT doc_id, {recon} AS simhash FROM s
 SIMHASH_SQL = _simhash_sql()
 
 
+# --- SimHash near-dup pairs (banded Hamming join) ---------------------------
+#
+# Manku et al. (WWW'07) banding: split the fingerprint into BANDS chunks;
+# any pair with Hamming distance <= BANDS - 1 must agree on at least one
+# whole chunk (pigeonhole), so joining on (band, chunk-value) finds EVERY
+# such pair — the band join is a blocking strategy, not an approximation,
+# for the threshold below. 48 bits / 4 bands / ham <= 3.
+
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1
+# Stop-bucket cap — same practice (and same recall caveat) as the MinHash
+# LSH path's MAX_BUCKET_SIZE: a 12-bit chunk value shared by more docs
+# than this carries no near-dup signal (boilerplate / degenerate text) and
+# would n²-blow the self-join. Mirrored in the oracle so parity holds.
+SIMHASH_MAX_BUCKET = 256
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: banded self-join on 12-bit fingerprint
+    chunks, then exact Hamming verification (``bit_count(a XOR b)``) of the
+    candidates only. Complete for hamming <= 3 (see banding note above);
+    per-pair work is two integer ops, so the verify stage is free compared
+    to the jaccard verify of the MinHash path. One shuffle for the band
+    join, one for the distinct — no all-pairs stage at any scale."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+            .alias("band_key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    bands = bands.cache()  # feeds both the bucket-size agg and the join
+    small = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= SIMHASH_MAX_BUCKET)
+        .select("band", "band_key")
+    )
+    fband = bands.join(small, ["band", "band_key"])
+    a = fband.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band",
+        "band_key",
+    )
+    b = fband.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_NEAR_DUP_SQL = f"""WITH fp AS ({_simhash_sql()}),
+band AS (
+  SELECT doc_id, simhash, i AS band,
+         (simhash >> ({_SIMHASH_BAND_BITS} * i)) & {_SIMHASH_BAND_MASK} AS band_key
+  FROM fp CROSS JOIN range({SIMHASH_BANDS}) r(i)
+),
+small AS (
+  SELECT band, band_key FROM band
+  GROUP BY band, band_key HAVING COUNT(*) <= {SIMHASH_MAX_BUCKET}
+),
+fband AS (
+  SELECT b.* FROM band b JOIN small s
+    ON b.band = s.band AND b.band_key = s.band_key
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM fband a JOIN fband b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
+"""
+
+
 # --- near-dup cluster assignment (connected components over LSH pairs) ------
 
 _MAX_CC_ITERS = 50

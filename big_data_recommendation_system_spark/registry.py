@@ -170,6 +170,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "near_dup_clusters": text_dedup.near_dup_clusters,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
+    "simhash_near_dup_pairs": text_dedup.simhash_near_dup_pairs,
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "cosine_topk_fast": similarity.cosine_topk_fast_query,
     "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -259,6 +260,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
+    "simhash_near_dup_pairs": text_dedup.SIMHASH_NEAR_DUP_SQL,
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,

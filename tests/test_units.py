@@ -548,3 +548,49 @@ def test_balanced_sample_exactly_k_per_source(spark, sf_dir_small):
         for r in pk.balanced_sample(spark, sf_dir_small).collect()
     }
     assert {(r.doc_id, r.sample_rank) for r in out} == again
+
+
+def test_simhash_banded_pairs_complete_for_threshold(spark, sf_dir_small):
+    """Pigeonhole completeness: with 4 bands over 48 bits, every pair at
+    hamming <= 3 shares at least one whole band, so the banded join must
+    find exactly the brute-force all-pairs answer (no bucket at sf0.001
+    exceeds the stop-bucket cap, so the cap cannot hide pairs here)."""
+    from big_data_recommendation_system_spark.operators import text_dedup as td
+
+    fp = td.simhash_fingerprints(spark, sf_dir_small)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= td.SIMHASH_HAM_MAX)
+    )
+    # precondition for the completeness claim: no stop bucket triggered
+    max_bucket = (
+        fp.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", i * td._SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(td._SIMHASH_BAND_MASK))
+                        + F.lit(i * (td._SIMHASH_BAND_MASK + 1))
+                        for i in range(td.SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("k")
+        )
+        .groupBy("k")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= td.SIMHASH_MAX_BUCKET
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in td.simhash_near_dup_pairs(spark, sf_dir_small).collect()
+    }
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) > 0
