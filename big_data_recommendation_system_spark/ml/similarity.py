@@ -43,7 +43,11 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
     feats = tf.transform(d).filter(F.expr("size(sh) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # 4 OR-ed tables: P(miss) <= (1-J)^4 = 0.2^4 at the 0.8 threshold —
+    # recall stays >= the pytest gate while approxSimilarityJoin's
+    # per-table explode (the dominant bench cost of this cross-check)
+    # halves vs the previous 8.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     # approxSimilarityJoin distance = jaccard DISTANCE (1 - similarity)
     joined = model.approxSimilarityJoin(

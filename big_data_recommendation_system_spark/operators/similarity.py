@@ -150,6 +150,58 @@ def cosine_topk_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10))
 
 
+def cosine_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable correctness row for the PRODUCTION ANN path: per
+    query, the size of the intersection between the array-native fold's
+    top-k neighbor set (cosine_topk_fast) and the oracle-exact explode
+    path's. The oracle asserts n_common = TOP_K for every query, so any
+    fast-path regression — wrong fold, wrong tie-break, dropped
+    self-pair filter — shows up as a hash mismatch even though the fast
+    path's raw cosine doubles (summation-order ulps) can't be hashed
+    directly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = cosine_topk_fast(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    exact = ann_cosine_topk(spark, sf_dir)
+    return (
+        fast.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy("query_id")
+    )
+
+
+COSINE_TOPK_AGREEMENT_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims q JOIN dims c ON q.pos = c.pos
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (qn.nrm * cn.nrm) AS cosine
+  FROM dots JOIN norms qn ON qn.vec_id = query_id JOIN norms cn ON cn.vec_id = neighbor_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 def _ivf_assignments(emb: DataFrame) -> DataFrame:
     """(vec_id, centroid_id): every vector assigned to its nearest of the
     deterministic centroids (vec_id < IVF_CENTROIDS) by cosine, ties to

@@ -20,6 +20,8 @@ including which candidate pairs LSH emits.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -508,6 +510,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    converged = False
     for _ in range(_MAX_CC_ITERS):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -544,8 +547,21 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # With pointer doubling, 50 rounds covers component diameters up
+        # to ~2^50 — hitting the cap means something is pathologically
+        # wrong (or the labels are still usable but possibly not the
+        # component-wide min). Surface it; don't spin the driver forever.
+        warnings.warn(
+            f"connected_components hit the {_MAX_CC_ITERS}-round cap "
+            "without reaching a fixpoint; cluster labels may be "
+            "incompletely propagated",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # paired docs carry their propagated label; the rest are singletons
     full = nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")

@@ -82,8 +82,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACKING_BASE_SQL = f"""
   SELECT doc_id, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
   FROM (SELECT doc_id, len({tokens_sql()}) AS n_tokens FROM documents)
 """
 
@@ -135,7 +135,7 @@ def packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACKING_SUMMARY_SQL = f"""
 SELECT CAST(FLOOR(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
   COUNT(*) AS n_docs,
-  SUM(n_tokens) AS pack_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
   MIN(doc_id) AS first_doc_id,
   MAX(doc_id) AS last_doc_id,
   CAST(SUM(n_tokens) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio

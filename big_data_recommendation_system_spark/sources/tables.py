@@ -37,13 +37,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores nanosecond parquet timestamps, which Spark
-    cannot represent (TimestampType is microseconds). Read nanos as long
-    and truncate to micros — the DuckDB oracle mirrors this with
-    ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS → TIMESTAMP truncation).
+    """The events table stores nanosecond parquet timestamps. Spark's
+    TimestampType is microseconds, and how the nanos column surfaces is
+    version-dependent: Spark 4.1+ reads it natively as TIMESTAMP_NTZ,
+    older Sparks need ``nanosAsLong`` and a manual nanos→micros truncate.
+    Branch on the loaded dtype so both work. The cast targets LTZ
+    ``timestamp`` (session TZ is pinned UTC in session.py) — downstream
+    ``unix_micros`` rejects TIMESTAMP_NTZ. The DuckDB oracle mirrors the
+    truncation with ``CAST(ts AS TIMESTAMP)`` (TIMESTAMP_NS → TIMESTAMP).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes)["ts"].startswith("timestamp"):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -594,3 +594,48 @@ def test_simhash_banded_pairs_complete_for_threshold(spark, sf_dir_small):
     }
     want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_table_loader_dtypes_canary(spark, sf_dir_small):
+    """Spark-version canary: load every table and pin the dtypes the rest
+    of the engine assumes. Round 2 broke because PySpark 4.1 started
+    reading the events table's nanosecond parquet timestamps natively
+    (TIMESTAMP_NTZ) where 4.0 needed the nanosAsLong workaround — this
+    test turns any such upstream read-behavior change into one obvious
+    failure instead of 25 opaque query errors."""
+    from big_data_recommendation_system_spark.sources.tables import (
+        TABLE_NAMES,
+        load_tables,
+    )
+
+    tables = load_tables(spark, sf_dir_small)
+    assert set(tables) == set(TABLE_NAMES)
+
+    expected = {
+        "events": {
+            "event_id": "bigint",
+            "ts": "timestamp",  # LTZ micros whatever the parquet encoding
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+        "documents": {"doc_id": "bigint", "text": "string"},
+        # date columns infer as NTZ under Spark 4.1 parquet reads; the
+        # relational plans only compare them against literals, so NTZ is
+        # acceptable there — events.ts is the one that MUST be LTZ
+        # (unix_micros in the session operators rejects NTZ).
+        "orders": {"o_orderdate": "timestamp_ntz"},
+        "lineitem": {"l_shipdate": "timestamp_ntz", "l_quantity": "double"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
+    }
+    for name, cols in expected.items():
+        dtypes = dict(tables[name].dtypes)
+        for col, want in cols.items():
+            assert dtypes.get(col) == want, (
+                f"{name}.{col}: expected {want}, loaded {dtypes.get(col)} "
+                f"(all: {dtypes})"
+            )
+    # every table must be non-empty and scannable
+    for name, df in tables.items():
+        assert df.limit(1).count() == 1, f"{name} empty or unreadable"
