@@ -42,29 +42,47 @@ def _dims(df: DataFrame, id_alias: str) -> DataFrame:
     ).select(id_alias, F.col("pos"), F.col("col").cast("double").alias("x"))
 
 
-def _norms(df: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
-    d = _dims(df, id_alias)
-    return d.groupBy(id_alias).agg(
+def _norms_from_dims(dims: DataFrame, id_col: str, norm_alias: str) -> DataFrame:
+    return dims.groupBy(id_col).agg(
         F.sqrt(F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")).alias(
             norm_alias
         )
     )
 
 
+def _norms(df: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
+    return _norms_from_dims(_dims(df, id_alias), id_alias, norm_alias)
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10.
+
+    ONE position-explode of the table is cached and feeds all four
+    consumers (dot query side, dot corpus side, both norm aggregations)
+    — without the cache the explode ran 4×, and at corpus scale the
+    explode is the dominant cost of this oracle-duty baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    qd = _dims(queries, "query_id")
-    cd = _dims(emb, "neighbor_id")
+    dims = _dims(emb, "vid").cache()
+    norms = _norms_from_dims(dims, "vid", "nrm")
+    qd = dims.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+    cd = dims.select(
+        F.col("vid").alias("neighbor_id"), "pos", F.col("x").alias("cx")
+    )
     dots = (
-        qd.join(cd, "pos")
+        F.broadcast(qd)
+        .join(cd, "pos")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum((qd.x * cd.x).cast(_DEC)).cast("double").alias("dot"))
+        .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
     )
-    qn = _norms(queries, "query_id", "qnorm")
-    cn = _norms(emb, "neighbor_id", "cnorm")
+    qn = norms.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), F.col("nrm").alias("qnorm")
+    )
+    cn = norms.select(
+        F.col("vid").alias("neighbor_id"), F.col("nrm").alias("cnorm")
+    )
     scored = (
         dots.join(F.broadcast(qn), "query_id")
         .join(cn, "neighbor_id")
@@ -202,20 +220,32 @@ ORDER BY query_id
 """
 
 
-def _ivf_assignments(emb: DataFrame) -> DataFrame:
+def _ivf_assignments(
+    emb: DataFrame,
+    dims: DataFrame | None = None,
+    norms: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, centroid_id): every vector assigned to its nearest of the
     deterministic centroids (vec_id < IVF_CENTROIDS) by cosine, ties to
-    the lowest centroid id."""
-    cd = _dims(emb.filter(F.col("vec_id") < IVF_CENTROIDS), "centroid_id")
-    vd = _dims(emb, "vec_id2")
-    vn = _norms(emb, "vec_id2", "vnorm")
-    cn = _norms(
-        emb.filter(F.col("vec_id") < IVF_CENTROIDS), "centroid_id", "cnorm"
+    the lowest centroid id. Callers that already hold the exploded
+    ``(vid, pos, x)`` frame / the ``(vid, nrm)`` norms pass them in
+    (cached), so the table isn't re-exploded for the assignment pass."""
+    if dims is None:
+        dims = _dims(emb, "vid")
+    if norms is None:
+        norms = _norms_from_dims(dims, "vid", "nrm")
+    cd = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
     )
+    cn = norms.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), F.col("nrm").alias("cnorm")
+    )
+    vd = dims.select(F.col("vid").alias("vec_id2"), "pos", F.col("x").alias("x"))
+    vn = norms.select(F.col("vid").alias("vec_id2"), F.col("nrm").alias("vnorm"))
     sims = (
         vd.join(F.broadcast(cd), "pos")
         .groupBy("vec_id2", "centroid_id")
-        .agg(F.sum((vd.x * cd.x).cast(_DEC)).cast("double").alias("dot"))
+        .agg(F.sum((F.col("x") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
         .join(F.broadcast(cn), "centroid_id")
         .join(vn, "vec_id2")
         .withColumn("cos_c", F.col("dot") / (F.col("vnorm") * F.col("cnorm")))
@@ -230,13 +260,17 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign all vectors to nearest of 8 deterministic
-    centroids (vec_id < 8), then exact top-5 within the query's cell only."""
+    centroids (vec_id < 8), then exact top-5 within the query's cell only.
+
+    One cached explode + one cached norm rollup feed the assignment
+    pass, both dot sides and both norm joins (previously 4 independent
+    explodes of the table)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _ivf_assignments(emb)
+    dims = _dims(emb, "vid").cache()
+    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
+    assign = _ivf_assignments(emb, dims, nrm)
     # search within the query's cell
-    vd2 = _dims(emb, "vid").join(
-        assign.withColumnRenamed("vec_id", "vid"), "vid"
-    )
+    vd2 = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     qd = vd2.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"),
         F.col("centroid_id").alias("cell"),
@@ -250,21 +284,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("cx"),
     )
     dots = (
-        qd.join(cdd, ["cell", "pos"])
+        F.broadcast(qd)
+        .join(cdd, ["cell", "pos"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
     )
-    nrm = _norms(emb, "nid", "nrm")
     scored = (
         dots.join(
-            F.broadcast(nrm.withColumnRenamed("nid", "query_id")).withColumnRenamed(
-                "nrm", "qnorm"
+            F.broadcast(
+                nrm.withColumnRenamed("vid", "query_id").withColumnRenamed(
+                    "nrm", "qnorm"
+                )
             ),
             "query_id",
         )
         .join(
-            nrm.withColumnRenamed("nid", "neighbor_id").withColumnRenamed(
+            nrm.withColumnRenamed("vid", "neighbor_id").withColumnRenamed(
                 "nrm", "cnorm"
             ),
             "neighbor_id",
@@ -350,8 +386,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
     )
-    assign = _ivf_assignments(emb)
-    vd = _dims(emb, "vid").join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    dims = _dims(emb, "vid").cache()
+    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
+    assign = _ivf_assignments(emb, dims, nrm)
+    # one cached (dims ⋈ assign) subtree feeds both sides of the in-cell
+    # self-join (previously the explode+assign chain ran twice)
+    vd = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid").cache()
     a = vd.select(
         F.col("vid").alias("vec_a"),
         F.col("centroid_id").alias("cell"),
@@ -370,14 +410,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.sum((F.col("ax") * F.col("bx")).cast(_DEC)).cast("double").alias("dot"))
     )
-    nrm = _norms(emb, "nid", "nrm")
     return (
         dots.join(
-            nrm.withColumnRenamed("nid", "vec_a").withColumnRenamed("nrm", "na"),
+            nrm.withColumnRenamed("vid", "vec_a").withColumnRenamed("nrm", "na"),
             "vec_a",
         )
         .join(
-            nrm.withColumnRenamed("nid", "vec_b").withColumnRenamed("nrm", "nb"),
+            nrm.withColumnRenamed("vid", "vec_b").withColumnRenamed("nrm", "nb"),
             "vec_b",
         )
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))

@@ -112,8 +112,11 @@ def product_summary(clickstream: DataFrame) -> DataFrame:
         with_global_rank,
     )
 
-    nd = scored.agg(F.countDistinct("popularity_score").alias("_nd"))
     ranked = with_global_rank(scored, ["popularity_score", "product_id"])
+    # the guard aggregates over RANKED (backed by the ranker's persisted
+    # ranged frame) rather than `scored`: aggregating `scored` directly
+    # would execute the whole upstream clickstream chain a second time
+    nd = ranked.agg(F.countDistinct("popularity_score").alias("_nd"))
     tile = ntile_from_rank(F.col(RANK_COL), F.col(TOTAL_COL), 4)
     tier = F.when(
         F.col("_nd") >= 4,
