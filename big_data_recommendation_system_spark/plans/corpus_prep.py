@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens, tokens_sql
+from ..functions.text import shingles, shingles_sql, tokens, tokens_sql
 from ..sources.tables import load_table
 
 # split fractions: 80% train / 10% validation / 10% test
@@ -277,4 +277,112 @@ SELECT {_split_label_sql(_split_bucket_sql("doc_id"))} AS split,
 FROM kept
 GROUP BY split, lang
 ORDER BY split, lang
+"""
+
+
+# --- train/eval decontamination ---------------------------------------------
+
+# n-gram size for the contamination check. Real pipelines use 8-13-word
+# n-grams (GPT-3 appendix C used 13-gram collision; Dolma/FineWeb use
+# similar); the synthetic corpus has short documents over a small
+# vocabulary, so 3-grams keep the check meaningful at test scale. The
+# operator shape is n-independent.
+DECON_NGRAM = 3
+# an eval doc is contaminated when this fraction of its distinct n-grams
+# also appears anywhere in the train split
+DECON_TAU = 0.5
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination check: for every validation/test document,
+    the fraction of its distinct word n-grams that also occur anywhere in
+    the train split, plus the ≥ DECON_TAU contamination flag.
+
+    This is the standard eval-decontamination pass of an LLM data
+    pipeline (n-gram collision against the training corpus). Scale
+    shape: both sides reduce to DISTINCT n-gram keys before the join —
+    the train side collapses to its unique-shingle set (one hash
+    aggregation, map-side combined), the eval side stays (doc_id,
+    shingle) — and the overlap is a shingle-keyed shuffle join followed
+    by a per-doc count. Nothing is quadratic; the join key at 100 TB
+    would be the md5 of the shingle rather than the raw string to keep
+    shuffle rows narrow (same collision behavior as the MinHash
+    machinery, functions/text.py).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        split_label(split_bucket(F.col("doc_id"))).alias("split"),
+        tokens(F.col("text")).alias("tok"),
+    )
+    # cached: the shingled frame feeds BOTH the train-side distinct and
+    # the eval side — without it the tokenize+shingle scan runs twice
+    shingled = docs.select(
+        "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
+    ).cache()
+    train_sh = (
+        shingled.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    eval_sh = shingled.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.size("sh").cast("long").alias("n_shingles"), "sh"
+    )
+    hits = (
+        eval_sh.select("doc_id", F.explode("sh").alias("s"))
+        .join(train_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        eval_sh.drop("sh")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.when(F.col("n_shingles") > 0, F.coalesce(ratio, F.lit(0.0)))
+            .otherwise(F.lit(0.0))
+            .alias("overlap_ratio"),
+            (
+                F.when(F.col("n_shingles") > 0, F.coalesce(ratio, F.lit(0.0)))
+                .otherwise(F.lit(0.0))
+                >= DECON_TAU
+            ).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id,
+    {_split_label_sql(_split_bucket_sql("doc_id"))} AS split,
+    {tokens_sql()} AS tok
+  FROM documents
+), shingled AS (
+  SELECT doc_id, split, {shingles_sql("tok", DECON_NGRAM)} AS sh FROM labeled
+), train_sh AS (
+  SELECT DISTINCT s
+  FROM (SELECT unnest(sh) AS s FROM shingled WHERE split = 'train')
+), eval_docs AS (
+  SELECT doc_id, split, CAST(len(sh) AS BIGINT) AS n_shingles, sh
+  FROM shingled WHERE split != 'train'
+), hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS s FROM eval_docs) e
+  JOIN train_sh t ON e.s = t.s
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, d.split, d.n_shingles,
+  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+  CASE WHEN d.n_shingles > 0
+       THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / d.n_shingles
+       ELSE 0.0 END AS overlap_ratio,
+  (CASE WHEN d.n_shingles > 0
+        THEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / d.n_shingles
+        ELSE 0.0 END) >= {DECON_TAU} AS is_contaminated
+FROM eval_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
 """

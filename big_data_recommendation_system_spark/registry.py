@@ -160,6 +160,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_split": corpus_prep.corpus_split,
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
+    "decontamination_report": corpus_prep.decontamination_report,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
     "sequence_packing": packing.sequence_packing,
@@ -208,6 +209,7 @@ _PRIORITY_ORDER = [
     "corpus_split",
     "doc_repetition_stats",
     "corpus_prep_summary",
+    "decontamination_report",  # new in r3 — never driver-checked
     "pii_scrub",
     "mixture_sample",
     "sequence_packing",
@@ -217,7 +219,6 @@ _PRIORITY_ORDER = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "near_dup_clusters",
-    "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "ann_cosine_topk",
     "cosine_topk_agreement",  # oracle-hashed proxy for the fast path
@@ -250,6 +251,8 @@ _PRIORITY_ORDER = [
     "top_event_types_per_user",
     "purchases_with_prior_tier",
     # ---- driver window ends here (50) ------------------------------------
+    "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
+    # which stays inside the window
     "cosine_topk_fast",  # rows-only; correctness covered via the
     # cosine_topk_agreement row inside the window
     "first_event_per_user_type_day",
@@ -360,6 +363,7 @@ ORACLES: dict[str, str] = {
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
+    "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,

@@ -639,3 +639,21 @@ def test_table_loader_dtypes_canary(spark, sf_dir_small):
     # every table must be non-empty and scannable
     for name, df in tables.items():
         assert df.limit(1).count() == 1, f"{name} empty or unreadable"
+
+
+def test_decontamination_invariants(spark, sf_dir_small):
+    """Eval-decontamination semantics: only non-train docs appear, overlap
+    is bounded by the shingle count, and the ratio/flag are consistent."""
+    from big_data_recommendation_system_spark.plans.corpus_prep import (
+        DECON_TAU,
+        decontamination_report,
+    )
+
+    rows = decontamination_report(spark, sf_dir_small).collect()
+    assert rows, "expected at least one validation/test document"
+    assert {r.split for r in rows} <= {"validation", "test"}
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.n_shingles
+        expected = (r.n_overlap / r.n_shingles) if r.n_shingles else 0.0
+        assert abs(r.overlap_ratio - expected) < 1e-12
+        assert r.is_contaminated == (expected >= DECON_TAU)
