@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -634,3 +634,140 @@ ORDER BY l.doc_id
 
 
 NEAR_DUP_CLUSTERS_SQL = _near_dup_clusters_sql()
+
+
+# --- incremental near-dup (new batch vs indexed corpus) ----------------------
+
+# Deterministic batch membership: every 5th document plays the "incoming
+# batch", the rest are the already-indexed corpus. In production the index
+# side is the PERSISTED signature/band table from prior runs — the point
+# of the asymmetric shape is that continuous ingestion only pays
+# O(batch) signature work + a band join against the index, never a
+# re-dedup of the whole corpus.
+INCREMENTAL_BATCH_MOD = 5
+INCREMENTAL_BATCH_REM = 4
+
+
+def _is_batch(col: Column) -> Column:
+    return col % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+
+
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming-batch document: how many indexed documents it
+    near-duplicates (LSH candidates verified with exact jaccard ≥
+    threshold), the best match (highest jaccard, ties to lowest id),
+    and the keep/drop flag.
+
+    The band join is ASYMMETRIC — batch bands ⋈ index bands — so the
+    candidate work scales with the batch, not the corpus. Stop-bucket
+    frequencies are computed over the FULL band table (corpus statistics,
+    shared with the symmetric pipeline so the DuckDB twin can reuse the
+    same CTE chain and filter pairs to the cross-boundary orientation)."""
+    d = _shingled_docs(spark, sf_dir).cache()
+    sigs = minhash_signatures(d).cache()
+    bands = lsh_band_keys(sigs).cache()
+    small_buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") <= MAX_BUCKET_SIZE)
+        .select("band", "band_key")
+    )
+    fband = bands.join(F.broadcast(small_buckets), ["band", "band_key"])
+    batch_bands = fband.filter(_is_batch(F.col("doc_id")))
+    index_bands = fband.filter(~_is_batch(F.col("doc_id")))
+    cand = (
+        batch_bands.alias("x")
+        .join(
+            index_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("match_id"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b"))
+    agreement = sum(
+        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+        for i in range(NUM_PERMS)
+    )
+    cand = (
+        cand.join(F.broadcast(sa), "doc_id")
+        .join(F.broadcast(sb), "match_id")
+        .filter(agreement >= MIN_SIG_AGREEMENT)
+        .select("doc_id", "match_id")
+    )
+    da = d.select("doc_id", F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    matches = (
+        cand.join(da, "doc_id")
+        .join(db, "match_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id", "match_id", "jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("match_id"))
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_matches", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("match_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_is_batch(F.col("doc_id")))
+        .select("doc_id")
+    )
+    return (
+        incoming.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_match_id",
+            "best_jaccard",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_NEAR_DUP_SQL = (
+    minhash_pairs_cte()
+    + f"""
+, inc_pairs AS (
+  -- cross-boundary pairs from the symmetric pipeline, re-oriented so
+  -- doc_id is always the incoming-batch side
+  SELECT
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN doc_a ELSE doc_b END AS doc_id,
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN doc_b ELSE doc_a END AS match_id,
+    jaccard
+  FROM pairs
+  WHERE (doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM})
+     != (doc_b % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM})
+)
+, best AS (
+  SELECT doc_id, match_id AS best_match_id, jaccard AS best_jaccard,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, match_id ASC) AS _rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+  FROM inc_pairs
+)
+SELECT i.doc_id,
+  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+  b.best_match_id,
+  b.best_jaccard,
+  COALESCE(b.n_matches, 0) > 0 AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}) i
+LEFT JOIN (SELECT * FROM best WHERE _rn = 1) b ON i.doc_id = b.doc_id
+ORDER BY i.doc_id
+"""
+)

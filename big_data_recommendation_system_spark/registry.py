@@ -169,6 +169,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "balanced_sample": packing.balanced_sample,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
+    "incremental_near_dup": text_dedup.incremental_near_dup,
     "near_dup_clusters": text_dedup.near_dup_clusters,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
     "simhash_near_dup_pairs": text_dedup.simhash_near_dup_pairs,
@@ -218,6 +219,7 @@ _PRIORITY_ORDER = [
     "balanced_sample",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "incremental_near_dup",  # new in r3 — never driver-checked
     "near_dup_clusters",
     "simhash_near_dup_pairs",
     "ann_cosine_topk",
@@ -248,9 +250,10 @@ _PRIORITY_ORDER = [
     "product_summary",
     "latest_event_per_user",
     "dedup_exact_events",
-    "top_event_types_per_user",
     "purchases_with_prior_tier",
     # ---- driver window ends here (50) ------------------------------------
+    "top_event_types_per_user",  # O3; green in r1, bumped by the two new
+    # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
     # which stays inside the window
     "cosine_topk_fast",  # rows-only; correctness covered via the
@@ -372,6 +375,7 @@ ORACLES: dict[str, str] = {
     "balanced_sample": packing.BALANCED_SAMPLE_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
+    "incremental_near_dup": text_dedup.INCREMENTAL_NEAR_DUP_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
     "simhash_near_dup_pairs": text_dedup.SIMHASH_NEAR_DUP_SQL,

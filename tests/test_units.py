@@ -657,3 +657,38 @@ def test_decontamination_invariants(spark, sf_dir_small):
         expected = (r.n_overlap / r.n_shingles) if r.n_shingles else 0.0
         assert abs(r.overlap_ratio - expected) < 1e-12
         assert r.is_contaminated == (expected >= DECON_TAU)
+
+
+def test_incremental_near_dup_matches_symmetric_pipeline(spark, sf_dir_small):
+    """The asymmetric batch×index join must find exactly the
+    cross-boundary subset of the symmetric LSH pipeline's verified pairs
+    (same stop-bucket stats, same verification), re-oriented to the
+    incoming side."""
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+        incremental_near_dup,
+        minhash_lsh_pairs,
+    )
+
+    def is_batch(i):
+        return i % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+
+    sym = {}
+    for r in minhash_lsh_pairs(spark, sf_dir_small).collect():
+        if is_batch(r.doc_a) != is_batch(r.doc_b):
+            doc, match = (r.doc_a, r.doc_b) if is_batch(r.doc_a) else (r.doc_b, r.doc_a)
+            sym.setdefault(doc, []).append((match, r.jaccard))
+
+    inc = {r.doc_id: r for r in incremental_near_dup(spark, sf_dir_small).collect()}
+    # every incoming doc is reported exactly once
+    assert all(is_batch(d) for d in inc)
+    for doc, row in inc.items():
+        want = sorted(sym.get(doc, []), key=lambda m: (-m[1], m[0]))
+        assert row.n_matches == len(want)
+        assert row.is_dup == bool(want)
+        if want:
+            assert (row.best_match_id, row.best_jaccard) == want[0]
+        else:
+            assert row.best_match_id is None and row.best_jaccard is None
+    assert set(inc) >= set(sym)  # no cross pair lost
