@@ -725,8 +725,12 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_is_batch(F.col("doc_id")))
         .select("doc_id")
     )
+    # best is the matched-dup subset of the batch (normally a small
+    # fraction); broadcast it so the report join needs no shuffle of the
+    # incoming side. If a corpus ever produced a dup set too big to
+    # broadcast, drop the hint and this becomes a doc_id hash join.
     return (
-        incoming.join(best, "doc_id", "left")
+        incoming.join(F.broadcast(best), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
