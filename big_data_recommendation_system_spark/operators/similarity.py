@@ -527,3 +527,172 @@ FROM labels l JOIN csizes s ON l.cluster_id = s.cluster_id
 ORDER BY l.vec_id
 """
 )
+
+
+# --- kNN label-classification eval ------------------------------------------
+
+# Eval slice: vec_id < 100 play the query set. The per-query in-cell
+# scoring is the cheap part — the IVF assignment pass over the full
+# corpus dominates this query's cost and is query-count-independent.
+KNN_EVAL_QUERIES = 100
+KNN_K = 5
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: predict each eval vector's ``label`` by
+    majority vote over its K nearest in-cell neighbors (IVF cell probe,
+    exact decimal scoring inside the cell), and report the prediction
+    against the true label.
+
+    This is the standard "does the embedding space cluster by label"
+    check a training-data pipeline runs after (re)embedding a corpus —
+    the kNN-classifier accuracy proxy. Vote ties break to the lowest
+    label id; neighbor ranking ties to the lowest vec_id (same
+    determinism discipline as the ANN queries, so the DuckDB twin
+    hash-matches). Scale shape identical to ann_ivf_topk: the cross
+    product is cell-blocked, one cached explode feeds every consumer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(emb, "vid").cache()
+    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
+    assign = _ivf_assignments(emb, dims, nrm)
+    vd2 = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    qd = vd2.filter(F.col("vid") < KNN_EVAL_QUERIES).select(
+        F.col("vid").alias("query_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("qx"),
+    )
+    cdd = vd2.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("cx"),
+    )
+    dots = (
+        F.broadcast(qd)
+        .join(cdd, ["cell", "pos"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                nrm.withColumnRenamed("vid", "query_id").withColumnRenamed(
+                    "nrm", "qnorm"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            nrm.withColumnRenamed("vid", "neighbor_id").withColumnRenamed(
+                "nrm", "cnorm"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    labels = emb.select(F.col("vec_id"), F.col("label").cast("long").alias("label"))
+    votes = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    return (
+        labels.filter(F.col("vec_id") < KNN_EVAL_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(pred, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "predicted_label",
+            "n_votes",
+            (F.col("label") == F.col("predicted_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN_LABEL_EVAL_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims v JOIN dims c ON v.pos = c.pos
+  WHERE c.vec_id < {IVF_CENTROIDS}
+  GROUP BY v.vec_id, c.vec_id
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cd.vec_id, cd.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY cd.vec_id
+        ORDER BY cd.dot / (vn.nrm * cn.nrm) DESC, cd.centroid_id ASC
+      ) AS r
+    FROM cdots cd
+    JOIN norms vn ON vn.vec_id = cd.vec_id
+    JOIN norms cn ON cn.vec_id = cd.centroid_id
+  ) WHERE r = 1
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign ca ON qa.centroid_id = ca.centroid_id
+  JOIN dims c ON c.vec_id = ca.vec_id AND q.pos = c.pos
+  WHERE q.vec_id < {KNN_EVAL_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY dot / (qn.nrm * cn.nrm) DESC, neighbor_id ASC
+      ) AS rank
+    FROM dots JOIN norms qn ON qn.vec_id = query_id JOIN norms cn ON cn.vec_id = neighbor_id
+  ) WHERE rank <= {KNN_K}
+), votes AS (
+  SELECT t.query_id, CAST(e.label AS BIGINT) AS n_label, COUNT(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+), pred AS (
+  SELECT query_id, n_label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY n_votes DESC, n_label ASC
+    ) AS _r
+    FROM votes
+  ) WHERE _r = 1
+)
+SELECT e.vec_id AS query_id, CAST(e.label AS BIGINT) AS label,
+       p.predicted_label, p.n_votes,
+       CAST(e.label AS BIGINT) = p.predicted_label AS correct
+FROM embeddings e
+JOIN pred p ON p.query_id = e.vec_id
+WHERE e.vec_id < {KNN_EVAL_QUERIES}
+ORDER BY e.vec_id
+"""

@@ -179,6 +179,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "embedding_clusters": similarity.embedding_clusters,
+    "knn_label_eval": similarity.knn_label_eval,
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
@@ -252,6 +253,8 @@ _PRIORITY_ORDER = [
     "dedup_exact_events",
     "purchases_with_prior_tier",
     # ---- driver window ends here (50) ------------------------------------
+    "knn_label_eval",  # new in r3; pytest-oracle-checked, rotate into the
+    # window next round
     "top_event_types_per_user",  # O3; green in r1, bumped by the two new
     # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
@@ -384,6 +387,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
     "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
+    "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
