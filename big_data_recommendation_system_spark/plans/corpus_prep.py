@@ -386,3 +386,43 @@ SELECT d.doc_id, d.split, d.n_shingles,
 FROM eval_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
 ORDER BY d.doc_id
 """
+
+
+# --- deterministic corpus shuffle (training order) ---------------------------
+
+_SHUFFLE_SALT = "epoch0"
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudorandom training order: every document gets a
+    shuffle key (salted md5) and its global 1-based rank in key order —
+    the order a training run would read the corpus in. Changing the salt
+    re-shuffles (one salt per epoch); the assignment is stable under any
+    partitioning, unlike ``orderBy(rand(seed))``, which is not
+    reproducible across cluster layouts.
+
+    The rank comes from operators/ranking.py's range-repartition machinery
+    — no single-task global sort at any corpus size."""
+    from ..operators.ranking import RANK_COL, with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = with_global_rank(docs, ["shuffle_key", "doc_id"])
+    return ranked.select(
+        "doc_id", "shuffle_key", F.col(RANK_COL).alias("shuffle_rank")
+    ).orderBy("shuffle_rank")
+
+
+CORPUS_SHUFFLE_SQL = f"""
+SELECT doc_id, shuffle_key,
+  ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS shuffle_rank
+FROM (
+  SELECT doc_id, md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+ORDER BY shuffle_rank
+"""

@@ -161,6 +161,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "decontamination_report": corpus_prep.decontamination_report,
+    "corpus_shuffle": corpus_prep.corpus_shuffle,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
     "sequence_packing": packing.sequence_packing,
@@ -255,6 +256,7 @@ _PRIORITY_ORDER = [
     # ---- driver window ends here (50) ------------------------------------
     "knn_label_eval",  # new in r3; pytest-oracle-checked, rotate into the
     # window next round
+    "corpus_shuffle",  # new in r3; pytest-oracle-checked, rotate next round
     "top_event_types_per_user",  # O3; green in r1, bumped by the two new
     # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
@@ -370,6 +372,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
+    "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
