@@ -306,3 +306,90 @@ FROM (
 WHERE sample_rank <= {SAMPLE_K}
 ORDER BY source, sample_rank
 """
+
+
+# --- cross-document span dedup ----------------------------------------------
+
+# Minimum chunk length for a shared-span match to count. Overlapping-chunk
+# hashing approximates suffix-array substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") at chunk
+# granularity; unfiltered short tail chunks (a few chars) would match
+# trivially across documents and inflate the signal.
+SPAN_MIN_LEN = 100
+SPAN_HEAVY_TAU = 0.5
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how much of it is copy-pasted from elsewhere in the
+    corpus — the fraction of its (overlapping, fixed-stride) chunks whose
+    exact content also occurs in at least one OTHER document, plus a
+    boilerplate-heavy flag at SPAN_HEAVY_TAU.
+
+    Scale shape: one map+explode to chunk hashes, one hash-keyed
+    aggregation for distinct-doc counts (map-side combined), one join
+    back, one per-doc rollup — all shuffles on narrow (hash | doc_id)
+    keys. The chunk-hash frame is the same one chunk_documents emits, so
+    a materialized chunk table can serve both queries at corpus scale."""
+    chunks = chunk_documents(spark, sf_dir).select(
+        "doc_id", "chunk_len", "chunk_hash"
+    )
+    hash_docs = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(hash_docs, "chunk_hash").withColumn(
+        "shared",
+        (F.col("n_docs") >= 2) & (F.col("chunk_len") >= SPAN_MIN_LEN),
+    )
+    ratio = F.col("n_shared_chunks") / F.col("n_chunks")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("shared").cast("long")).alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_shared_chunks").cast("long").alias("n_shared_chunks"),
+            ratio.alias("shared_ratio"),
+            (ratio >= SPAN_HEAVY_TAU).alias("is_boilerplate_heavy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DEDUP_STATS_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+    GREATEST(1, (length(text) - {CHUNK_OVERLAP} + {_STRIDE} - 1) // {_STRIDE})
+      AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, CAST(gs.i AS BIGINT) AS chunk_idx
+  FROM n CROSS JOIN LATERAL unnest(generate_series(0, n_chunks - 1)) AS gs(i)
+),
+ch AS (
+  SELECT doc_id,
+    CAST(length(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+         AS BIGINT) AS chunk_len,
+    md5(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+      AS chunk_hash
+  FROM c
+),
+hd AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk_hash
+)
+SELECT ch.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN hd.n_docs >= 2 AND ch.chunk_len >= {SPAN_MIN_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+  CAST(SUM(CASE WHEN hd.n_docs >= 2 AND ch.chunk_len >= {SPAN_MIN_LEN}
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_ratio,
+  (CAST(SUM(CASE WHEN hd.n_docs >= 2 AND ch.chunk_len >= {SPAN_MIN_LEN}
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) >= {SPAN_HEAVY_TAU}
+    AS is_boilerplate_heavy
+FROM ch JOIN hd ON ch.chunk_hash = hd.chunk_hash
+GROUP BY ch.doc_id
+ORDER BY ch.doc_id
+"""

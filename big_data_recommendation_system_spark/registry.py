@@ -167,6 +167,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "sequence_packing": packing.sequence_packing,
     "packing_summary": packing.packing_summary,
     "chunk_documents": packing.chunk_documents,
+    "span_dedup_stats": packing.span_dedup_stats,
     "balanced_sample": packing.balanced_sample,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
@@ -257,6 +258,7 @@ _PRIORITY_ORDER = [
     "knn_label_eval",  # new in r3; pytest-oracle-checked, rotate into the
     # window next round
     "corpus_shuffle",  # new in r3; pytest-oracle-checked, rotate next round
+    "span_dedup_stats",  # new in r3; pytest-oracle-checked, rotate next round
     "top_event_types_per_user",  # O3; green in r1, bumped by the two new
     # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
@@ -378,6 +380,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
     "packing_summary": packing.PACKING_SUMMARY_SQL,
     "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
+    "span_dedup_stats": packing.SPAN_DEDUP_STATS_SQL,
     "balanced_sample": packing.BALANCED_SAMPLE_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
