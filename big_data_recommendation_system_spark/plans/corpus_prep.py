@@ -426,3 +426,64 @@ FROM (
 )
 ORDER BY shuffle_rank
 """
+
+
+# --- token-budget subcorpus draw --------------------------------------------
+
+SAMPLE_TOKEN_BUDGET = 10_000
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw a deterministic subcorpus of ~SAMPLE_TOKEN_BUDGET tokens:
+    walk the corpus in the salted-shuffle order (corpus_shuffle) and keep
+    every document whose exclusive token prefix sum is still under the
+    budget — i.e. "the first N tokens' worth of the shuffled corpus".
+    The last kept document may straddle the budget (document-granular
+    draw; the loader truncates), mirroring sequence_packing's convention.
+
+    This is how a pinned-size training subcorpus ("a 10B-token slice")
+    is drawn reproducibly at 100 TB: no count(), no limit(), no driver
+    round-trip — membership is a pure function of (shuffle_key,
+    prefix_sum), both partitioning-independent. The prefix sum runs on
+    the range-repartition machinery (operators/ranking.py), so there is
+    no single-task window at any corpus size."""
+    from ..operators.ranking import PREFIX_COL, with_global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    pref = with_global_prefix_sum(docs, ["shuffle_key", "doc_id"], "n_tokens")
+    return (
+        pref.filter(F.col(PREFIX_COL) < SAMPLE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "shuffle_key",
+            "n_tokens",
+            F.col(PREFIX_COL).alias("tokens_before"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+    CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shuffle_key, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tokens_before
+  FROM t
+)
+SELECT doc_id, shuffle_key, n_tokens, tokens_before
+FROM p WHERE tokens_before < {SAMPLE_TOKEN_BUDGET}
+ORDER BY doc_id
+"""

@@ -162,6 +162,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "decontamination_report": corpus_prep.decontamination_report,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
+    "token_budget_sample": corpus_prep.token_budget_sample,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
     "sequence_packing": packing.sequence_packing,
@@ -259,6 +260,7 @@ _PRIORITY_ORDER = [
     # window next round
     "corpus_shuffle",  # new in r3; pytest-oracle-checked, rotate next round
     "span_dedup_stats",  # new in r3; pytest-oracle-checked, rotate next round
+    "token_budget_sample",  # new in r3; pytest-oracle-checked, rotate next round
     "top_event_types_per_user",  # O3; green in r1, bumped by the two new
     # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
@@ -375,6 +377,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
+    "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
