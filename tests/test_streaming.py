@@ -489,3 +489,122 @@ def test_stream_stream_attribution_join(spark, stream_env):
     assert n_got == n_expected
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_incremental_near_dup_streaming_batches(spark, stream_env, sf_dir_small):
+    """Continuous-ingestion form of incremental_near_dup: incoming docs
+    arrive across micro-batches; each batch's band keys join the STATIC
+    index band table (with corpus-wide stop-bucket statistics, i.e. the
+    maintained index state) and candidates are verified with the same
+    signature-agreement + exact-jaccard rule. The union over batches must
+    reproduce the batch operator's dup report exactly — one semantics,
+    two execution models."""
+    import json
+
+    from big_data_recommendation_system_spark.operators import text_dedup as td
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    is_batch = (
+        F.col("doc_id") % td.INCREMENTAL_BATCH_MOD == td.INCREMENTAL_BATCH_REM
+    )
+    # static state a production deployment would maintain: shingles,
+    # signatures, capped band table (stats over the full corpus)
+    d = td._shingled_docs(spark, sf_dir_small).cache()
+    sigs = td.minhash_signatures(d).cache()
+    bands = td.lsh_band_keys(sigs).cache()
+    small = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= td.MAX_BUCKET_SIZE)
+        .select("band", "band_key")
+    )
+    fband = bands.join(F.broadcast(small), ["band", "band_key"]).cache()
+    index_bands = fband.filter(~is_batch).cache()
+    index_bands.count()  # materialize the static state once
+
+    incoming_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir_small, "documents")
+        .filter(is_batch)
+        .select("doc_id")
+        .collect()
+    )
+    half = len(incoming_ids) // 2
+    src = os.path.join(stream_env["tmp"], "inc_dedup_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, ids in [("b0.json", incoming_ids[:half]), ("b1.json", incoming_ids[half:])]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"doc_id": i}) + "\n")
+
+    found: list[tuple[int, int, float]] = []
+
+    def handle(batch_df, _bid):
+        batch_bands = fband.join(
+            F.broadcast(batch_df.select("doc_id")), "doc_id"
+        )
+        cand = (
+            batch_bands.alias("x")
+            .join(
+                index_bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_key") == F.col("y.band_key")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.col("y.doc_id").alias("match_id"),
+            )
+            .distinct()
+        )
+        sa = sigs.select("doc_id", F.col("sig").alias("sig_a"))
+        sb = sigs.select(
+            F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b")
+        )
+        agreement = sum(
+            (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast(
+                "int"
+            )
+            for i in range(td.NUM_PERMS)
+        )
+        da = d.select("doc_id", F.col("sh").alias("sh_a"))
+        db = d.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        rows = (
+            cand.join(F.broadcast(sa), "doc_id")
+            .join(F.broadcast(sb), "match_id")
+            .filter(agreement >= td.MIN_SIG_AGREEMENT)
+            .join(da, "doc_id")
+            .join(db, "match_id")
+            .withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= td.JACCARD_THRESHOLD)
+            .select("doc_id", "match_id", "jaccard")
+            .collect()
+        )
+        found.extend((r.doc_id, r.match_id, r.jaccard) for r in rows)
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # roll the streamed pairs up like the operator and compare exactly
+    per_doc: dict[int, list[tuple[int, float]]] = {}
+    for doc, match, jac in found:
+        per_doc.setdefault(doc, []).append((match, jac))
+    got = {}
+    for doc, matches in per_doc.items():
+        best = sorted(matches, key=lambda m: (-m[1], m[0]))[0]
+        got[doc] = (len(matches), best[0], best[1])
+
+    want = {
+        r.doc_id: (r.n_matches, r.best_match_id, r.best_jaccard)
+        for r in td.incremental_near_dup(spark, sf_dir_small).collect()
+        if r.is_dup
+    }
+    assert got == want
