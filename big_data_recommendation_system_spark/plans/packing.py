@@ -393,3 +393,162 @@ FROM ch JOIN hd ON ch.chunk_hash = hd.chunk_hash
 GROUP BY ch.doc_id
 ORDER BY ch.doc_id
 """
+
+
+# --- corpus filter funnel ----------------------------------------------------
+
+# top-word share above this flags degenerate repetition (Gopher-style gate)
+FUNNEL_TOP_WORD_MAX = 0.2
+
+_FUNNEL_GATES = [
+    "length",          # word count outside [MIN_WORDS, MAX_WORDS]
+    "distinct_ratio",  # distinct-word ratio <= MIN_DISTINCT_RATIO
+    "top_word",        # most-frequent-word share > FUNNEL_TOP_WORD_MAX
+    "lang",            # language outside the known set
+    "boilerplate",     # cross-document shared-span ratio >= SPAN_HEAVY_TAU
+    "kept",
+]
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter funnel: classify every document by the FIRST
+    quality gate it fails (length → repetition → language → boilerplate)
+    and count documents per gate — the monitoring artifact a production
+    filtering pipeline publishes per snapshot, composing the engine's
+    quality signals (corpus_prep length/distinct gates, Gopher top-word
+    share, known-language set, span_dedup_stats boilerplate share).
+
+    One tokenize pass feeds the word gates; the top-word share is the
+    explode + two-level aggregation of doc_repetition_stats; the
+    boilerplate share joins the chunk-hash rollup. Output is one tiny
+    row per gate — at any corpus size the wide work is three hash-keyed
+    aggregations."""
+    from ..functions.text import LANG_STOPWORDS
+    from .corpus_prep import MAX_WORDS, MIN_DISTINCT_RATIO, MIN_WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("tok"))
+    base = t.select(
+        "doc_id",
+        "lang",
+        F.size("tok").alias("n_words"),
+        F.size(F.array_distinct("tok")).alias("n_distinct"),
+    )
+    top_word = (
+        t.select("doc_id", F.explode("tok").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    spans = span_dedup_stats(spark, sf_dir).select("doc_id", "shared_ratio")
+    known_langs = sorted(LANG_STOPWORDS)
+    joined = (
+        base.join(top_word, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                ~F.col("n_words").between(MIN_WORDS, MAX_WORDS), F.lit("length")
+            )
+            .when(
+                F.col("n_distinct").cast("double") / F.col("n_words")
+                <= MIN_DISTINCT_RATIO,
+                F.lit("distinct_ratio"),
+            )
+            .when(
+                F.coalesce("top_word_count", F.lit(0)).cast("double")
+                / F.col("n_words")
+                > FUNNEL_TOP_WORD_MAX,
+                F.lit("top_word"),
+            )
+            .when(~F.col("lang").isin(known_langs), F.lit("lang"))
+            .when(
+                F.coalesce("shared_ratio", F.lit(0.0)) >= SPAN_HEAVY_TAU,
+                F.lit("boilerplate"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("gate"),
+        )
+    )
+    stage = F.lit(None).cast("long")
+    for i, g in enumerate(reversed(_FUNNEL_GATES)):
+        stage = F.when(F.col("gate") == g, F.lit(len(_FUNNEL_GATES) - i)).otherwise(
+            stage
+        )
+    return (
+        joined.groupBy("gate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(stage.cast("long").alias("stage"), "gate", "n_docs")
+        .orderBy("stage")
+    )
+
+
+def _funnel_sql() -> str:
+    from ..functions.text import LANG_STOPWORDS
+    from .corpus_prep import MAX_WORDS, MIN_DISTINCT_RATIO, MIN_WORDS
+
+    langs = ", ".join(f"'{lang}'" for lang in sorted(LANG_STOPWORDS))
+    stage_case = "CASE " + " ".join(
+        f"WHEN gate = '{g}' THEN {i + 1}" for i, g in enumerate(_FUNNEL_GATES)
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tokens_sql()} AS tok FROM documents),
+base AS (
+  SELECT doc_id, lang, len(tok) AS n_words,
+    len(list_distinct(tok)) AS n_distinct
+  FROM t
+),
+w AS (SELECT doc_id, unnest(tok) AS w FROM t),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+tw AS (SELECT doc_id, MAX(c) AS top_word_count FROM wc GROUP BY doc_id),
+n AS (
+  SELECT doc_id, text,
+    GREATEST(1, (length(text) - {CHUNK_OVERLAP} + {_STRIDE} - 1) // {_STRIDE})
+      AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, CAST(gs.i AS BIGINT) AS chunk_idx
+  FROM n CROSS JOIN LATERAL unnest(generate_series(0, n_chunks - 1)) AS gs(i)
+),
+ch AS (
+  SELECT doc_id,
+    CAST(length(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+         AS BIGINT) AS chunk_len,
+    md5(substr(text, CAST(chunk_idx * {_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+      AS chunk_hash
+  FROM c
+),
+hd AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk_hash
+),
+spans AS (
+  SELECT ch.doc_id,
+    CAST(SUM(CASE WHEN hd.n_docs >= 2 AND ch.chunk_len >= {SPAN_MIN_LEN}
+                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_ratio
+  FROM ch JOIN hd ON ch.chunk_hash = hd.chunk_hash
+  GROUP BY ch.doc_id
+),
+flags AS (
+  SELECT base.doc_id,
+    CASE
+      WHEN NOT (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}) THEN 'length'
+      WHEN CAST(n_distinct AS DOUBLE) / n_words <= {MIN_DISTINCT_RATIO}
+        THEN 'distinct_ratio'
+      WHEN CAST(COALESCE(top_word_count, 0) AS DOUBLE) / n_words
+           > {FUNNEL_TOP_WORD_MAX} THEN 'top_word'
+      WHEN lang NOT IN ({langs}) THEN 'lang'
+      WHEN COALESCE(shared_ratio, 0.0) >= {SPAN_HEAVY_TAU} THEN 'boilerplate'
+      ELSE 'kept'
+    END AS gate
+  FROM base
+  LEFT JOIN tw ON tw.doc_id = base.doc_id
+  LEFT JOIN spans ON spans.doc_id = base.doc_id
+)
+SELECT CAST({stage_case} AS BIGINT) AS stage, gate, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM flags GROUP BY gate ORDER BY stage
+"""
+
+
+FILTER_FUNNEL_SQL = _funnel_sql()

@@ -169,6 +169,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "packing_summary": packing.packing_summary,
     "chunk_documents": packing.chunk_documents,
     "span_dedup_stats": packing.span_dedup_stats,
+    "filter_funnel_report": packing.filter_funnel_report,
     "balanced_sample": packing.balanced_sample,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
@@ -261,6 +262,7 @@ _PRIORITY_ORDER = [
     "corpus_shuffle",  # new in r3; pytest-oracle-checked, rotate next round
     "span_dedup_stats",  # new in r3; pytest-oracle-checked, rotate next round
     "token_budget_sample",  # new in r3; pytest-oracle-checked, rotate next round
+    "filter_funnel_report",  # new in r3; pytest-oracle-checked, rotate next round
     "top_event_types_per_user",  # O3; green in r1, bumped by the two new
     # r3 queries — rotate back in next round
     "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
@@ -384,6 +386,7 @@ ORACLES: dict[str, str] = {
     "packing_summary": packing.PACKING_SUMMARY_SQL,
     "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
     "span_dedup_stats": packing.SPAN_DEDUP_STATS_SQL,
+    "filter_funnel_report": packing.FILTER_FUNNEL_SQL,
     "balanced_sample": packing.BALANCED_SAMPLE_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
