@@ -204,9 +204,11 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # round 2, which need re-verification least. Rotate per round so every
 # query cycles through the checked window.
 _PRIORITY_ORDER = [
-    # -- (1) never driver-checked ------------------------------------------
-    "lang_id",
-    "doc_fingerprints",
+    # -- driver-checked window: the driver hash-checks the FIRST 50 entries.
+    # Round-3 rotation: every slot is (a) oracle-hashed (no rows-only query
+    # wastes a slot) and (b) a query with no prior driver-green row —
+    # never-checked LLM-pipeline additions first, then the round-2
+    # events-loader casualties that need their first green row.
     "bpe_token_stats",
     "vocab_df_stats",
     "daily_gapfill",
@@ -215,34 +217,27 @@ _PRIORITY_ORDER = [
     "corpus_split",
     "doc_repetition_stats",
     "corpus_prep_summary",
-    "decontamination_report",  # new in r3 — never driver-checked
+    "decontamination_report",
     "pii_scrub",
     "mixture_sample",
     "sequence_packing",
     "packing_summary",
     "chunk_documents",
     "balanced_sample",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "incremental_near_dup",  # new in r3 — never driver-checked
+    "incremental_near_dup",
     "near_dup_clusters",
     "simhash_near_dup_pairs",
-    "ann_cosine_topk",
-    "cosine_topk_agreement",  # oracle-hashed proxy for the fast path
-    "ann_ivf_topk",
+    "cosine_topk_agreement",
     "embedding_near_dup_pairs",
     "embedding_clusters",
-    "item_cooccurrence",
-    "als_recommendations",
+    "knn_label_eval",
+    "corpus_shuffle",
+    "span_dedup_stats",
+    "token_budget_sample",
+    "filter_funnel_report",
     "media_features",
-    "approx_distinct_daily",
     "users_without_purchase",
-    "orders_with_returns",
-    "small_quantity_revenue",
-    "events_with_last_signup",
-    "mllib_minhash_pairs",
-    # -- (2) errored in round 2 (events-loader bug, now fixed) -------------
-    "q12_late_shipment_priority",  # r2 hash mismatch (oracle dtype, fixed)
+    "q12_late_shipment_priority",
     "silver_events",
     "clean_clickstream",
     "dq_rule_stats",
@@ -255,32 +250,37 @@ _PRIORITY_ORDER = [
     "product_summary",
     "latest_event_per_user",
     "dedup_exact_events",
-    "purchases_with_prior_tier",
-    # ---- driver window ends here (50) ------------------------------------
-    "knn_label_eval",  # new in r3; pytest-oracle-checked, rotate into the
-    # window next round
-    "corpus_shuffle",  # new in r3; pytest-oracle-checked, rotate next round
-    "span_dedup_stats",  # new in r3; pytest-oracle-checked, rotate next round
-    "token_budget_sample",  # new in r3; pytest-oracle-checked, rotate next round
-    "filter_funnel_report",  # new in r3; pytest-oracle-checked, rotate next round
-    "top_event_types_per_user",  # O3; green in r1, bumped by the two new
-    # r3 queries — rotate back in next round
-    "simhash_fingerprints",  # same machinery as simhash_near_dup_pairs,
-    # which stays inside the window
-    "cosine_topk_fast",  # rows-only; correctness covered via the
-    # cosine_topk_agreement row inside the window
     "first_event_per_user_type_day",
+    "purchases_with_prior_tier",
     "dq_trend",
     "dq_daily_validity",
-    "daily_event_pivot",
     "cohort_retention",
     "daily_type_cube",
     "conversion_funnel",
     "view_purchase_attribution",
     "events_upsert_corrections",
+    # ---- driver window ends here (50) ------------------------------------
+    # r1-green / rows-only / r2-green queries: correctness carried by prior
+    # rounds + the pytest oracle suite; rotate into the window in r4.
     "user_tier_scd2",
+    "top_event_types_per_user",
     "trailing_hour_counts",
-    # -- (3) green in round 2 ----------------------------------------------
+    "daily_event_pivot",
+    "lang_id",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "item_cooccurrence",
+    "orders_with_returns",
+    "small_quantity_revenue",
+    "events_with_last_signup",
+    "simhash_fingerprints",
+    "als_recommendations",
+    "approx_distinct_daily",
+    "mllib_minhash_pairs",
+    "cosine_topk_fast",
     "q1_pricing_summary",
     "q2_min_price_supplier",
     "q3_shipping_priority",

@@ -704,8 +704,7 @@ def test_registry_window_integrity():
     names = list(QUERIES)
     window = names[:50]
     assert len(set(window)) == 50
-    rows_only_ok = {"als_recommendations", "approx_distinct_daily", "mllib_minhash_pairs"}
-    missing = [n for n in window if n not in ORACLES and n not in rows_only_ok]
+    missing = [n for n in window if n not in ORACLES]
     assert not missing, f"in-window queries without oracle: {missing}"
     # every oracle key must have a query (no orphan SQL)
     assert set(ORACLES) <= set(QUERIES)
