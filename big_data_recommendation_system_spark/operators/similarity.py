@@ -696,3 +696,102 @@ JOIN pred p ON p.query_id = e.vec_id
 WHERE e.vec_id < {KNN_EVAL_QUERIES}
 ORDER BY e.vec_id
 """
+
+
+# --- int8 embedding quantization ---------------------------------------------
+
+# Symmetric per-vector int8 range: q = round(x / scale), scale = max|x|/127.
+QUANT_LEVELS = 127
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x compression pass a vector store applies before indexing —
+    plus per-vector reconstruction-error stats to monitor quality drift.
+
+    Pure map stage: every output value is computed per row from the
+    vector alone (array max for the scale, element-wise round for the
+    codes, an ordered array fold for the L1 error), so the operator
+    scales linearly and shuffles nothing. Hash-discipline notes: scale
+    and max_abs_err are single IEEE ops on identical float32 inputs
+    (bit-identical across engines); the L1 sum is a per-row left
+    fold whose order is the array order on both engines (bit-identical
+    IEEE accumulation); round() ties away from zero in both Spark
+    (HALF_UP) and DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs)) / F.lit(float(QUANT_LEVELS))
+    q = F.when(F.col("scale") == 0.0, F.transform(F.col("xd"), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(F.col("xd"), lambda x: F.round(x / F.col("scale")).cast("long"))
+    )
+    # per-row array fold: the accumulation order is the array order on
+    # both engines (F.aggregate / list_reduce are left folds), so a plain
+    # IEEE double sum is bit-deterministic here — no partition-order
+    # hazard, unlike cross-row double sums which must go through decimal
+    err = F.aggregate(
+        F.col("xd"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("xd", xd)
+        .withColumn("scale", scale)
+        .withColumn("quantized", q)
+        .withColumn(
+            "l1_err",
+            F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(err),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+                F.array_max(
+                    F.transform(
+                        F.col("xd"),
+                        lambda x: F.abs(
+                            x - F.round(x / F.col("scale")) * F.col("scale")
+                        ),
+                    )
+                )
+            ),
+        )
+        .select(
+            "vec_id",
+            F.size("quantized").cast("long").alias("n_dims"),
+            "scale",
+            "quantized",
+            "l1_err",
+            "max_abs_err",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / {QUANT_LEVELS}.0
+      AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(len(xd) AS BIGINT) AS n_dims,
+  scale,
+  CASE WHEN scale = 0.0
+    THEN list_transform(xd, x -> CAST(0 AS BIGINT))
+    ELSE list_transform(xd, x -> CAST(round(x / scale) AS BIGINT))
+  END AS quantized,
+  CASE WHEN scale = 0.0 THEN 0.0 ELSE
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(xd, x -> abs(x - round(x / scale) * scale))),
+      (acc, x) -> acc + x)
+  END AS l1_err,
+  CASE WHEN scale = 0.0 THEN 0.0 ELSE
+    list_max(list_transform(xd, x -> abs(x - round(x / scale) * scale)))
+  END AS max_abs_err
+FROM base
+ORDER BY vec_id
+"""

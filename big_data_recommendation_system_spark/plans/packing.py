@@ -552,3 +552,80 @@ FROM flags GROUP BY gate ORDER BY stage
 
 
 FILTER_FUNNEL_SQL = _funnel_sql()
+
+
+# --- sentence-level exact dedup ----------------------------------------------
+
+# Minimum normalized sentence length for a cross-document match to count
+# (short fragments like "yes" would collide everywhere and drown the
+# signal — same reasoning as SPAN_MIN_LEN for chunk spans).
+SENT_MIN_CHARS = 20
+
+
+def sentence_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence-granular exact dedup report: split every
+    document into sentences (``[.!?]+`` terminators), normalize
+    (lower/trim, length >= SENT_MIN_CHARS), and report per document how
+    many of its sentences also occur verbatim in at least one OTHER
+    document — the signal C4's three-sentence-span rule and news
+    boilerplate filters act on. Complements span_dedup_stats, which works
+    on fixed-stride character chunks; sentences catch natural-boundary
+    copying (quotes, licenses, navigation text) that stride chunks
+    straddle.
+
+    Scale shape identical to span_dedup_stats: explode to (md5 | doc_id)
+    rows, one hash-keyed distinct-doc count, one join back, one per-doc
+    rollup — narrow keys end to end, no window, no skew hazard beyond
+    stop-sentences which the length gate already prunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.lower(F.trim(F.col("raw"))).alias("s"))
+        .filter(F.length("s") >= SENT_MIN_CHARS)
+        .select("doc_id", F.md5(F.col("s")).alias("sent_hash"))
+    )
+    hash_docs = sents.groupBy("sent_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    ratio = F.col("n_dup_sentences") / F.col("n_sentences")
+    return (
+        sents.join(hash_docs, "sent_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_sentences"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_dup_sentences",
+            ratio.alias("dup_sentence_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SENTENCE_DEDUP_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, md5(sent) AS sent_hash FROM (
+    SELECT doc_id, lower(trim(part)) AS sent
+    FROM documents,
+      LATERAL unnest(regexp_split_to_array(text, '[.!?]+')) AS u(part)
+  ) WHERE length(sent) >= {SENT_MIN_CHARS}
+),
+hd AS (
+  SELECT sent_hash, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY sent_hash
+)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_sentences,
+  CAST(SUM(CASE WHEN hd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_sentences,
+  CAST(SUM(CASE WHEN hd.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_sentence_ratio
+FROM s JOIN hd ON s.sent_hash = hd.sent_hash
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""

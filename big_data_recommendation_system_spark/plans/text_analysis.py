@@ -274,3 +274,110 @@ FROM cfa JOIN dfa ON cfa.token = dfa.token CROSS JOIN n
 ORDER BY doc_freq DESC, cfa.token ASC
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# --- corpus-frequency quality score ------------------------------------------
+
+# Corpus frequency at or below this marks a token "rare" — the
+# rare-token-ratio gate a CCNet-style quality pass applies in place of a
+# full LM perplexity score (the LM itself needs external model weights;
+# the corpus's own unigram statistics are the model here).
+RARE_CF_MAX = 2
+
+
+def rare_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-statistics quality score: join every token to
+    its corpus collection frequency and report token count, rare-token
+    count/ratio and mean token frequency. Low mean frequency or a high
+    rare ratio flags gibberish / OCR noise / wrong-tokenization docs —
+    the corpus-side stand-in for the CCNet perplexity gate (reference has
+    no text pipeline; this extends the engine's quality family).
+
+    Scale shape: one explode, one token-keyed count (map-side combined),
+    one hash join back on token, one doc-keyed rollup. All compared
+    ratios are single divisions of exact BIGINT aggregates, so the result
+    hash-matches the oracle at any partitioning (no float-sum ordering
+    anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    cf = words.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        words.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("cf") <= RARE_CF_MAX).cast("long")).alias(
+                "n_rare_tokens"
+            ),
+            F.sum("cf").alias("cf_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare_tokens",
+            (F.col("n_rare_tokens") / F.col("n_tokens")).alias("rare_ratio"),
+            (F.col("cf_sum") / F.col("n_tokens")).alias("avg_token_cf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+RARE_TOKEN_QUALITY_SQL = f"""{_DOCS_TOK_CTE}
+, w AS (SELECT doc_id, unnest(tok) AS token FROM t),
+cf AS (SELECT token, COUNT(*) AS cf FROM w GROUP BY token)
+SELECT w.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN cf.cf <= {RARE_CF_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rare_tokens,
+  CAST(SUM(CASE WHEN cf.cf <= {RARE_CF_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS rare_ratio,
+  CAST(SUM(cf.cf) AS DOUBLE) / COUNT(*) AS avg_token_cf
+FROM w JOIN cf ON w.token = cf.token
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language classifier against the
+    declared ``lang`` column: per (labeled, predicted) pair, document
+    count and share within the labeled language — the calibration
+    artifact a pipeline publishes before trusting lang-ID routing.
+
+    The window runs over the already-aggregated matrix (at most
+    |langs|+1 squared rows), so the share computation is driver-trivial
+    at any corpus size; counts are exact longs, the share a single
+    division."""
+    from pyspark.sql import Window
+
+    li = lang_id(spark, sf_dir)
+    counts = li.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return (
+        counts.withColumn("labeled_total", F.sum("n_docs").over(w))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("labeled_total")).alias("share_of_labeled"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+SELECT labeled_lang, predicted_lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS DOUBLE)
+    / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS share_of_labeled
+FROM ({LANG_ID_SQL}) li
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""

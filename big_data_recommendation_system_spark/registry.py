@@ -154,6 +154,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": text_analysis.doc_fingerprints,
     "bpe_token_stats": text_analysis.bpe_token_stats,
     "vocab_df_stats": text_analysis.vocab_df_stats,
+    "rare_token_quality": text_analysis.rare_token_quality,
+    "lang_confusion": text_analysis.lang_confusion,
+    "sentence_dedup_stats": packing.sentence_dedup_stats,
+    "embedding_quantize": similarity.embedding_quantize,
     "daily_gapfill": timeseries.daily_gapfill,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
@@ -260,6 +264,12 @@ _PRIORITY_ORDER = [
     "view_purchase_attribution",
     "events_upsert_corrections",
     # ---- driver window ends here (50) ------------------------------------
+    # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
+    # window next round
+    "rare_token_quality",
+    "lang_confusion",
+    "sentence_dedup_stats",
+    "embedding_quantize",
     # r1-green / rows-only / r2-green queries: correctness carried by prior
     # rounds + the pytest oracle suite; rotate into the window in r4.
     "user_tier_scd2",
@@ -371,6 +381,10 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": text_analysis.DOC_FINGERPRINTS_SQL,
     "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
     "vocab_df_stats": text_analysis.VOCAB_DF_STATS_SQL,
+    "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
+    "lang_confusion": text_analysis.LANG_CONFUSION_SQL,
+    "sentence_dedup_stats": packing.SENTENCE_DEDUP_STATS_SQL,
+    "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,

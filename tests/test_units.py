@@ -708,3 +708,84 @@ def test_registry_window_integrity():
     assert not missing, f"in-window queries without oracle: {missing}"
     # every oracle key must have a query (no orphan SQL)
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_embedding_quantize_invariants(spark, sf_dir_small):
+    """int8 code range, error bound (quantization error <= scale/2 per
+    dim by construction of round), and full-corpus coverage."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        QUANT_LEVELS,
+        embedding_quantize,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    out = embedding_quantize(spark, sf_dir_small)
+    rows = out.collect()
+    assert len(rows) == load_table(spark, sf_dir_small, "embeddings").count()
+    for r in rows:
+        assert r.n_dims == len(r.quantized)
+        assert all(abs(q) <= QUANT_LEVELS for q in r.quantized)
+        # per-dim error <= scale/2, so L1 <= n_dims * scale / 2
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        assert r.l1_err <= r.n_dims * r.scale / 2 + 1e-9
+
+
+def test_sentence_dedup_flags_copied_sentences(spark, sf_dir_small, tmp_path):
+    """A sentence occurring verbatim in >= 2 documents must be counted as
+    duplicated in every host document (case/whitespace-insensitively),
+    short fragments must be ignored, and ratios stay in [0, 1]."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        sentence_dedup_stats,
+    )
+
+    shared = "this sentence is copied between both documents verbatim"
+    docs = spark.createDataFrame(
+        [
+            (0, f"Unique opening line number zero. {shared}.", "en", "a", 1),
+            (1, f"{shared.upper()}!  A different unique closing line.", "en", "a", 1),
+            (2, "Nothing shared here at all, a fully unique doc.", "en", "a", 1),
+            (3, "tiny. bits. only.", "en", "a", 1),  # all below the length gate
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in sentence_dedup_stats(spark, str(tmp_path)).collect()}
+    assert 3 not in out  # every sentence under SENT_MIN_CHARS
+    assert out[0].n_sentences == 2 and out[0].n_dup_sentences == 1
+    assert out[1].n_sentences == 2 and out[1].n_dup_sentences == 1
+    assert out[2].n_dup_sentences == 0
+    for r in out.values():
+        assert 0 <= r.n_dup_sentences <= r.n_sentences
+        assert 0.0 <= r.dup_sentence_ratio <= 1.0
+    # the driver corpus runs clean end-to-end too
+    real = sentence_dedup_stats(spark, sf_dir_small).collect()
+    assert real and all(0.0 <= r.dup_sentence_ratio <= 1.0 for r in real)
+
+
+def test_rare_token_quality_bounds(spark, sf_dir_small):
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        rare_token_quality,
+    )
+
+    out = rare_token_quality(spark, sf_dir_small).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_rare_tokens <= r.n_tokens
+        assert 0.0 <= r.rare_ratio <= 1.0
+        # every token occurs at least once (itself)
+        assert r.avg_token_cf >= 1.0
+
+
+def test_lang_confusion_shares_sum_to_one(spark, sf_dir_small):
+    from collections import defaultdict
+
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        lang_confusion,
+    )
+
+    rows = lang_confusion(spark, sf_dir_small).collect()
+    by_label = defaultdict(float)
+    for r in rows:
+        by_label[r.labeled_lang] += r.share_of_labeled
+    for lang, total in by_label.items():
+        assert abs(total - 1.0) < 1e-9, (lang, total)
