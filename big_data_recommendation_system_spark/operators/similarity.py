@@ -795,3 +795,159 @@ SELECT vec_id,
 FROM base
 ORDER BY vec_id
 """
+
+
+# --- k-means (Lloyd) over embeddings -----------------------------------------
+
+# The IVF build path: refine the deterministic seed centroids (vectors
+# vec_id < IVF_CENTROIDS, the same seeds _ivf_assignments probes) with
+# Lloyd iterations. KMEANS_ITERS is small and fixed — at corpus scale
+# each iteration is one broadcast join + two hash aggregations.
+KMEANS_ITERS = 3
+
+
+def _kmeans_assign(dims: DataFrame, cdims: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vid, cid, dist_fp) with squared-L2
+    accumulated in 1e-12 fixed point — per-term round() ties away from
+    zero in BOTH engines (Spark HALF_UP, DuckDB round-half-away), unlike
+    double->DECIMAL casts which tie HALF_UP in Spark but HALF_EVEN in
+    DuckDB and flipped centroid hashes by 1 ulp. Integer sums are exact
+    and order-independent; ties break to the lowest centroid id."""
+    d = dims.join(F.broadcast(cdims), "pos")
+    sq = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+    dist = d.groupBy("vid", "cid").agg(
+        F.sum(F.round(sq * F.lit(1e12)).cast("long")).alias("dist_fp")
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("dist_fp"), F.asc("cid"))
+    return (
+        dist.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vid", "cid", "dist_fp")
+    )
+
+
+def _kmeans_new_centroids(assign: DataFrame, dims: DataFrame) -> DataFrame:
+    """Per-cluster mean in each dimension, 1e-12 fixed point: exact
+    integer sum, one double division chain at the end (deterministic
+    across engines and partition orders)."""
+    return (
+        assign.select("vid", "cid")
+        .join(dims, "vid")
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e12)).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / F.lit(1e12)
+            ).alias("cx")
+        )
+    )
+
+
+def _kmeans_stats(assign: DataFrame) -> DataFrame:
+    """Per-cluster member count + objective. The per-vid dist_fp longs
+    ride a DECIMAL(38,0) sum (integral input, so no rounding ambiguity;
+    plain BIGINT could overflow at corpus scale)."""
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.col("dist_fp").cast("decimal(38,0)")).cast("double")
+            / F.lit(1e12)
+        ).alias("objective"),
+    )
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration from the deterministic IVF seed centroids,
+    fully oracle-checked: per (cluster, dimension), the recomputed
+    centroid coordinate, plus the cluster's member count and squared-L2
+    objective (both in 1e-12 fixed point). This is the hash-verified
+    core the iterative kmeans_refine loop reuses — the assignment join,
+    the argmin tie-break, and the mean arithmetic are identical there.
+
+    Scale shape: centroid frame is K x dims rows (broadcast); the wide
+    work is one groupBy(vid, cid) distance aggregation and one
+    groupBy(cid, pos) mean — both map-side combined, shuffle keys
+    narrow."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(emb, "vid").cache()
+    cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    assign = _kmeans_assign(dims, cdims)
+    stats = _kmeans_stats(assign)
+    return (
+        _kmeans_new_centroids(assign, dims)
+        .join(F.broadcast(stats), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "pos",
+            F.col("cx").alias("centroid_val"),
+            "n_members",
+            "objective",
+        )
+        .orderBy("cluster_id", "pos")
+    )
+
+
+KMEANS_STEP_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS vid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), cdims AS (
+  SELECT vid AS cid, pos, x AS cx FROM dims WHERE vid < {IVF_CENTROIDS}
+), dist AS (
+  SELECT d.vid, c.cid,
+    SUM(CAST(round((d.x - c.cx) * (d.x - c.cx) * 1e12) AS BIGINT)) AS dist_fp
+  FROM dims d JOIN cdims c ON d.pos = c.pos
+  GROUP BY d.vid, c.cid
+), assign AS (
+  SELECT vid, cid, dist_fp FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vid ORDER BY dist_fp ASC, cid ASC
+    ) AS _r FROM dist
+  ) WHERE _r = 1
+), stats AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(CAST(dist_fp AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS objective
+  FROM assign GROUP BY cid
+), centroids AS (
+  SELECT a.cid, d.pos,
+    CAST(SUM(CAST(round(d.x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12
+      AS cx
+  FROM assign a JOIN dims d ON d.vid = a.vid
+  GROUP BY a.cid, d.pos
+)
+SELECT c.cid AS cluster_id, c.pos, c.cx AS centroid_val,
+       s.n_members, s.objective
+FROM centroids c JOIN stats s ON s.cid = c.cid
+ORDER BY cluster_id, pos
+"""
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS Lloyd iterations from the IVF seed centroids; returns
+    the final per-cluster summary (member count + exact squared-L2
+    objective). Iterative like connected_components/ALS: the loop is a
+    fixed small number of rounds, each round localCheckpoints the K x dims
+    centroid frame to truncate lineage (the frame is tiny — K*64 rows —
+    so the checkpoint cost is negligible while keeping the plan depth
+    constant). Rows-only driver check; the per-step math is the
+    hash-verified kmeans_step, and the objective's monotone descent is
+    pinned in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(emb, "vid").cache()
+    cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(dims, cdims)
+        cdims = _kmeans_new_centroids(assign, dims).localCheckpoint(eager=True)
+    return (
+        _kmeans_stats(assign)
+        .select(F.col("cid").alias("cluster_id"), "n_members", "objective")
+        .orderBy("cluster_id")
+    )

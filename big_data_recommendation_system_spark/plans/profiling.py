@@ -147,3 +147,104 @@ WHERE value IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- IQR outlier report ------------------------------------------------------
+
+# Tukey fence multiplier: values outside [q1 - K*iqr, q3 + K*iqr] are
+# outliers. 1.5 is the standard inner fence.
+IQR_FENCE_K = 1.5
+
+
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per event type: exact quartiles, the
+    derived [q1 - 1.5*IQR, q3 + 1.5*IQR] fences, and how many values
+    fall outside them — the distribution-drift signal a DQ pipeline
+    publishes next to the percentile profile.
+
+    Two aggregation passes over events (quartiles, then fence counts)
+    with the per-type fence frame broadcast back — the quartile frame
+    has |event_type| rows, so the join never shuffles the fact side.
+    Fence arithmetic is IEEE ops on identical interpolated quartiles,
+    deterministic across engines; at 100 TB swap the exact percentile
+    for percentile_approx exactly as value_percentiles_by_type
+    documents."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    fences = (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("q1"),
+            F.expr("percentile(value, 0.75)").alias("q3"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            (F.col("q1") - IQR_FENCE_K * (F.col("q3") - F.col("q1"))).alias(
+                "lo_fence"
+            ),
+            (F.col("q3") + IQR_FENCE_K * (F.col("q3") - F.col("q1"))).alias(
+                "hi_fence"
+            ),
+        )
+    )
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+            F.first("lo_fence").alias("lo_fence"),
+            F.first("hi_fence").alias("hi_fence"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo_fence"))
+                    | (F.col("value") > F.col("hi_fence"))
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "q1",
+            "q3",
+            "lo_fence",
+            "hi_fence",
+            "n_outliers",
+            (F.col("n_outliers") / F.col("n_values")).alias("outlier_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_SQL = f"""
+WITH fences AS (
+  SELECT event_type,
+    quantile_cont(value, 0.25) AS q1,
+    quantile_cont(value, 0.75) AS q3,
+    quantile_cont(value, 0.25)
+      - {IQR_FENCE_K} * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+      AS lo_fence,
+    quantile_cont(value, 0.75)
+      + {IQR_FENCE_K} * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+      AS hi_fence
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  ANY_VALUE(f.q1) AS q1,
+  ANY_VALUE(f.q3) AS q3,
+  ANY_VALUE(f.lo_fence) AS lo_fence,
+  ANY_VALUE(f.hi_fence) AS hi_fence,
+  CAST(SUM(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(SUM(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_ratio
+FROM events e JOIN fences f ON e.event_type = f.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

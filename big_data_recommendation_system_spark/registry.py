@@ -155,9 +155,12 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "bpe_token_stats": text_analysis.bpe_token_stats,
     "vocab_df_stats": text_analysis.vocab_df_stats,
     "rare_token_quality": text_analysis.rare_token_quality,
+    "value_outliers_by_type": profiling.value_outliers_by_type,
     "lang_confusion": text_analysis.lang_confusion,
     "sentence_dedup_stats": packing.sentence_dedup_stats,
     "embedding_quantize": similarity.embedding_quantize,
+    "kmeans_step": similarity.kmeans_step,
+    "kmeans_refine": similarity.kmeans_refine,
     "daily_gapfill": timeseries.daily_gapfill,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
@@ -267,9 +270,13 @@ _PRIORITY_ORDER = [
     # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
     # window next round
     "rare_token_quality",
+    "value_outliers_by_type",
     "lang_confusion",
     "sentence_dedup_stats",
     "embedding_quantize",
+    "kmeans_step",
+    "kmeans_refine",  # rows-only: iterative loop; per-step math is the
+    # hash-verified kmeans_step
     # r1-green / rows-only / r2-green queries: correctness carried by prior
     # rounds + the pytest oracle suite; rotate into the window in r4.
     "user_tier_scd2",
@@ -382,9 +389,11 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
     "vocab_df_stats": text_analysis.VOCAB_DF_STATS_SQL,
     "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
+    "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "lang_confusion": text_analysis.LANG_CONFUSION_SQL,
     "sentence_dedup_stats": packing.SENTENCE_DEDUP_STATS_SQL,
     "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
+    "kmeans_step": similarity.KMEANS_STEP_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,

@@ -789,3 +789,37 @@ def test_lang_confusion_shares_sum_to_one(spark, sf_dir_small):
         by_label[r.labeled_lang] += r.share_of_labeled
     for lang, total in by_label.items():
         assert abs(total - 1.0) < 1e-9, (lang, total)
+
+
+def test_kmeans_objective_monotone_descent(spark, sf_dir_small):
+    """Lloyd's algorithm never increases the squared-L2 objective; pin
+    that across KMEANS_ITERS iterations (tolerance covers the 1e-12
+    fixed-point quantization) and that every vector stays assigned."""
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        KMEANS_ITERS,
+        _dims,
+        _kmeans_assign,
+        _kmeans_new_centroids,
+        _kmeans_stats,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir_small, "embeddings")
+    n_vecs = emb.count()
+    dims = _dims(emb, "vid").cache()
+    cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    objectives = []
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(dims, cdims)
+        stats = _kmeans_stats(assign).collect()
+        assert sum(r.n_members for r in stats) == n_vecs
+        objectives.append(sum(r.objective for r in stats))
+        cdims = _kmeans_new_centroids(assign, dims).localCheckpoint(eager=True)
+    for prev, cur in zip(objectives, objectives[1:]):
+        assert cur <= prev + 1e-6, objectives
+    assert objectives[-1] < objectives[0]  # refinement actually moved
