@@ -381,3 +381,76 @@ FROM ({LANG_ID_SQL}) li
 GROUP BY labeled_lang, predicted_lang
 ORDER BY labeled_lang, predicted_lang
 """
+
+
+# --- per-document TF-IDF keywords --------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the TFIDF_TOP_K terms with the
+    highest tf * (N+1)/(df+1) score — the smoothed-idf variant whose
+    ratio form is IEEE-exact (same reasoning as vocab_df_stats: ln() is
+    not bit-stable across math libraries, the rational score is; the
+    ranking is identical either way since ln is monotone).
+
+    Scale shape: one explode -> (doc, token) counts (map-side combined),
+    a distinct-doc df rollup on the token key, a token-keyed hash join,
+    and a per-doc top-k window over |doc's distinct tokens| rows — never
+    over the corpus. Ties break score desc, then token asc, so the
+    output is deterministic and the window rank is hash-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    tf = (
+        t.select("doc_id", F.explode("tok").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * ((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("doc_freq") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term_rank", "token", "tf", "doc_freq", "score")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""{_DOCS_TOK_CTE}
+, tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS token FROM t)
+  GROUP BY doc_id, token
+),
+dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfr.doc_freq,
+    tf.tf * (CAST(n_docs + 1 AS DOUBLE) / (dfr.doc_freq + 1)) AS score
+  FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN n
+)
+SELECT doc_id, term_rank, token, tf, doc_freq, score
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC
+  ) AS BIGINT) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, term_rank
+"""

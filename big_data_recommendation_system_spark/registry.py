@@ -155,6 +155,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "bpe_token_stats": text_analysis.bpe_token_stats,
     "vocab_df_stats": text_analysis.vocab_df_stats,
     "rare_token_quality": text_analysis.rare_token_quality,
+    "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
     "lang_confusion": text_analysis.lang_confusion,
     "sentence_dedup_stats": packing.sentence_dedup_stats,
@@ -270,6 +271,7 @@ _PRIORITY_ORDER = [
     # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
     # window next round
     "rare_token_quality",
+    "tfidf_top_terms",
     "value_outliers_by_type",
     "lang_confusion",
     "sentence_dedup_stats",
@@ -389,6 +391,7 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
     "vocab_df_stats": text_analysis.VOCAB_DF_STATS_SQL,
     "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
+    "tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "lang_confusion": text_analysis.LANG_CONFUSION_SQL,
     "sentence_dedup_stats": packing.SENTENCE_DEDUP_STATS_SQL,
