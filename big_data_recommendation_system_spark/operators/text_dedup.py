@@ -775,3 +775,107 @@ LEFT JOIN (SELECT * FROM best WHERE _rn = 1) b ON i.doc_id = b.doc_id
 ORDER BY i.doc_id
 """
 )
+
+
+# --- shingle containment (subset-style duplication) --------------------------
+
+# Containment C(A,B) = |A ∩ B| / min(|A|,|B|): near 1.0 when the smaller
+# document is embedded in the larger — the quote/boilerplate-inclusion
+# case where jaccard stays LOW because the union is dominated by the big
+# document, so the LSH-for-jaccard path structurally under-recalls it.
+CONTAINMENT_THRESHOLD = 0.8
+# Stop-shingle cap: shingles occurring in more than this many documents
+# are dropped before the inverted-index self-join (same role as the LSH
+# stop-bucket cap — a boilerplate shingle shared by 10^6 docs would
+# otherwise emit 10^12 candidate rows). Containment is then defined over
+# the capped shingle sets, which the oracle mirrors exactly.
+CONTAINMENT_SHINGLE_MAX_DF = 64
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-style near-dup detection: document pairs whose capped
+    2-gram-shingle containment |A ∩ B| / min(|A|,|B|) reaches
+    CONTAINMENT_THRESHOLD, with both directionally-named sizes and the
+    shared count reported.
+
+    Scale shape — inverted index, NOT an all-pairs join: explode to
+    (shingle_hash, doc_id) rows, drop stop-shingles above the df cap,
+    self-join on the shingle key (candidate work scales with shared
+    content, like decontamination_report's shingle join), then one
+    (doc_a, doc_b) count and a broadcast-back of the per-doc capped set
+    sizes. Every compared value is an exact BIGINT or one final
+    division. Complements minhash_lsh_pairs: run both at corpus scale —
+    LSH for symmetric near-dups, this for asymmetric inclusion."""
+    d = _shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("h"))
+    capped = (
+        d.join(
+            d.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= CONTAINMENT_SHINGLE_MAX_DF)
+            .select("h"),
+            "h",
+        )
+    ).cache()  # feeds both self-join sides and the size rollup
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        capped.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(capped.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")).withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")).withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_shared", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SHINGLE_CONTAINMENT_SQL = f"""{_DOCS_SHINGLED_CTE}
+, e AS (
+  SELECT doc_id, md5(shingle) AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM d)
+),
+capped AS (
+  SELECT e.doc_id, e.h FROM e
+  JOIN (
+    SELECT h FROM e GROUP BY h
+    HAVING COUNT(*) <= {CONTAINMENT_SHINGLE_MAX_DF}
+  ) keep ON keep.h = e.h
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM capped GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, s.n_shared,
+  CAST(s.n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY s.doc_a, s.doc_b
+"""

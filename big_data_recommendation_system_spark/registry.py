@@ -159,6 +159,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "value_outliers_by_type": profiling.value_outliers_by_type,
     "lang_confusion": text_analysis.lang_confusion,
     "sentence_dedup_stats": packing.sentence_dedup_stats,
+    "shingle_containment_pairs": text_dedup.shingle_containment_pairs,
     "embedding_quantize": similarity.embedding_quantize,
     "kmeans_step": similarity.kmeans_step,
     "kmeans_refine": similarity.kmeans_refine,
@@ -275,6 +276,7 @@ _PRIORITY_ORDER = [
     "value_outliers_by_type",
     "lang_confusion",
     "sentence_dedup_stats",
+    "shingle_containment_pairs",
     "embedding_quantize",
     "kmeans_step",
     "kmeans_refine",  # rows-only: iterative loop; per-step math is the
@@ -395,6 +397,7 @@ ORACLES: dict[str, str] = {
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "lang_confusion": text_analysis.LANG_CONFUSION_SQL,
     "sentence_dedup_stats": packing.SENTENCE_DEDUP_STATS_SQL,
+    "shingle_containment_pairs": text_dedup.SHINGLE_CONTAINMENT_SQL,
     "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     "kmeans_step": similarity.KMEANS_STEP_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,

@@ -823,3 +823,37 @@ def test_kmeans_objective_monotone_descent(spark, sf_dir_small):
     for prev, cur in zip(objectives, objectives[1:]):
         assert cur <= prev + 1e-6, objectives
     assert objectives[-1] < objectives[0]  # refinement actually moved
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
+    """A small document fully embedded in a much larger one must be
+    flagged by shingle containment (C = 1.0) even though its jaccard is
+    far below the LSH threshold (union dominated by the big doc) — the
+    asymmetric-inclusion case this operator exists for."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} word{i + 1}" for i in range(0, 400, 2))
+    docs = spark.createDataFrame(
+        [
+            (0, small, "en", "a", len(small)),
+            (1, f"{filler} {small} {filler}", "en", "a", 1),
+            (2, "totally unrelated content about nothing shared", "en", "a", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        JACCARD_THRESHOLD,
+        shingle_containment_pairs,
+    )
+
+    rows = shingle_containment_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in pairs
+    hit = pairs[(0, 1)]
+    assert hit.containment == 1.0  # every small-doc shingle is in the big doc
+    jaccard = hit.n_shared / (hit.n_a + hit.n_b - hit.n_shared)
+    assert jaccard < JACCARD_THRESHOLD  # the jaccard/LSH path would miss it
+    assert not any(2 in p for p in pairs)
+    for r in rows:
+        assert r.n_shared <= min(r.n_a, r.n_b)
+        assert 0.0 < r.containment <= 1.0
