@@ -90,6 +90,26 @@ def shingles_sql(toks: str, n: int) -> str:
     )
 
 
+def ngrams(toks_name: str, n: int) -> Column:
+    """ALL word n-grams in order (NOT deduplicated — occurrence counts
+    need the repeats that ``shingles`` collapses)."""
+    if n == 1:
+        return F.col(toks_name)
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks_name}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks_name}, i, {n}), ' '))"
+    )
+
+
+def ngrams_sql(toks: str, n: int) -> str:
+    if n == 1:
+        return toks
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
 def stopword_hits_sql(toks: str, words: list[str]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks}, t -> t IN ({lst})))"

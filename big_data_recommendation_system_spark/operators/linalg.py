@@ -1,0 +1,172 @@
+"""Distributed dense linear algebra over the embedding column — the
+statistics a training pipeline runs on its vector spaces (drift checks,
+whitening, PCA compression decisions).
+
+The core pattern is the map-side matrix partial: each partition folds its
+rows into one 64×64 Gram-matrix partial (numpy, Arrow-batched), and only
+the tiny partials shuffle — the classic treeAggregate shape, expressed as
+``mapInPandas`` + a 4096-row final aggregation. Data crosses the wire
+once as K×K numbers per partition regardless of row count, which is the
+plan that survives 100 TB (the alternative — exploding (vec_id, i, x_i)
+and self-joining — is quadratic in K and shuffles N×K×K rows).
+
+Cross-engine determinism: inputs are quantized ONCE to 1e-6 fixed-point
+(Spark-side ``round`` and DuckDB ``round`` both tie half-away-from-zero
+— the rule established in SCALE.md), after which every aggregate is
+exact integer arithmetic under any partitioning; the single final
+division produces the float. int64 partials are safe to ~1e18 per
+partition (≈10M rows at this embedding scale); the cross-partition sums
+ride DECIMAL(38,0)-widened arithmetic for 100 TB headroom.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+EMBED_DIM = 64
+E_SCALE = 1_000_000  # 1e-6 input fixed-point
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT))"
+        ).alias("q")
+    )
+
+
+def _gram_partials(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n = 0
+    s = np.zeros(EMBED_DIM, dtype=np.int64)
+    ss = np.zeros((EMBED_DIM, EMBED_DIM), dtype=np.int64)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        n += X.shape[0]
+        s += X.sum(axis=0)
+        ss += X.T @ X
+    if n:
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean-centered covariance matrix of the embedding space,
+    upper triangle as (i, j, n_rows, ss_sum, cov). cov_ij =
+    (n·Σx_i x_j − Σx_i·Σx_j) / n² on the 1e-6-quantized inputs — the
+    numerator is exact integer, the one division is the only float op."""
+    partials = _quantized(spark, sf_dir).mapInPandas(
+        _gram_partials, schema="n bigint, s array<bigint>, ss array<bigint>"
+    )
+    partials = partials.cache()  # three tiny consumers, one data pass
+    n_tot = partials.agg(F.sum("n").alias("n_rows"))
+    s_tot = (
+        partials.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    ss_tot = (
+        partials.select(F.posexplode("ss").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("ss_sum"))
+        .select(
+            F.expr(f"CAST(p DIV {EMBED_DIM} AS INT)").alias("i"),
+            F.expr(f"CAST(p % {EMBED_DIM} AS INT)").alias("j"),
+            "ss_sum",
+        )
+        .filter(F.col("j") >= F.col("i"))
+    )
+    si = s_tot.select(F.col("i").alias("i"), F.col("s").alias("s_i"))
+    sj = s_tot.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    num = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("ss_sum")
+        - F.col("s_i").cast("decimal(20,0)") * F.col("s_j")
+    )
+    n_d = F.col("n_rows").cast("double")
+    return (
+        ss_tot.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "i",
+            "j",
+            "n_rows",
+            "ss_sum",
+            (
+                num.cast("double") / (n_d * n_d * F.lit(float(E_SCALE) ** 2))
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pos AS (SELECT CAST(i AS INTEGER) AS i FROM range({EMBED_DIM}) r(i)),
+tot AS (SELECT COUNT(*) AS n_rows FROM q),
+sums AS (SELECT i, SUM(qv[i + 1]) AS s FROM q, pos GROUP BY i),
+prods AS (
+  SELECT p1.i AS i, p2.i AS j, SUM(qv[p1.i + 1] * qv[p2.i + 1]) AS ss_sum
+  FROM q, pos p1, pos p2
+  WHERE p2.i >= p1.i
+  GROUP BY p1.i, p2.i
+)
+SELECT p.i, p.j, CAST(t.n_rows AS BIGINT) AS n_rows,
+  CAST(p.ss_sum AS BIGINT) AS ss_sum,
+  CAST(t.n_rows * p.ss_sum - a.s * b.s AS DOUBLE)
+    / (CAST(t.n_rows AS DOUBLE) * CAST(t.n_rows AS DOUBLE) * {float(E_SCALE) ** 2!r}) AS cov
+FROM prods p
+JOIN sums a ON a.i = p.i
+JOIN sums b ON b.i = p.j
+CROSS JOIN tot t
+ORDER BY p.i, p.j
+"""
+
+
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigen-spectrum of the covariance matrix: per principal component
+    the eigenvalue, explained-variance ratio and the cumulative curve —
+    the 'how many dimensions do we actually need' report.
+
+    The data pass is the distributed ``embedding_covariance``; only the
+    64×64 MATRIX is collected (4 KB — a model parameter, not data) and
+    the eigendecomposition runs driver-side in numpy, exactly how MLlib's
+    RowMatrix.computePrincipalComponents treats the Gramian. Rows-only
+    driver check (eigensolvers aren't SQL-expressible); pytest pins
+    trace preservation, non-negativity and descending order."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    mat = np.zeros((EMBED_DIM, EMBED_DIM))
+    for r in cov_rows:
+        mat[r["i"], r["j"]] = r["cov"]
+        mat[r["j"], r["i"]] = r["cov"]
+    eig = np.linalg.eigvalsh(mat)[::-1]  # descending
+    total = float(eig.sum())
+    rows = []
+    cum = 0.0
+    for k, v in enumerate(eig):
+        ratio = float(v) / total if total else 0.0
+        cum += ratio
+        rows.append((k, float(v), ratio, cum))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, cumulative_ratio double"
+    )

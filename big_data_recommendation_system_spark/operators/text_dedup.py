@@ -636,6 +636,63 @@ ORDER BY l.doc_id
 NEAR_DUP_CLUSTERS_SQL = _near_dup_clusters_sql()
 
 
+def dedup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *action*: per near-dup cluster, pick the survivor by a
+    content policy (longest text wins, ties to the lowest doc_id — i.e.
+    keep the most complete copy, not just the lowest id) and emit the
+    keep/drop plan every dropped document can trace to its survivor.
+    This is the step a training-data pipeline actually executes after
+    cluster detection — the reference's dedup (gold_pipeline.py:79-97
+    drop_duplicates) has no analogue for near-dups; policy-based
+    retention is the near-dup generalization of its keep-first rule.
+
+    Scale shape: the survivor per cluster is a map-side-combinable
+    max-of-struct aggregation (no window over the full corpus — robust
+    to one pathologically large cluster), joined back on cluster_id.
+    Everything is keyed on cluster_id/doc_id; nothing quadratic."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    sized = clusters.join(docs, "doc_id")
+    winners = (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_doc_id")
+                )
+            ).alias("w")
+        )
+        .select("cluster_id", (-F.col("w.neg_doc_id")).alias("kept_doc_id"))
+    )
+    return (
+        sized.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
+            "kept_doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_RETENTION_PLAN_SQL = f"""
+SELECT c.doc_id, c.cluster_id, c.cluster_size,
+  c.doc_id = w.kept_doc_id AS keep, w.kept_doc_id
+FROM ({NEAR_DUP_CLUSTERS_SQL}) c
+JOIN (
+  SELECT DISTINCT cluster_id,
+    FIRST_VALUE(doc_id) OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+    ) AS kept_doc_id
+  FROM ({NEAR_DUP_CLUSTERS_SQL}) cc JOIN documents d USING (doc_id)
+) w ON c.cluster_id = w.cluster_id
+ORDER BY c.doc_id
+"""
+
+
 # --- incremental near-dup (new batch vs indexed corpus) ----------------------
 
 # Deterministic batch membership: every 5th document plays the "incoming

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_STOPWORDS,
+    ngrams,
+    ngrams_sql,
     punct_ratio,
     punct_ratio_sql,
     shingles,
@@ -453,4 +455,56 @@ FROM (
 )
 WHERE term_rank <= {TFIDF_TOP_K}
 ORDER BY doc_id, term_rank
+"""
+
+
+# --- corpus-wide frequent n-gram mining -------------------------------------
+
+FREQ_NGRAM_N = 3
+FREQ_NGRAM_TOP_K = 100
+FREQ_NGRAM_MIN_OCC = 2
+
+
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-phrase mining: total occurrences (within-doc
+    repeats included — the signal `doc_repetition_stats` deliberately
+    collapses) and document frequency for every word 3-gram, top 100 by
+    occurrence count. The boilerplate/template detector of a
+    training-data pipeline (memorization-risk phrases, licence headers,
+    navigation chrome).
+
+    Scale shape: one explode linear in corpus tokens, a hash groupBy on
+    the gram (count is map-side combined; the distinct-doc count is
+    Spark's standard two-phase partial distinct), then TakeOrdered for
+    the global top-k — no full sort, no quadratic stage. A hot gram
+    skews its reduce key only after massive map-side collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    g = (
+        docs.withColumn("tok", tokens(F.col("text")))
+        .select("doc_id", F.explode(ngrams("tok", FREQ_NGRAM_N)).alias("gram"))
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= FREQ_NGRAM_MIN_OCC)
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), F.asc("gram"))
+        .limit(FREQ_NGRAM_TOP_K)
+    )
+
+
+FREQUENT_NGRAMS_SQL = f"""{_DOCS_TOK_CTE}
+, g AS (
+  SELECT doc_id, unnest({ngrams_sql("tok", FREQ_NGRAM_N)}) AS gram FROM t
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g
+GROUP BY gram
+HAVING COUNT(*) >= {FREQ_NGRAM_MIN_OCC}
+ORDER BY n_occ DESC, n_docs DESC, gram ASC
+LIMIT {FREQ_NGRAM_TOP_K}
 """

@@ -21,6 +21,7 @@ from .ml import similarity as ml_similarity
 from .operators import (
     asof,
     dedup,
+    linalg,
     merge,
     rangejoin,
     similarity,
@@ -196,6 +197,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
+    "dedup_retention_plan": text_dedup.dedup_retention_plan,
+    "frequent_ngrams": text_analysis.frequent_ngrams,
+    "embedding_covariance": linalg.embedding_covariance,
+    "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
     "users_without_purchase": joins.users_without_purchase,
     "orders_with_returns": joins.orders_with_returns,
@@ -271,6 +276,12 @@ _PRIORITY_ORDER = [
     # ---- driver window ends here (50) ------------------------------------
     # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
     # window next round
+    "dedup_retention_plan",
+    "frequent_ngrams",
+    "embedding_covariance",
+    "pca_explained_variance",  # rows-only: driver-side eigensolve of the
+    # collected 64×64 matrix; the data pass is the hash-verified
+    # embedding_covariance
     "rare_token_quality",
     "tfidf_top_terms",
     "value_outliers_by_type",
@@ -431,6 +442,9 @@ ORACLES: dict[str, str] = {
     "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
+    "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
+    "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
+    "embedding_covariance": linalg.EMBEDDING_COVARIANCE_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
     "small_quantity_revenue": joins.SMALL_QUANTITY_REVENUE_SQL,

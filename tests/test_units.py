@@ -857,3 +857,112 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
     for r in rows:
         assert r.n_shared <= min(r.n_a, r.n_b)
         assert 0.0 < r.containment <= 1.0
+
+
+def test_pca_spectrum_invariants(spark, sf_dir_small):
+    """Eigen-spectrum must preserve the covariance trace, be descending
+    and non-negative (covariance is PSD up to fp noise), and the
+    explained ratios must accumulate to exactly 1."""
+    from big_data_recommendation_system_spark.operators.linalg import (
+        embedding_covariance,
+        pca_explained_variance,
+    )
+
+    cov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(spark, sf_dir_small).collect()
+    }
+    trace = sum(cov[(i, i)] for i in range(64))
+    rows = pca_explained_variance(spark, sf_dir_small).collect()
+    assert len(rows) == 64
+    eig = [r["eigenvalue"] for r in rows]
+    assert abs(sum(eig) - trace) < 1e-9 * max(1.0, abs(trace))
+    assert all(eig[k] >= eig[k + 1] for k in range(63))
+    assert all(v >= -1e-12 for v in eig)
+    assert abs(rows[-1]["cumulative_ratio"] - 1.0) < 1e-9
+
+
+def test_dedup_retention_keeps_longest_per_cluster(spark, sf_dir_small):
+    """Exactly one survivor per cluster; the survivor is a member of its
+    own cluster and has the maximal n_chars (ties to lowest doc_id);
+    singletons keep themselves."""
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        dedup_retention_plan,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    plan = dedup_retention_plan(spark, sf_dir_small).cache()
+    per_cluster = (
+        plan.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.countDistinct("kept_doc_id").alias("n_kept_ids"),
+        )
+        .collect()
+    )
+    assert all(r["n_keep"] == 1 and r["n_kept_ids"] == 1 for r in per_cluster)
+    docs = load_table(spark, sf_dir_small, "documents").select(
+        "doc_id", "n_chars"
+    )
+    joined = plan.join(docs, "doc_id")
+    best = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("m")
+    )
+    bad = (
+        joined.filter("keep")
+        .join(best, "cluster_id")
+        .filter(
+            (F.col("n_chars") != F.col("m.n_chars"))
+            | (F.col("doc_id") != -F.col("m.neg"))
+        )
+        .count()
+    )
+    assert bad == 0
+    singleton_selfkeep = (
+        plan.filter("cluster_size = 1")
+        .filter(~F.col("keep") | (F.col("kept_doc_id") != F.col("doc_id")))
+        .count()
+    )
+    assert singleton_selfkeep == 0
+
+
+def test_frequent_ngrams_counts_within_doc_repeats(spark, tmp_path):
+    """Occurrence count must include within-doc repeats (what shingle
+    dedup collapses) and doc frequency must not."""
+    import os
+
+    import pandas as pd
+
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        frequent_ngrams,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma alpha beta gamma",  # phrase twice in one doc
+                "alpha beta gamma delta",
+                "nothing shared here at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [33, 22, 26],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        src = os.path.join("/root/testdata/sf0.001", f"{t}.parquet")
+        dst = os.path.join(d, f"{t}.parquet")
+        os.symlink(src, dst)
+    out = {
+        r["gram"]: (r["n_occ"], r["n_docs"])
+        for r in frequent_ngrams(spark, d).collect()
+    }
+    assert out["alpha beta gamma"] == (3, 2)
