@@ -693,6 +693,43 @@ ORDER BY c.doc_id
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup report: documents, survivors, drops and the drop
+    rate after executing the retention plan — the 'which feeds are
+    duplicating' dashboard a corpus pipeline watches. Pure rollup over
+    the retention plan joined with the (already-loaded) source column;
+    adds one narrow-key aggregation to the cluster pipeline."""
+    plan = dedup_retention_plan(spark, sf_dir).select("doc_id", "keep")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        plan.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            (
+                F.sum((~F.col("keep")).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = f"""
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN p.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN p.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN p.keep THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS drop_rate
+FROM ({DEDUP_RETENTION_PLAN_SQL}) p
+JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # --- incremental near-dup (new batch vs indexed corpus) ----------------------
 
 # Deterministic batch membership: every 5th document plays the "incoming

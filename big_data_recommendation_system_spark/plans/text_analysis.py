@@ -508,3 +508,118 @@ HAVING COUNT(*) >= {FREQ_NGRAM_MIN_OCC}
 ORDER BY n_occ DESC, n_docs DESC, gram ASC
 LIMIT {FREQ_NGRAM_TOP_K}
 """
+
+
+# --- filter-calibration threshold sweep -------------------------------------
+
+QUALITY_SWEEP_THRESHOLDS = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration curve: for each candidate quality-score
+    threshold, how many documents and tokens survive. This is the sweep
+    a pipeline runs BEFORE committing to a cutoff — picking a threshold
+    from one aggregate run instead of re-scanning the corpus per guess.
+
+    Scale shape: the per-doc stats pass runs once; the tiny threshold
+    grid cross-joins against the aggregated doc frame (N×10 rows,
+    map-side combined down to 10). Nothing rescans the corpus."""
+    stats = text_stats(spark, sf_dir).select("n_tokens", "quality_score")
+    grid = spark.createDataFrame(
+        [(t,) for t in QUALITY_SWEEP_THRESHOLDS], "threshold double"
+    )
+    survives = F.col("quality_score") >= F.col("threshold")
+    return (
+        stats.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(survives.cast("long")).alias("n_docs_surviving"),
+            F.sum(F.when(survives, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "n_tokens_surviving"
+            ),
+            (F.sum(survives.cast("long")).cast("double") / F.count(F.lit(1))).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+_SWEEP_GRID_SQL = ", ".join(repr(t) for t in QUALITY_SWEEP_THRESHOLDS)
+
+QUALITY_THRESHOLD_SWEEP_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+grid AS (SELECT unnest([{_SWEEP_GRID_SQL}]) AS threshold)
+SELECT threshold,
+  CAST(SUM(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_surviving,
+  CAST(SUM(CASE WHEN quality_score >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_surviving,
+  CAST(SUM(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS doc_share
+FROM stats CROSS JOIN grid
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+# --- BPE merge-step pair counting -------------------------------------------
+
+BPE_PAIR_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting phase of one BPE tokenizer-training step: corpus
+    word frequencies, words split to character symbols, adjacent-pair
+    counts weighted by word frequency, top 50 merge candidates. The
+    full training loop repeats this after each merge; the per-step
+    map-reduce here (explode → groupBy word → explode pairs → groupBy
+    pair) is the distributed form that scales to corpus size.
+
+    Scale shape: word-frequency rollup first (the corpus collapses to
+    its vocabulary — orders of magnitude smaller), pair explode runs
+    over the VOCAB weighted by freq, not over raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = (
+        docs.withColumn("tok", tokens(F.col("text")))
+        .select(F.explode("tok").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(word) - 1, 0)), "
+                "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("n_weighted"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
+        .orderBy(F.desc("n_weighted"), F.asc("pair"))
+        .limit(BPE_PAIR_TOP_K)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""{_DOCS_TOK_CTE}
+, words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(tok) AS word FROM t)
+  GROUP BY word
+),
+pairs AS (
+  SELECT freq,
+    unnest(list_transform(range(1, greatest(length(word) - 1, 0) + 1),
+      i -> word[i] || ' ' || word[i + 1])) AS pair
+  FROM words
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_weighted,
+  CAST(COUNT(*) AS BIGINT) AS n_vocab_positions
+FROM pairs
+GROUP BY pair
+ORDER BY n_weighted DESC, pair ASC
+LIMIT {BPE_PAIR_TOP_K}
+"""

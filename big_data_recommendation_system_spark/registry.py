@@ -198,7 +198,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
+    "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "frequent_ngrams": text_analysis.frequent_ngrams,
+    "quality_threshold_sweep": text_analysis.quality_threshold_sweep,
+    "bpe_pair_counts": text_analysis.bpe_pair_counts,
     "embedding_covariance": linalg.embedding_covariance,
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
@@ -277,7 +280,10 @@ _PRIORITY_ORDER = [
     # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
     # window next round
     "dedup_retention_plan",
+    "dedup_rate_by_source",
     "frequent_ngrams",
+    "quality_threshold_sweep",
+    "bpe_pair_counts",
     "embedding_covariance",
     "pca_explained_variance",  # rows-only: driver-side eigensolve of the
     # collected 64×64 matrix; the data pass is the hash-verified
@@ -443,7 +449,10 @@ ORACLES: dict[str, str] = {
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
+    "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
+    "quality_threshold_sweep": text_analysis.QUALITY_THRESHOLD_SWEEP_SQL,
+    "bpe_pair_counts": text_analysis.BPE_PAIR_COUNTS_SQL,
     "embedding_covariance": linalg.EMBEDDING_COVARIANCE_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
