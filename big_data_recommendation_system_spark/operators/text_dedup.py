@@ -730,6 +730,50 @@ ORDER BY d.source
 """
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source near-dup pair counts — which feeds copy from each
+    other (vs duplicate internally). Pair endpoints join to their source
+    and the unordered source pair is canonicalized with least/greatest
+    so (a,b) and (b,a) land in one cell. The doc→source join is a
+    broadcast of the (tiny) pair frame against the dimension at test
+    scale and a hash join on doc_id at corpus scale; the matrix rollup
+    is |sources|² at most."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+CROSS_SOURCE_DUP_MATRIX_SQL = (
+    minhash_pairs_cte()
+    + """
+SELECT least(da.source, db.source) AS source_lo,
+  greatest(da.source, db.source) AS source_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+ORDER BY source_lo, source_hi
+"""
+)
+
+
 # --- incremental near-dup (new batch vs indexed corpus) ----------------------
 
 # Deterministic batch membership: every 5th document plays the "incoming

@@ -207,3 +207,61 @@ FROM staged
 GROUP BY day
 ORDER BY day
 """
+
+
+# --- top event-type paths ---------------------------------------------------
+
+PATH_PREFIX_LEN = 5
+PATH_TOP_K = 50
+
+
+def session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common ordered event-type sequences (first
+    5 events per user-day, '>'-joined), with how many user-days follow
+    each path — the navigation-flow view behind funnel design, which the
+    reference's per-step conversion_funnel collapses away.
+
+    Plan shape: ONE hash aggregation on (user_id, day) building the
+    ordered array map-side (collect_list + array_sort inside the agg —
+    per-group data only, never a corpus-wide window), then a tiny
+    (path, count) rollup and TakeOrdered. Ties are broken by event_id so
+    the path string is deterministic under any partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id", "event_type").alias("s"),
+    )
+    per_day = e.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice("seq", 1, PATH_PREFIX_LEN), lambda x: x["event_type"]
+        ),
+        ">",
+    )
+    return (
+        per_day.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_FUNNEL_PATHS_SQL = f"""
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    array_to_string(
+      list_slice(list(event_type ORDER BY ts, event_id), 1, {PATH_PREFIX_LEN}),
+      '>') AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM per_day
+GROUP BY path
+ORDER BY n_user_days DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""

@@ -199,6 +199,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "media_features": multimodal.media_features,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
+    "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
+    "session_funnel_paths": retention.session_funnel_paths,
     "frequent_ngrams": text_analysis.frequent_ngrams,
     "quality_threshold_sweep": text_analysis.quality_threshold_sweep,
     "bpe_pair_counts": text_analysis.bpe_pair_counts,
@@ -281,6 +283,8 @@ _PRIORITY_ORDER = [
     # window next round
     "dedup_retention_plan",
     "dedup_rate_by_source",
+    "cross_source_dup_matrix",
+    "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
     "bpe_pair_counts",
@@ -450,6 +454,8 @@ ORACLES: dict[str, str] = {
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
+    "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
+    "session_funnel_paths": retention.SESSION_FUNNEL_PATHS_SQL,
     "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
     "quality_threshold_sweep": text_analysis.QUALITY_THRESHOLD_SWEEP_SQL,
     "bpe_pair_counts": text_analysis.BPE_PAIR_COUNTS_SQL,
