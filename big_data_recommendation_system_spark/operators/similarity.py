@@ -951,3 +951,86 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").alias("cluster_id"), "n_members", "objective")
         .orderBy("cluster_id")
     )
+
+
+# --- cluster quality: label purity ------------------------------------------
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation against the labeled embeddings:
+    assign every vector to its nearest seed centroid (the deterministic
+    step-1 assignment shared with kmeans_step — same fixed-point argmin,
+    same tie-break) and report per cluster the size, the majority label
+    (ties to the lowest label id) and the purity share. The standard
+    'does the vector space separate the classes' check run before
+    trusting embeddings for dedup or sampling decisions.
+
+    Scale shape: one broadcast-centroid distance agg (map-side combined)
+    + two narrow rollups on (cid,label)/(cid); nothing wider than the
+    assignment shuffle already paid by kmeans_step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(emb, "vid").cache()
+    cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    assign = _kmeans_assign(dims, cdims).select("vid", "cid")
+    lab = emb.select(F.col("vec_id").alias("vid"), "label")
+    counts = (
+        assign.join(lab, "vid")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    major = (
+        counts.groupBy("cid")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
+            ).alias("m"),
+            F.sum("cnt").alias("n_members"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            (-F.col("m.neg_label")).cast("int").alias("majority_label"),
+            F.col("m.cnt").alias("n_majority"),
+            (F.col("m.cnt").cast("double") / F.col("n_members")).alias(
+                "purity"
+            ),
+        )
+    )
+    return major.orderBy("cluster_id")
+
+
+CLUSTER_LABEL_PURITY_SQL = f"""
+WITH dims AS (
+  SELECT vec_id AS vid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), cdims AS (
+  SELECT vid AS cid, pos, x AS cx FROM dims WHERE vid < {IVF_CENTROIDS}
+), dist AS (
+  SELECT d.vid, c.cid,
+    SUM(CAST(round((d.x - c.cx) * (d.x - c.cx) * 1e12) AS BIGINT)) AS dist_fp
+  FROM dims d JOIN cdims c ON d.pos = c.pos
+  GROUP BY d.vid, c.cid
+), assign AS (
+  SELECT vid, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vid ORDER BY dist_fp ASC, cid ASC
+    ) AS _r FROM dist
+  ) WHERE _r = 1
+), counts AS (
+  SELECT a.cid, e.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vid
+  GROUP BY a.cid, e.label
+), ranked AS (
+  SELECT cid, label, cnt,
+    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cnt DESC, label ASC) AS _r,
+    SUM(cnt) OVER (PARTITION BY cid) AS n_members
+  FROM counts
+)
+SELECT cid AS cluster_id, CAST(n_members AS BIGINT) AS n_members,
+  CAST(label AS INTEGER) AS majority_label, cnt AS n_majority,
+  CAST(cnt AS DOUBLE) / n_members AS purity
+FROM ranked WHERE _r = 1
+ORDER BY cluster_id
+"""

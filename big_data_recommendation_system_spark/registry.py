@@ -194,6 +194,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "embedding_clusters": similarity.embedding_clusters,
     "knn_label_eval": similarity.knn_label_eval,
+    "cluster_label_purity": similarity.cluster_label_purity,
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
@@ -289,6 +290,7 @@ _PRIORITY_ORDER = [
     "quality_threshold_sweep",
     "bpe_pair_counts",
     "embedding_covariance",
+    "cluster_label_purity",
     "pca_explained_variance",  # rows-only: driver-side eigensolve of the
     # collected 64×64 matrix; the data pass is the hash-verified
     # embedding_covariance
@@ -450,6 +452,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
     "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
     "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
+    "cluster_label_purity": similarity.CLUSTER_LABEL_PURITY_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
