@@ -21,6 +21,7 @@ from .ml import similarity as ml_similarity
 from .operators import (
     asof,
     dedup,
+    graph,
     linalg,
     merge,
     rangejoin,
@@ -201,6 +202,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
+    "dup_graph_pagerank": graph.dup_graph_pagerank,
+    "dup_graph_degrees": graph.dup_graph_degrees,
     "session_funnel_paths": retention.session_funnel_paths,
     "frequent_ngrams": text_analysis.frequent_ngrams,
     "quality_threshold_sweep": text_analysis.quality_threshold_sweep,
@@ -285,6 +288,8 @@ _PRIORITY_ORDER = [
     "dedup_retention_plan",
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
+    "dup_graph_pagerank",
+    "dup_graph_degrees",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -458,6 +463,8 @@ ORACLES: dict[str, str] = {
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
+    "dup_graph_pagerank": graph.DUP_GRAPH_PAGERANK_SQL,
+    "dup_graph_degrees": graph.DUP_GRAPH_DEGREES_SQL,
     "session_funnel_paths": retention.SESSION_FUNNEL_PATHS_SQL,
     "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
     "quality_threshold_sweep": text_analysis.QUALITY_THRESHOLD_SWEEP_SQL,

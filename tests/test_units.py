@@ -966,3 +966,31 @@ def test_frequent_ngrams_counts_within_doc_repeats(spark, tmp_path):
         for r in frequent_ngrams(spark, d).collect()
     }
     assert out["alpha beta gamma"] == (3, 2)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir_small):
+    """Ranks must stay positive and sum to ~1 (teleport + damping
+    conserve mass up to the 1e-12 fixed-point rounding per node)."""
+    from big_data_recommendation_system_spark.operators.graph import (
+        dup_graph_pagerank,
+    )
+
+    rows = dup_graph_pagerank(spark, sf_dir_small).collect()
+    assert rows, "pair graph should be non-empty at sf0.001"
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6 * len(rows) + 1e-9
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_dup_graph_degrees_consistent_with_pairs(spark, sf_dir_small):
+    """Σ(degree × n_docs) must equal 2×|pairs| (handshake lemma)."""
+    from big_data_recommendation_system_spark.operators.graph import (
+        dup_graph_degrees,
+    )
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n_pairs = minhash_lsh_pairs(spark, sf_dir_small).count()
+    rows = dup_graph_degrees(spark, sf_dir_small).collect()
+    assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * n_pairs
