@@ -1017,3 +1017,62 @@ WHERE CAST(s.n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)
       >= {CONTAINMENT_THRESHOLD}
 ORDER BY s.doc_a, s.doc_b
 """
+
+
+# --- LSH recall calibration --------------------------------------------------
+
+
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall calibration for the banded-LSH detector: on the bounded
+    audit slice where exact all-pairs jaccard is affordable, bucket the
+    true pairs by jaccard decile and report how many the LSH pipeline
+    detected — the report that justifies (or re-tunes) NUM_PERMS /
+    LSH_BANDS before a 100 TB run. The S-curve should show recall
+    rising toward 1.0 well above the 0.4 threshold.
+
+    Cost is the audit slice (quadratic side) + the LSH pipeline filtered
+    to the same slice; the join is on (doc_a, doc_b) pair keys."""
+    exact = ngram_jaccard_pairs(spark, sf_dir)
+    detected = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(
+            (F.col("doc_a") < EXACT_PAIRS_MAX_DOC_ID)
+            & (F.col("doc_b") < EXACT_PAIRS_MAX_DOC_ID)
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+    binned = exact.join(detected, ["doc_a", "doc_b"], "left").select(
+        (
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("double")
+            / 10.0
+        ).alias("jaccard_bin"),
+        "hit",
+    )
+    return (
+        binned.groupBy("jaccard_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_detected"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+        .orderBy("jaccard_bin")
+    )
+
+
+LSH_RECALL_REPORT_SQL = f"""
+WITH e AS (SELECT * FROM ({NGRAM_JACCARD_PAIRS_SQL})),
+m AS (
+  SELECT doc_a, doc_b, 1 AS hit FROM ({MINHASH_LSH_PAIRS_SQL})
+  WHERE doc_a < {EXACT_PAIRS_MAX_DOC_ID} AND doc_b < {EXACT_PAIRS_MAX_DOC_ID}
+)
+SELECT LEAST(floor(e.jaccard * 10), 9) / 10 AS jaccard_bin,
+  CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+  CAST(SUM(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+  CAST(SUM(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+FROM e LEFT JOIN m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+GROUP BY LEAST(floor(e.jaccard * 10), 9) / 10
+ORDER BY jaccard_bin
+"""

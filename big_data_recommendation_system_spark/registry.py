@@ -203,6 +203,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
     "dup_graph_pagerank": graph.dup_graph_pagerank,
+    "lsh_recall_report": text_dedup.lsh_recall_report,
     "dup_graph_degrees": graph.dup_graph_degrees,
     "session_funnel_paths": retention.session_funnel_paths,
     "frequent_ngrams": text_analysis.frequent_ngrams,
@@ -290,6 +291,7 @@ _PRIORITY_ORDER = [
     "cross_source_dup_matrix",
     "dup_graph_pagerank",
     "dup_graph_degrees",
+    "lsh_recall_report",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -464,6 +466,7 @@ ORACLES: dict[str, str] = {
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
     "dup_graph_pagerank": graph.DUP_GRAPH_PAGERANK_SQL,
+    "lsh_recall_report": text_dedup.LSH_RECALL_REPORT_SQL,
     "dup_graph_degrees": graph.DUP_GRAPH_DEGREES_SQL,
     "session_funnel_paths": retention.SESSION_FUNNEL_PATHS_SQL,
     "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
