@@ -54,14 +54,29 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ed = edges.join(deg, "src").cache()  # (src, dst, out_deg), reused per round
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
-    n = nodes.count()
-    teleport_fp = F.round(F.lit(0.15) * F.lit(float(_FP)) / F.lit(n)).cast(
-        "long"
+    # n as a broadcast 1-row frame (exactly the SQL's CROSS JOIN n), NOT a
+    # driver-side count(): a .count() action here would execute the whole
+    # LSH pipeline once extra just to fetch a scalar.
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    teleport_fp = F.round(
+        F.lit(0.15) * F.lit(float(_FP)) / F.col("n_nodes")
+    ).cast("long")
+    # lazy localCheckpoints: lineage/attribute-id isolation per round
+    # without an eager materialization job each — the iteration count is
+    # FIXED (no convergence action), so the whole 3-round DAG executes
+    # as one job at the final action. The convergence-checked CC loop
+    # can't do this (it needs a result per round); a fixed-round message
+    # pass can.
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.round(F.lit(float(_FP)) / F.col("n_nodes"))
+            .cast("long")
+            .alias("fp"),
+        )
+        .localCheckpoint(eager=False)
     )
-    ranks = nodes.select(
-        "node",
-        F.round(F.lit(float(_FP)) / F.lit(n)).cast("long").alias("fp"),
-    ).localCheckpoint()
     for _ in range(PAGERANK_ITERS):
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
@@ -71,6 +86,7 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
                 (
@@ -80,7 +96,7 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("fp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         F.col("node").alias("doc_id"),
