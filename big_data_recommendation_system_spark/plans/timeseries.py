@@ -103,3 +103,89 @@ FROM spine s LEFT JOIN daily d
   ON s.event_type = d.event_type AND s.day = d.day
 ORDER BY s.event_type, s.day
 """
+
+
+# --- burst detection --------------------------------------------------------
+
+BURST_TRAIL_DAYS = 7
+BURST_MIN_TRAIL = 3
+BURST_Z = 2.0
+
+
+def daily_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending/anomaly detection: per (event_type, day), the z-score of
+    the day's event count against the trailing window of up to 7 prior
+    OBSERVED days (row frame — gap days are the gapfill operator's
+    concern), flagged when z ≥ 2. Days with fewer than 3 trailing
+    observations emit NULL (no baseline), as does a zero-variance trail.
+
+    Determinism: z = (k·x − Σx)/√(k·Σx² − (Σx)²) — the numerator and
+    the radicand are exact integer window sums, so the only float ops
+    are one sqrt and one division (bit-deterministic IEEE in both
+    engines under any partitioning).
+
+    Scale shape: one full-data rollup on (event_type, day); the window
+    runs over the rolled-up frame — |types| × |days| calendar-bounded
+    rows, same argument as dq_trend/gapfill."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-BURST_TRAIL_DAYS, -1)
+    )
+    k = F.count(F.lit(1)).over(w)
+    sx = F.sum("n_events").over(w)
+    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    var_num = k * sxx - sx * sx
+    z = F.when(
+        (k >= BURST_MIN_TRAIL) & (var_num > 0),
+        (k * F.col("n_events") - sx).cast("double")
+        / F.sqrt(var_num.cast("double")),
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n_events",
+            k.cast("long").alias("trail_days"),
+            F.coalesce(sx, F.lit(0)).cast("long").alias("trail_sum"),
+            z.alias("burst_z"),
+            (z >= BURST_Z).alias("is_burst"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_BURST_DETECTION_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, day, n_events,
+    COUNT(*) OVER w AS k,
+    SUM(n_events) OVER w AS sx,
+    SUM(n_events * n_events) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN {BURST_TRAIL_DAYS} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_type, day, n_events,
+  CAST(k AS BIGINT) AS trail_days,
+  CAST(COALESCE(sx, 0) AS BIGINT) AS trail_sum,
+  CASE WHEN k >= {BURST_MIN_TRAIL} AND k * sxx - sx * sx > 0 THEN
+    CAST(k * n_events - sx AS DOUBLE) / sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+  END AS burst_z,
+  CASE WHEN k >= {BURST_MIN_TRAIL} AND k * sxx - sx * sx > 0 THEN
+    CAST(k * n_events - sx AS DOUBLE) / sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+      >= {BURST_Z}
+  END AS is_burst
+FROM win
+ORDER BY event_type, day
+"""

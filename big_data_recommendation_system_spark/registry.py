@@ -166,6 +166,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "kmeans_step": similarity.kmeans_step,
     "kmeans_refine": similarity.kmeans_refine,
     "daily_gapfill": timeseries.daily_gapfill,
+    "daily_burst_detection": timeseries.daily_burst_detection,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
     "corpus_split": corpus_prep.corpus_split,
@@ -292,6 +293,7 @@ _PRIORITY_ORDER = [
     "dup_graph_pagerank",
     "dup_graph_degrees",
     "lsh_recall_report",
+    "daily_burst_detection",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -431,6 +433,7 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     "kmeans_step": similarity.KMEANS_STEP_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
+    "daily_burst_detection": timeseries.DAILY_BURST_DETECTION_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
