@@ -129,6 +129,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "daily_type_cube": retention.daily_type_cube,
     "conversion_funnel": retention.conversion_funnel,
     "view_purchase_attribution": attribution.view_purchase_attribution,
+    "attribution_delay_stats": attribution.attribution_delay_stats,
     "silver_events": silver.silver_events,
     "clean_clickstream": clickstream.clean_clickstream_query,
     "clean_users": clickstream.clean_users_query,
@@ -294,6 +295,7 @@ _PRIORITY_ORDER = [
     "dup_graph_degrees",
     "lsh_recall_report",
     "daily_burst_detection",
+    "attribution_delay_stats",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -397,6 +399,7 @@ ORACLES: dict[str, str] = {
     "daily_type_cube": retention.DAILY_TYPE_CUBE_SQL,
     "conversion_funnel": retention.CONVERSION_FUNNEL_SQL,
     "view_purchase_attribution": attribution.VIEW_PURCHASE_ATTRIBUTION_SQL,
+    "attribution_delay_stats": attribution.ATTRIBUTION_DELAY_STATS_SQL,
     "silver_events": silver.SILVER_EVENTS_SQL,
     "clean_clickstream": clickstream.CLEAN_CLICKSTREAM_SQL,
     "clean_users": clickstream.CLEAN_USERS_SQL,

@@ -95,3 +95,50 @@ ORDER BY user_id, view_ts, purchase_ts
 
 
 VIEW_PURCHASE_ATTRIBUTION_SQL = _attribution_sql()
+
+
+def attribution_delay_stats(spark, sf_dir: str) -> DataFrame:
+    """Conversion-timing distribution on top of the attribution join:
+    per purchase day, how many attributed (view, purchase) pairs and the
+    min/median/p90/max view→purchase delay in seconds — the
+    funnel-latency report that sizes the attribution window itself.
+
+    Determinism: delays are exact integer microseconds (unix_micros on
+    LTZ timestamps); percentiles interpolate over integers with the same
+    linear rule in both engines (the value_percentiles_by_type
+    precedent) and the /1e6 rescale is a single final division.
+    Scale shape: the wide work is the attribution join (already keyed on
+    user_id); this adds one rollup on purchase day — calendar-bounded
+    output."""
+    pairs = view_purchase_attribution(spark, sf_dir)
+    d = pairs.select(
+        F.to_date("purchase_ts").alias("day"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("delay_us"),
+    )
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.min("delay_us").cast("double") / 1e6).alias("min_s"),
+            (F.expr("percentile(delay_us, 0.5)") / 1e6).alias("p50_s"),
+            (F.expr("percentile(delay_us, 0.9)") / 1e6).alias("p90_s"),
+            (F.max("delay_us").cast("double") / 1e6).alias("max_s"),
+        )
+        .orderBy("day")
+    )
+
+
+ATTRIBUTION_DELAY_STATS_SQL = f"""
+WITH pairs AS ({VIEW_PURCHASE_ATTRIBUTION_SQL.replace("ORDER BY user_id, view_ts, purchase_ts", "")})
+SELECT CAST(purchase_ts AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(MIN(epoch_us(purchase_ts) - epoch_us(view_ts)) AS DOUBLE) / 1e6 AS min_s,
+  quantile_cont(epoch_us(purchase_ts) - epoch_us(view_ts), 0.5) / 1e6 AS p50_s,
+  quantile_cont(epoch_us(purchase_ts) - epoch_us(view_ts), 0.9) / 1e6 AS p90_s,
+  CAST(MAX(epoch_us(purchase_ts) - epoch_us(view_ts)) AS DOUBLE) / 1e6 AS max_s
+FROM pairs
+GROUP BY CAST(purchase_ts AS DATE)
+ORDER BY day
+"""
