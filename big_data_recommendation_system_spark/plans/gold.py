@@ -189,3 +189,106 @@ SELECT
 FROM silver
 GROUP BY event_type
 """)
+
+
+# --- RFM segmentation -------------------------------------------------------
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation over purchase
+    events — the classic e-commerce marketing rollup the reference's
+    user_summary (gold_pipeline.py:220-260) stops one step short of.
+    Per purchasing user: days since last purchase (relative to the
+    corpus max day), purchase count, total value, a 1–4 NTILE score per
+    dimension (4 = best: most recent / most frequent / highest spend),
+    and the concatenated 'r-f-m' segment label.
+
+    Scale shape: one purchase rollup keyed on user_id; each score is an
+    exact global rank from operators/ranking.py (range repartition +
+    local row_number + broadcast prefix offsets — NO single-partition
+    NTILE window); the corpus max day is a broadcast 1-row aggregate.
+    NTILE is then pure arithmetic on the rank, bit-identical to the
+    plain-window form the oracle uses."""
+    from ..operators.ranking import (
+        RANK_COL,
+        TOTAL_COL,
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    silver = silver_events(spark, sf_dir)
+    purchases = silver.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    maxd = purchases.agg(F.max(F.to_date("ts")).alias("_maxd"))
+    base = per_user.crossJoin(F.broadcast(maxd)).select(
+        "user_id",
+        F.datediff(F.col("_maxd"), F.col("last_day")).cast("long").alias(
+            "recency_days"
+        ),
+        "n_purchases",
+        "total_value",
+    )
+
+    def score(df: DataFrame, order_cols: list[str], name: str) -> DataFrame:
+        ranked = with_global_rank(df, order_cols)
+        return ranked.withColumn(
+            name,
+            ntile_from_rank(F.col(RANK_COL), F.col(TOTAL_COL), 4).cast(
+                "long"
+            ),
+        ).drop(RANK_COL, TOTAL_COL)
+
+    # 4 = best: recency orders DESC on days (fewest days → last bucket),
+    # frequency/monetary order ASC (highest → last bucket)
+    scored = score(
+        base.withColumn("_neg_recency", -F.col("recency_days")),
+        ["_neg_recency", "user_id"],
+        "r_score",
+    ).drop("_neg_recency")
+    scored = score(scored, ["n_purchases", "user_id"], "f_score")
+    scored = score(scored, ["total_value", "user_id"], "m_score")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "n_purchases",
+        "total_value",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm_segment"),
+    ).orderBy("user_id")
+
+
+USER_RFM_SEGMENTS_SQL = silver_cte("""
+, purchases AS (SELECT * FROM silver WHERE event_type = 'purchase')
+, per_user AS (
+  SELECT user_id,
+    MAX(CAST(ts AS DATE)) AS last_day,
+    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM purchases GROUP BY user_id
+)
+, base AS (
+  SELECT user_id,
+    CAST(date_diff('day', last_day, (SELECT MAX(CAST(ts AS DATE)) FROM purchases)) AS BIGINT) AS recency_days,
+    n_purchases, total_value
+  FROM per_user
+)
+SELECT user_id, recency_days, n_purchases, total_value,
+  CAST(NTILE(4) OVER (ORDER BY -recency_days, user_id) AS BIGINT) AS r_score,
+  CAST(NTILE(4) OVER (ORDER BY n_purchases, user_id) AS BIGINT) AS f_score,
+  CAST(NTILE(4) OVER (ORDER BY total_value, user_id) AS BIGINT) AS m_score,
+  CAST(NTILE(4) OVER (ORDER BY -recency_days, user_id) AS VARCHAR) || '-' ||
+  CAST(NTILE(4) OVER (ORDER BY n_purchases, user_id) AS VARCHAR) || '-' ||
+  CAST(NTILE(4) OVER (ORDER BY total_value, user_id) AS VARCHAR) AS rfm_segment
+FROM base
+ORDER BY user_id
+""")

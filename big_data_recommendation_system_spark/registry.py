@@ -138,6 +138,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
+    "user_rfm_segments": gold.user_rfm_segments,
     "latest_event_per_user": dedup.latest_event_per_user,
     "first_event_per_user_type_day": dedup.first_event_per_user_type_day,
     "dedup_exact_events": dedup.dedup_exact_events,
@@ -296,6 +297,7 @@ _PRIORITY_ORDER = [
     "lsh_recall_report",
     "daily_burst_detection",
     "attribution_delay_stats",
+    "user_rfm_segments",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -408,6 +410,7 @@ ORACLES: dict[str, str] = {
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,
+    "user_rfm_segments": gold.USER_RFM_SEGMENTS_SQL,
     "latest_event_per_user": dedup.LATEST_EVENT_PER_USER_SQL,
     "first_event_per_user_type_day": dedup.FIRST_EVENT_PER_USER_TYPE_DAY_SQL,
     "dedup_exact_events": dedup.DEDUP_EXACT_EVENTS_SQL,
