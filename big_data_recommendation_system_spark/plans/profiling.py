@@ -248,3 +248,77 @@ WHERE e.value IS NOT NULL
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+# --- exact distributed correlation ------------------------------------------
+
+
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, computed from exact integer moment sums:
+    corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)).
+    Inputs quantize once (quantity integral; price to exact cents), all
+    five moments are map-side-combined integer aggregates riding
+    DECIMAL(38,0) against overflow, and the only float ops are the final
+    casts, one multiply, one sqrt and one division — bit-deterministic
+    under any partitioning, unlike a naive AVG/STDDEV composition (and
+    unlike built-in CORR, whose streaming accumulation is
+    partition-order-dependent).
+
+    The pattern generalizes: any co-moment statistic over 100 TB is one
+    narrow-key pass when expressed as integer moment sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = dec(F.col("n_items"))
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double")
+        / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    return agg.select(
+        "l_returnflag", "n_items", corr.alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+PRICE_QUANTITY_CORR_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(round(l_quantity) AS BIGINT) AS x,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy,
+    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_items,
+  CASE WHEN n_items * sxx - sx * sx > 0 AND n_items * syy - sy * sy > 0 THEN
+    CAST(n_items * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n_items * sxx - sx * sx AS DOUBLE)
+             * CAST(n_items * syy - sy * sy AS DOUBLE))
+  END AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""

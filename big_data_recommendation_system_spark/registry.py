@@ -161,6 +161,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "rare_token_quality": text_analysis.rare_token_quality,
     "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
+    "price_quantity_corr": profiling.price_quantity_corr,
     "lang_confusion": text_analysis.lang_confusion,
     "sentence_dedup_stats": packing.sentence_dedup_stats,
     "shingle_containment_pairs": text_dedup.shingle_containment_pairs,
@@ -298,6 +299,7 @@ _PRIORITY_ORDER = [
     "daily_burst_detection",
     "attribution_delay_stats",
     "user_rfm_segments",
+    "price_quantity_corr",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -433,6 +435,7 @@ ORACLES: dict[str, str] = {
     "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
     "tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
+    "price_quantity_corr": profiling.PRICE_QUANTITY_CORR_SQL,
     "lang_confusion": text_analysis.LANG_CONFUSION_SQL,
     "sentence_dedup_stats": packing.SENTENCE_DEDUP_STATS_SQL,
     "shingle_containment_pairs": text_dedup.SHINGLE_CONTAINMENT_SQL,
