@@ -63,6 +63,12 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # the registry grows every round — normalize before
+                # comparing totals across rounds
+                "n_queries": len(timings),
+                "avg_query_sec": round(
+                    sum(timings.values()) / max(len(timings), 1), 3
+                ),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
