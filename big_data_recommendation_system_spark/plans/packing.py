@@ -629,3 +629,90 @@ FROM s JOIN hd ON s.sent_hash = hd.sent_hash
 GROUP BY s.doc_id
 ORDER BY s.doc_id
 """
+
+
+# --- epoch repetition (upsampling mixture) ----------------------------------
+
+# Epochs per language for the training mix — >1 boosts low-resource
+# languages by repetition (the upsampling complement of MIXTURE_RATES'
+# downsampling); fractional parts are realized per-document by salted
+# hash, so expectation matches the weight exactly and the decision is
+# deterministic and stable under corpus growth.
+EPOCH_WEIGHTS: dict[str, float] = {
+    "en": 1.0,
+    "zh": 2.5,
+    "es": 1.25,
+    "de": 3.0,
+    "fr": 2.0,
+}
+_EPOCH_SALT = "epoch:"
+
+
+def _epoch_bucket_spark(doc_id: Column) -> Column:
+    h = F.md5(F.concat(F.lit(_EPOCH_SALT), doc_id.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10_000
+
+
+def _epoch_bucket_sql() -> str:
+    h = f"md5('{_EPOCH_SALT}' || CAST(doc_id AS VARCHAR))"
+    digit = "(strpos('{hex}', substr({h},{i},1)) - 1)"
+    terms = " + ".join(
+        digit.format(hex=_HEX, h=h, i=i + 1) + f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({terms}) % 10000"
+
+
+def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition plan for a weighted training mix: a doc
+    with language weight w appears floor(w) times, plus one more iff its
+    salted hash bucket falls under frac(w)·10000 — so every language's
+    expected epoch count equals its weight exactly, per-doc decisions
+    are deterministic (reproducible dataset builds), and adding new
+    documents never flips an existing doc's count. Weights are INTEGER
+    tenths under the hood (frac·10000 is exact), so no float threshold
+    comparison exists to drift between engines. Pure map stage; the
+    multiplied corpus materializes later via explode(sequence()) exactly
+    like chunk_documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(None).cast("double")
+    for lang, r in sorted(EPOCH_WEIGHTS.items()):
+        w = F.when(F.col("lang") == lang, F.lit(r)).otherwise(w)
+    w = F.coalesce(w, F.lit(1.0))
+    base = F.floor(w).cast("long")
+    frac_tenk = F.round(w * 10_000).cast("long") - base * 10_000
+    bucket = _epoch_bucket_spark(F.col("doc_id"))
+    n_repeats = base + (bucket < frac_tenk).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("epoch_bucket"),
+        w.alias("epoch_weight"),
+        n_repeats.alias("n_repeats"),
+    ).orderBy("doc_id")
+
+
+_EPOCH_W_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {r!r}"
+        for lang, r in sorted(EPOCH_WEIGHTS.items())
+    )
+    + " ELSE 1.0 END"
+)
+
+EPOCH_REPEAT_PLAN_SQL = f"""
+SELECT doc_id, lang, epoch_bucket, epoch_weight,
+  CAST(floor(epoch_weight) AS BIGINT)
+    + CASE WHEN epoch_bucket <
+        CAST(round(epoch_weight * 10000) AS BIGINT)
+          - CAST(floor(epoch_weight) AS BIGINT) * 10000
+      THEN 1 ELSE 0 END AS n_repeats
+FROM (
+  SELECT doc_id, lang,
+    CAST({_epoch_bucket_sql()} AS BIGINT) AS epoch_bucket,
+    {_EPOCH_W_CASE} AS epoch_weight
+  FROM documents
+)
+ORDER BY doc_id
+"""

@@ -180,6 +180,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "token_budget_sample": corpus_prep.token_budget_sample,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
+    "epoch_repeat_plan": packing.epoch_repeat_plan,
     "sequence_packing": packing.sequence_packing,
     "packing_summary": packing.packing_summary,
     "chunk_documents": packing.chunk_documents,
@@ -300,6 +301,7 @@ _PRIORITY_ORDER = [
     "attribution_delay_stats",
     "user_rfm_segments",
     "price_quantity_corr",
+    "epoch_repeat_plan",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -453,6 +455,7 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
+    "epoch_repeat_plan": packing.EPOCH_REPEAT_PLAN_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
     "packing_summary": packing.PACKING_SUMMARY_SQL,
     "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
