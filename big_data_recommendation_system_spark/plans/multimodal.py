@@ -111,3 +111,71 @@ SELECT doc_id, media_type,
   END AS mean_luma
 FROM m
 """
+
+
+# --- preprocessing plan: resize + frame sampling ----------------------------
+
+TARGET_EDGE = 224  # ML-preprocessing target resolution (longest edge)
+MAX_SAMPLED_FRAMES = 4
+
+
+def media_preprocess_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preprocessing PLAN a multimodal training pipeline executes per
+    media item: aspect-preserving resize to a 224 longest edge and an
+    evenly-strided frame sample (≤4 frames) — one output row per
+    (doc_id, frame). The actual pixel work is the stubbed decode step;
+    the plan (dims, strides, batch shapes) is the real Spark-side
+    contract a decoder plugs into.
+
+    All arithmetic is integer (DIV), so the plan is bit-identical across
+    engines; the frame explode is ``explode(sequence())`` — linear
+    output, no shuffle before the final sort."""
+    feats = media_features(spark, sf_dir)
+    long_edge = F.greatest("width", "height")
+    k = F.least(F.col("n_frames"), F.lit(MAX_SAMPLED_FRAMES))
+    plan = feats.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.expr(f"CAST(width * {TARGET_EDGE} AS BIGINT) DIV greatest(width, height)")
+        .cast("int")
+        .alias("out_w"),
+        F.expr(f"CAST(height * {TARGET_EDGE} AS BIGINT) DIV greatest(width, height)")
+        .cast("int")
+        .alias("out_h"),
+        k.alias("k"),
+        F.explode(
+            F.expr(f"sequence(0, least(n_frames, {MAX_SAMPLED_FRAMES}) - 1)")
+        ).alias("i"),
+    )
+    return (
+        plan.select(
+            "doc_id",
+            "media_type",
+            "out_w",
+            "out_h",
+            F.expr("CAST(i * n_frames AS BIGINT) DIV k").cast("int").alias(
+                "frame_idx"
+            ),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MEDIA_PREPROCESS_PLAN_SQL = f"""
+WITH feats AS ({MEDIA_FEATURES_SQL}),
+plan AS (
+  SELECT doc_id, media_type, width, height, n_frames,
+    CAST((width * {TARGET_EDGE}) // greatest(width, height) AS INT) AS out_w,
+    CAST((height * {TARGET_EDGE}) // greatest(width, height) AS INT) AS out_h,
+    least(n_frames, {MAX_SAMPLED_FRAMES}) AS k
+  FROM feats
+)
+SELECT doc_id, media_type, out_w, out_h,
+  CAST((i * n_frames) // k AS INT) AS frame_idx
+FROM plan CROSS JOIN range(0, {MAX_SAMPLED_FRAMES}) t(i)
+WHERE i < k
+ORDER BY doc_id, frame_idx
+"""

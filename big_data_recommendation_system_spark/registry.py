@@ -204,6 +204,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "media_features": multimodal.media_features,
+    "media_preprocess_plan": multimodal.media_preprocess_plan,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
@@ -302,6 +303,7 @@ _PRIORITY_ORDER = [
     "user_rfm_segments",
     "price_quantity_corr",
     "epoch_repeat_plan",
+    "media_preprocess_plan",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -477,6 +479,7 @@ ORACLES: dict[str, str] = {
     "cluster_label_purity": similarity.CLUSTER_LABEL_PURITY_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
+    "media_preprocess_plan": multimodal.MEDIA_PREPROCESS_PLAN_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
