@@ -994,3 +994,82 @@ def test_dup_graph_degrees_consistent_with_pairs(spark, sf_dir_small):
     n_pairs = minhash_lsh_pairs(spark, sf_dir_small).count()
     rows = dup_graph_degrees(spark, sf_dir_small).collect()
     assert sum(r["degree"] * r["n_docs"] for r in rows) == 2 * n_pairs
+
+
+def test_pagerank_matches_pure_python_model(spark, sf_dir_small):
+    """The distributed fixed-point PageRank must match an independent
+    plain-Python implementation of the same recurrence (same fixed-point
+    rounding) node-for-node."""
+    from collections import defaultdict
+
+    from big_data_recommendation_system_spark.operators.graph import (
+        PAGERANK_DAMP,
+        PAGERANK_ITERS,
+        dup_graph_pagerank,
+    )
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sf_dir_small).collect()
+    ]
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+
+    def away(x: float) -> int:  # round half away from zero, like SQL round
+        import math
+
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    fp = {u: away(1e12 / n) for u in nodes}
+    for _ in range(PAGERANK_ITERS):
+        contrib = defaultdict(int)
+        for u in nodes:
+            c = fp[u] // len(adj[u])
+            for v in adj[u]:
+                contrib[v] += c
+        fp = {
+            u: away(0.15 * 1e12 / n) + away(PAGERANK_DAMP * contrib[u])
+            for u in nodes
+        }
+    expected = {u: fp[u] / 1e12 for u in nodes}
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in dup_graph_pagerank(spark, sf_dir_small).collect()
+    }
+    assert got.keys() == expected.keys()
+    for u in nodes:
+        assert got[u] == expected[u], (u, got[u], expected[u])
+
+
+def test_epoch_repeat_plan_invariants(spark, sf_dir_small):
+    """n_repeats is floor(w) or floor(w)+1, and the realized mean per
+    language tracks the configured weight (hash buckets are uniform)."""
+    import math
+    from collections import defaultdict
+
+    from big_data_recommendation_system_spark.plans.packing import (
+        EPOCH_WEIGHTS,
+        epoch_repeat_plan,
+    )
+
+    rows = epoch_repeat_plan(spark, sf_dir_small).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        w = EPOCH_WEIGHTS.get(r["lang"], 1.0)
+        assert r["n_repeats"] in (math.floor(w), math.floor(w) + 1), r
+        agg[r["lang"]][0] += r["n_repeats"]
+        agg[r["lang"]][1] += 1
+    for lang, (tot, cnt) in agg.items():
+        w = EPOCH_WEIGHTS.get(lang, 1.0)
+        # 500 docs split over 5 langs → ~100 Bernoulli draws per lang;
+        # allow 5 sigma on the fractional part
+        frac = w - math.floor(w)
+        sigma = (frac * (1 - frac) / cnt) ** 0.5 if 0 < frac < 1 else 0.0
+        assert abs(tot / cnt - w) <= 5 * sigma + 1e-9, (lang, tot / cnt, w)
