@@ -131,6 +131,13 @@ def daily_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return burst_scores(daily)
+
+
+def burst_scores(daily: DataFrame) -> DataFrame:
+    """The scoring stage alone, over any (event_type, day, n_events)
+    frame — shared between the batch operator above and the streaming
+    operator's equivalence test (streaming/burst.py)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

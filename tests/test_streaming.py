@@ -608,3 +608,77 @@ def test_incremental_near_dup_streaming_batches(spark, stream_env, sf_dir_small)
         if r.is_dup
     }
     assert got == want
+
+
+def test_streaming_burst_matches_batch(spark, stream_env, sf_dir_small):
+    """Ordered replay: the stateful streaming burst operator's FINAL
+    emission per (event_type, day) must equal the batch window scoring
+    (burst_scores) of the same daily rollup — state must carry prior-day
+    counts across micro-batches."""
+    import shutil as _sh
+
+    from big_data_recommendation_system_spark.plans.timeseries import (
+        burst_scores,
+    )
+    from big_data_recommendation_system_spark.streaming.burst import (
+        streaming_burst_flags,
+    )
+
+    silver = silver_events(spark, sf_dir_small)
+    # time-ordered source split into 3 sequential files → 3 micro-batches
+    src = os.path.join(stream_env["tmp"], "burst_src")
+    os.makedirs(src, exist_ok=True)
+    rows = silver.select("event_type", "ts").orderBy("ts", "event_id")
+    pdf = rows.toPandas()
+    n = len(pdf)
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk_dir = os.path.join(stream_env["tmp"], f"burst_chunk_{i}")
+        spark.createDataFrame(pdf.iloc[bounds[i] : bounds[i + 1]]).coalesce(
+            1
+        ).write.parquet(chunk_dir)
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"data_{i:03d}.parquet")
+        _sh.move(os.path.join(chunk_dir, part), dst)
+        _sh.rmtree(chunk_dir)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_burst_flags(stream)
+        .writeStream.format("memory")
+        .queryName("burst_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM burst_out").toPandas()
+    assert len(out) > 0
+    # final emission per day = the one with the complete (max) count
+    final = (
+        out.sort_values("n_events")
+        .groupby(["event_type", "day"], as_index=False)
+        .last()
+    )
+    daily = silver.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    expected = burst_scores(daily).toPandas()
+    assert len(final) == len(expected)
+    merged = final.merge(
+        expected, on=["event_type", "day"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(expected)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["trail_days_s"] == merged["trail_days_b"]).all()
+    assert (merged["trail_sum_s"] == merged["trail_sum_b"]).all()
+    import numpy as np
+
+    zs, zb = merged["burst_z_s"], merged["burst_z_b"]
+    both_nan = zs.isna() & zb.isna()
+    close = np.isclose(zs.astype(float), zb.astype(float), rtol=1e-12, atol=0)
+    assert (both_nan | close).all()
