@@ -196,3 +196,70 @@ SELECT event_type, day, n_events,
 FROM win
 ORDER BY event_type, day
 """
+
+
+# --- open-order backlog (interval counting) ---------------------------------
+
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day: how many orders have been placed but
+    not yet fully shipped (an order is open from o_orderdate through its
+    last lineitem ship date). The interval-counting pattern: convert
+    each interval to a +1/−1 delta, roll deltas up per day, and take a
+    running total over the calendar — NEVER a day × open-interval join
+    (quadratic in backlog depth).
+
+    Scale shape: one join orders⋈lineitem on the order key for the last
+    ship date (co-partitioned keys), one delta rollup, then the running
+    sum over the calendar-bounded daily frame (|days| rows of metadata —
+    the single-partition window is on the tiny rollup, same argument as
+    dq_trend). Orders with no lineitems never close — excluded by the
+    inner join, stated here."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    spans = orders.join(last_ship, "o_orderkey")
+    deltas = spans.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).union(
+        spans.select(
+            F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "day", F.sum("net").over(w).cast("long").alias("open_orders")
+        )
+        .orderBy("day")
+    )
+
+
+ORDER_BACKLOG_DAILY_SQL = """
+WITH spans AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+         MAX(CAST(l.l_shipdate AS DATE)) AS close_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_day + INTERVAL 1 DAY AS day, -1 AS delta FROM spans
+),
+daily AS (SELECT CAST(day AS DATE) AS day, SUM(delta) AS net FROM deltas GROUP BY day)
+SELECT day,
+  CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS open_orders
+FROM daily
+ORDER BY day
+"""

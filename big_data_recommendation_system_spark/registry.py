@@ -170,6 +170,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "kmeans_refine": similarity.kmeans_refine,
     "daily_gapfill": timeseries.daily_gapfill,
     "daily_burst_detection": timeseries.daily_burst_detection,
+    "order_backlog_daily": timeseries.order_backlog_daily,
     "profile_events": profiling.profile_events,
     "value_percentiles_by_type": profiling.value_percentiles_by_type,
     "corpus_split": corpus_prep.corpus_split,
@@ -304,6 +305,7 @@ _PRIORITY_ORDER = [
     "price_quantity_corr",
     "epoch_repeat_plan",
     "media_preprocess_plan",
+    "order_backlog_daily",
     "session_funnel_paths",
     "frequent_ngrams",
     "quality_threshold_sweep",
@@ -447,6 +449,7 @@ ORACLES: dict[str, str] = {
     "kmeans_step": similarity.KMEANS_STEP_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
     "daily_burst_detection": timeseries.DAILY_BURST_DETECTION_SQL,
+    "order_backlog_daily": timeseries.ORDER_BACKLOG_DAILY_SQL,
     "profile_events": profiling.PROFILE_EVENTS_SQL,
     "value_percentiles_by_type": profiling.VALUE_PERCENTILES_SQL,
     "corpus_split": corpus_prep.CORPUS_SPLIT_SQL,
