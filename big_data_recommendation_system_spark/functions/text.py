@@ -40,13 +40,20 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks_name: str, n: int) -> Column:
     """Distinct word n-grams (space-joined) over a *named* token column
-    (expr-based because slice() needs a column start index)."""
+    (expr-based because slice() needs a column start index).
+
+    Inputs shorter than ``n`` tokens yield an empty array: Spark's
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` (it does not produce an
+    empty list like DuckDB's ``range(1, 1)``), so the transform must be
+    guarded or a short doc would emit a bogus index-0 slice."""
     if n == 1:
         return F.array_distinct(F.col(toks_name))
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({toks_name}) - {n - 1}, 0)), "
-            f"i -> array_join(slice({toks_name}, i, {n}), ' '))"
+            f"CASE WHEN size({toks_name}) >= {n} THEN "
+            f"transform(sequence(1, size({toks_name}) - {n - 1}), "
+            f"i -> array_join(slice({toks_name}, i, {n}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END"
         )
     )
 
@@ -92,12 +99,17 @@ def shingles_sql(toks: str, n: int) -> str:
 
 def ngrams(toks_name: str, n: int) -> Column:
     """ALL word n-grams in order (NOT deduplicated — occurrence counts
-    need the repeats that ``shingles`` collapses)."""
+    need the repeats that ``shingles`` collapses). Docs with fewer than
+    ``n`` tokens yield an empty array (see ``shingles`` for why the
+    guard is required on the Spark side — DuckDB's range(1,1) is empty,
+    Spark's sequence(1,0) is [1, 0] and slice(toks, 0, n) throws)."""
     if n == 1:
         return F.col(toks_name)
     return F.expr(
-        f"transform(sequence(1, greatest(size({toks_name}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({toks_name}, i, {n}), ' '))"
+        f"CASE WHEN size({toks_name}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_name}) - {n - 1}), "
+        f"i -> array_join(slice({toks_name}, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 

@@ -51,11 +51,21 @@ def _gram_partials(
     n = 0
     s = np.zeros(EMBED_DIM, dtype=np.int64)
     ss = np.zeros((EMBED_DIM, EMBED_DIM), dtype=np.int64)
+    # int64 headroom: per-row q^2 terms are bounded by E_SCALE^2 = 1e12,
+    # so ~9.2e6 rows/partition before Σq_i·q_j can wrap. Enforce loudly —
+    # numpy int64 wraps silently and would corrupt the covariance.
+    max_rows_per_partition = 9_000_000
     for pdf in batches:
         if not len(pdf):
             continue
         X = np.stack(pdf["q"].to_numpy()).astype(np.int64)
         n += X.shape[0]
+        if n > max_rows_per_partition:
+            raise OverflowError(
+                f"_gram_partials: {n} rows in one partition exceeds the "
+                f"int64-safe bound of {max_rows_per_partition}; repartition "
+                "the input more finely before the Gram pass"
+            )
         s += X.sum(axis=0)
         ss += X.T @ X
     if n:

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import (
+    ACTIVITY_BINS,
+    ACTIVITY_LABELS,
     EVENT_VOCAB_OLD,
     EVENT_WEIGHTS_OLD,
     PRICE_TIER_BINS,
@@ -41,7 +43,13 @@ from ..config import (
     VALUE_SEGMENT_LABELS,
 )
 from ..sources.tables import load_table
-from .reference_gold import POPULARITY_TIER_LABELS, product_summary
+from .reference_gold import (
+    POPULARITY_TIER_LABELS,
+    daily_stats,
+    engagement_metrics,
+    product_summary,
+    user_summary,
+)
 from .reference_silver import clean_clickstream, clean_products, clean_users
 
 _DEVICES = ["mobile", "Desktop", "TABLET", "phone"]
@@ -419,4 +427,141 @@ SELECT record_id, product_id, ts, price, price_tier, category,
        stock_quantity, is_in_stock, date
 FROM pr2
 QUALIFY ROW_NUMBER() OVER (PARTITION BY product_id ORDER BY ts DESC, record_id DESC) = 1
+"""
+
+
+# --- remaining reference gold tables (A1/A3/A4) over the cleaned feed ------
+# product_summary already runs under the driver hash (registered as
+# product_summary); these three give the reference's other headline gold
+# outputs (gold_pipeline.py:168-221, :273-313, :315-339) the same hard
+# rows+schema+hash check. All 2-decimal rounds are the engine-neutral
+# floor(x*100 + 0.5)/100 form — see reference_gold.user_summary.
+
+_ROUND2 = "floor(({x}) * 100 + 0.5) / 100"
+
+
+def _r2(x: str) -> str:
+    return _ROUND2.format(x=x)
+
+
+def ref_user_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (gold_pipeline.py:168-221) end-to-end under the hash:
+    per-user counts, decimal engagement/value sums, mode-with-tie-break
+    preferred_device / top_category, activity binning."""
+    out = user_summary(clean_clickstream(synth_clickstream(spark, sf_dir)))
+    return out.select(
+        "user_id",
+        F.col("total_events").cast("long").alias("total_events"),
+        F.col("products_viewed").cast("long").alias("products_viewed"),
+        F.col("total_sessions").cast("long").alias("total_sessions"),
+        "total_engagement",
+        "total_value_browsed",
+        "avg_price_interest",
+        "preferred_device",
+        "top_category",
+        "events_per_session",
+        "activity_level",
+    )
+
+
+REF_USER_SUMMARY_SQL = f"""{_CC_CTE}
+, base AS (
+  SELECT user_id,
+    CAST(COUNT(ts) AS BIGINT) AS total_events,
+    CAST(COUNT(DISTINCT product_id) AS BIGINT) AS products_viewed,
+    CAST(COUNT(DISTINCT session_id) AS BIGINT) AS total_sessions,
+    {_r2("CAST(SUM(CAST(CAST(event_weight AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)")}
+      AS total_engagement,
+    {_r2("CAST(SUM(CAST(product_price AS DECIMAL(38,6))) AS DOUBLE)")}
+      AS total_value_browsed,
+    {_r2("CAST(SUM(CAST(product_price AS DECIMAL(38,6))) AS DOUBLE) / COUNT(product_price)")}
+      AS avg_price_interest
+  FROM cc GROUP BY user_id
+), dev AS (
+  SELECT user_id, device_type AS preferred_device
+  FROM (SELECT user_id, device_type, COUNT(*) AS cnt
+        FROM cc WHERE device_type IS NOT NULL GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, device_type ASC) = 1
+), cat AS (
+  SELECT user_id, product_category AS top_category
+  FROM (SELECT user_id, product_category, COUNT(*) AS cnt
+        FROM cc WHERE product_category IS NOT NULL GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, product_category ASC) = 1
+)
+SELECT base.user_id, total_events, products_viewed, total_sessions,
+  total_engagement, total_value_browsed, avg_price_interest,
+  preferred_device, top_category,
+  {_r2("CAST(total_events AS DOUBLE) / greatest(total_sessions, 1)")}
+    AS events_per_session,
+  {_cut_sql("total_events", ACTIVITY_BINS, ACTIVITY_LABELS)} AS activity_level
+FROM base
+LEFT JOIN dev ON base.user_id = dev.user_id
+LEFT JOIN cat ON base.user_id = cat.user_id
+"""
+
+
+def ref_daily_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (gold_pipeline.py:273-313) under the hash: per-day rollup with
+    the mobile left-join as conditional aggregation, mobile_pct."""
+    out = daily_stats(clean_clickstream(synth_clickstream(spark, sf_dir)))
+    return out.select(
+        "event_date",
+        F.col("daily_active_users").cast("long").alias("daily_active_users"),
+        F.col("products_viewed").cast("long").alias("products_viewed"),
+        F.col("total_sessions").cast("long").alias("total_sessions"),
+        F.col("total_events").cast("long").alias("total_events"),
+        "total_engagement",
+        F.col("mobile_events").cast("long").alias("mobile_events"),
+        "events_per_user",
+        "mobile_pct",
+    )
+
+
+REF_DAILY_STATS_SQL = f"""{_CC_CTE}
+, ds AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS daily_active_users,
+    CAST(COUNT(DISTINCT product_id) AS BIGINT) AS products_viewed,
+    CAST(COUNT(DISTINCT session_id) AS BIGINT) AS total_sessions,
+    CAST(COUNT(*) AS BIGINT) AS total_events,
+    {_r2("CAST(SUM(CAST(CAST(event_weight AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)")}
+      AS total_engagement,
+    CAST(SUM(CASE WHEN is_mobile THEN 1 ELSE 0 END) AS BIGINT) AS mobile_events
+  FROM cc GROUP BY 1
+)
+SELECT event_date, daily_active_users, products_viewed, total_sessions,
+  total_events, total_engagement, mobile_events,
+  {_r2("CAST(total_events AS DOUBLE) / daily_active_users")} AS events_per_user,
+  {_r2("mobile_events * 100.0 / total_events")} AS mobile_pct
+FROM ds
+"""
+
+
+def ref_engagement_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (gold_pipeline.py:315-339) under the hash: per-event-type
+    rollup with event_pct share-of-total (W6)."""
+    out = engagement_metrics(clean_clickstream(synth_clickstream(spark, sf_dir)))
+    return out.select(
+        "event_type",
+        F.col("unique_users").cast("long").alias("unique_users"),
+        F.col("total_events").cast("long").alias("total_events"),
+        "total_engagement",
+        "event_pct",
+    )
+
+
+REF_ENGAGEMENT_METRICS_SQL = f"""{_CC_CTE}
+, em AS (
+  SELECT event_type,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+    CAST(COUNT(*) AS BIGINT) AS total_events,
+    {_r2("CAST(SUM(CAST(CAST(event_weight AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)")}
+      AS total_engagement
+  FROM cc GROUP BY event_type
+)
+SELECT event_type, unique_users, total_events, total_engagement,
+  {_r2("total_events * 100.0 / SUM(total_events) OVER ()")} AS event_pct
+FROM em
 """

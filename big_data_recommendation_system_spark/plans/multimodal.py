@@ -130,7 +130,11 @@ def media_preprocess_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is integer (DIV), so the plan is bit-identical across
     engines; the frame explode is ``explode(sequence())`` — linear
     output, no shuffle before the final sort."""
-    feats = media_features(spark, sf_dir)
+    # Frameless media (n_frames <= 0, possible once a real decoder lands)
+    # must emit zero rows: without the filter Spark's sequence(0, -1)
+    # descends to [0, -1] and i*n_frames DIV k null-divides, while the
+    # SQL mirror's WHERE i < k emits nothing — a silent divergence.
+    feats = media_features(spark, sf_dir).filter(F.col("n_frames") > 0)
     long_edge = F.greatest("width", "height")
     k = F.least(F.col("n_frames"), F.lit(MAX_SAMPLED_FRAMES))
     plan = feats.select(

@@ -44,16 +44,24 @@ def _mode(df: DataFrame, key: str, value: str, alias: str) -> DataFrame:
 
 
 def user_summary(clickstream: DataFrame) -> DataFrame:
-    """A1 (gold_pipeline.py:168-221)."""
+    """A1 (gold_pipeline.py:168-221). 2-decimal rounds use the
+    engine-neutral floor(x*100+0.5)/100 form (round2_neutral) so the
+    registered oracle twin hashes identically — F.round and DuckDB ROUND
+    disagree on .5 double boundaries; all inputs here are positive so
+    the form is exactly the reference's half-up."""
     base = clickstream.groupBy("user_id").agg(
         F.count("ts").alias("total_events"),
         F.countDistinct("product_id").alias("products_viewed"),
         F.countDistinct("session_id").alias("total_sessions"),
-        F.round(decimal_sum(F.col("event_weight").cast("double")), 2).alias(
+        round2_neutral(decimal_sum(F.col("event_weight").cast("double"))).alias(
             "total_engagement"
         ),
-        F.round(decimal_sum(F.col("product_price")), 2).alias("total_value_browsed"),
-        F.round(decimal_avg(F.col("product_price")), 2).alias("avg_price_interest"),
+        round2_neutral(decimal_sum(F.col("product_price"))).alias(
+            "total_value_browsed"
+        ),
+        round2_neutral(decimal_avg(F.col("product_price"))).alias(
+            "avg_price_interest"
+        ),
     )
     device = _mode(clickstream, "user_id", "device_type", "preferred_device")
     category = _mode(clickstream, "user_id", "product_category", "top_category")
@@ -62,10 +70,9 @@ def user_summary(clickstream: DataFrame) -> DataFrame:
         .join(category, "user_id", "left")
         .withColumn(
             "events_per_session",
-            F.round(
+            round2_neutral(
                 F.col("total_events")
-                / F.greatest(F.col("total_sessions"), F.lit(1)).cast("double"),
-                2,
+                / F.greatest(F.col("total_sessions"), F.lit(1)).cast("double")
             ),
         )
         .withColumn(
@@ -135,7 +142,8 @@ def product_summary(clickstream: DataFrame) -> DataFrame:
 
 def daily_stats(clickstream: DataFrame) -> DataFrame:
     """A3 (gold_pipeline.py:273-313); the mobile left-join (:304-307)
-    becomes a conditional aggregation — same values, one shuffle."""
+    becomes a conditional aggregation — same values, one shuffle.
+    Rounds are engine-neutral (see user_summary)."""
     return (
         clickstream.withColumn("event_date", F.to_date("ts"))
         .groupBy("event_date")
@@ -144,18 +152,20 @@ def daily_stats(clickstream: DataFrame) -> DataFrame:
             F.countDistinct("product_id").alias("products_viewed"),
             F.countDistinct("session_id").alias("total_sessions"),
             F.count(F.lit(1)).alias("total_events"),
-            F.round(decimal_sum(F.col("event_weight").cast("double")), 2).alias(
+            round2_neutral(decimal_sum(F.col("event_weight").cast("double"))).alias(
                 "total_engagement"
             ),
             F.sum(F.when(F.col("is_mobile"), 1).otherwise(0)).alias("mobile_events"),
         )
         .withColumn(
             "events_per_user",
-            F.round(F.col("total_events") / F.col("daily_active_users").cast("double"), 2),
+            round2_neutral(
+                F.col("total_events") / F.col("daily_active_users").cast("double")
+            ),
         )
         .withColumn(
             "mobile_pct",
-            F.round(F.col("mobile_events") * 100.0 / F.col("total_events"), 2),
+            round2_neutral(F.col("mobile_events") * 100.0 / F.col("total_events")),
         )
         .withColumn("created_date", F.current_date().cast("string"))
     )
@@ -166,14 +176,15 @@ def engagement_metrics(clickstream: DataFrame) -> DataFrame:
     agg = clickstream.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("unique_users"),
         F.count(F.lit(1)).alias("total_events"),
-        F.round(decimal_sum(F.col("event_weight").cast("double")), 2).alias(
+        round2_neutral(decimal_sum(F.col("event_weight").cast("double"))).alias(
             "total_engagement"
         ),
     )
     return agg.withColumn(
         "event_pct",
-        F.round(
-            F.col("total_events") * 100.0 / F.sum("total_events").over(Window.partitionBy()),
-            2,
+        round2_neutral(
+            F.col("total_events")
+            * 100.0
+            / F.sum("total_events").over(Window.partitionBy())
         ),
     ).withColumn("created_date", F.current_date().cast("string"))

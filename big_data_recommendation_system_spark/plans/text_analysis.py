@@ -584,12 +584,18 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Single-char words contribute no pairs. The guard is load-bearing on
+    # the Spark side: sequence(1, 0) DESCENDS to [1, 0] (unlike DuckDB's
+    # empty range(1, 1)) and substring(word, 0, 1) silently reads index 1,
+    # which would emit phantom 'x x' / 'x ' pairs weighted by freq('x').
     pairs = words.select(
         "freq",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(word) - 1, 0)), "
-                "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+                "CASE WHEN length(word) >= 2 THEN "
+                "transform(sequence(1, length(word) - 1), "
+                "i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1))) "
+                "ELSE CAST(array() AS array<string>) END"
             )
         ).alias("pair"),
     )

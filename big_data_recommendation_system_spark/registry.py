@@ -135,6 +135,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "clean_users": clickstream.clean_users_query,
     "clean_products": clickstream.clean_products_query,
     "product_summary": clickstream.product_summary_query,
+    "ref_user_summary": clickstream.ref_user_summary_query,
+    "ref_daily_stats": clickstream.ref_daily_stats_query,
+    "ref_engagement_metrics": clickstream.ref_engagement_metrics_query,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
@@ -370,6 +373,9 @@ _PRIORITY_ORDER = [
     "clean_users",
     "clean_products",
     "text_stats",
+    "ref_user_summary",
+    "ref_daily_stats",
+    "ref_engagement_metrics",
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (
@@ -415,6 +421,9 @@ ORACLES: dict[str, str] = {
     "clean_users": clickstream.CLEAN_USERS_SQL,
     "clean_products": clickstream.CLEAN_PRODUCTS_SQL,
     "product_summary": clickstream.PRODUCT_SUMMARY_SQL,
+    "ref_user_summary": clickstream.REF_USER_SUMMARY_SQL,
+    "ref_daily_stats": clickstream.REF_DAILY_STATS_SQL,
+    "ref_engagement_metrics": clickstream.REF_ENGAGEMENT_METRICS_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,

@@ -968,6 +968,64 @@ def test_frequent_ngrams_counts_within_doc_repeats(spark, tmp_path):
     assert out["alpha beta gamma"] == (3, 2)
 
 
+def test_ngrams_and_shingles_short_inputs_empty(spark):
+    """Docs with fewer than n tokens must yield an empty gram array.
+    Unguarded, Spark's sequence(1, 0) descends to [1, 0] and
+    slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START — DuckDB's
+    range(1, 1) mirror is empty, so the guard is a cross-engine fix."""
+    from big_data_recommendation_system_spark.functions.text import (
+        ngrams,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(["one"],), (["one", "two"],), (["one", "two", "three"],), ([],)],
+        "toks array<string>",
+    )
+    grams = df.select(
+        ngrams("toks", 3).alias("g"), shingles("toks", 3).alias("s")
+    ).collect()
+    sizes = sorted((len(r["g"]), len(r["s"])) for r in grams)
+    assert sizes == [(0, 0), (0, 0), (0, 0), (1, 1)]
+
+
+def test_bpe_pair_counts_no_single_char_phantoms(spark, tmp_path):
+    """Single-char words must contribute NO pairs: the unguarded
+    sequence(1, greatest(len-1, 0)) form emitted phantom 'x x' / 'x '
+    pairs weighted by freq('x') because substring(word, 0, 1) silently
+    reads index 1 (ADVICE r3, high)."""
+    import os
+
+    import pandas as pd
+
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # 'a' and 'i' are high-frequency single-char words; 'go' is the
+            # only word contributing a real pair.
+            "text": ["a a a a a i i i go", "a a i go"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [18, 8],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        os.symlink(
+            os.path.join("/root/testdata/sf0.001", f"{t}.parquet"),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    rows = bpe_pair_counts(spark, d).collect()
+    pairs = {r["pair"]: r["n_weighted"] for r in rows}
+    assert pairs == {"g o": 2}
+
+
 def test_pagerank_mass_conserved(spark, sf_dir_small):
     """Ranks must stay positive and sum to ~1 (teleport + damping
     conserve mass up to the 1e-12 fixed-point rounding per node)."""
