@@ -47,7 +47,7 @@ from .plans import (
     timeseries,
 )
 from .quality import report as dq_report
-from .streaming import attribution
+from .streaming import attribution, feature_twins
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -138,6 +138,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "ref_user_summary": clickstream.ref_user_summary_query,
     "ref_daily_stats": clickstream.ref_daily_stats_query,
     "ref_engagement_metrics": clickstream.ref_engagement_metrics_query,
+    "user_features_batch": feature_twins.user_features_batch,
+    "product_features_batch": feature_twins.product_features_batch,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
@@ -376,6 +378,8 @@ _PRIORITY_ORDER = [
     "ref_user_summary",
     "ref_daily_stats",
     "ref_engagement_metrics",
+    "user_features_batch",
+    "product_features_batch",
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (
@@ -424,6 +428,8 @@ ORACLES: dict[str, str] = {
     "ref_user_summary": clickstream.REF_USER_SUMMARY_SQL,
     "ref_daily_stats": clickstream.REF_DAILY_STATS_SQL,
     "ref_engagement_metrics": clickstream.REF_ENGAGEMENT_METRICS_SQL,
+    "user_features_batch": feature_twins.USER_FEATURES_BATCH_SQL,
+    "product_features_batch": feature_twins.PRODUCT_FEATURES_BATCH_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,

@@ -160,18 +160,23 @@ USER_FEATURES_BATCH_SQL = silver_cte(f"""
          ELSE {_N_CAT - 1} END AS cat_idx,
     epoch_us(ts) AS us
   FROM silver
-), lifetime AS (
+), gaps AS (
   SELECT *,
     CAST(ROW_NUMBER() OVER w_user AS BIGINT) AS user_event_count,
     SUM(event_weight) OVER w_user_run AS user_total_weight,
     (us - lag(us) OVER w_user) / 1e6 AS secs_since_last,
-    SUM(CASE WHEN COALESCE(us - lag(us) OVER w_user > {_GAP_US}, TRUE)
-             THEN 1 ELSE 0 END) OVER w_user_run AS seg
+    CASE WHEN COALESCE(us - lag(us) OVER w_user > {_GAP_US}, TRUE)
+         THEN 1 ELSE 0 END AS is_gap
   FROM ev
   WINDOW
     w_user AS (PARTITION BY user_id ORDER BY ts, event_id),
     w_user_run AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING)
+), lifetime AS (
+  SELECT *,
+    SUM(is_gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS seg
+  FROM gaps
 ), flags AS (
   SELECT *,
     (event_type IN ('view', 'click') AND prod >= 0)

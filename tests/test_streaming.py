@@ -266,6 +266,86 @@ def test_stateful_product_features_replay(spark, stream_env, sf_dir_small):
         ) == e, (r, e)
 
 
+def test_user_features_batch_twin_matches_replay(spark, sf_dir_small):
+    """The registered batch twin (streaming/feature_twins.py) must compute
+    the same R5 user-feature math as the per-event reference replay — the
+    link that makes the twin's DuckDB hash row vouch for the streaming
+    operator's feature definitions."""
+    from big_data_recommendation_system_spark.streaming.feature_processor import (
+        _GAP_US,
+    )
+    from big_data_recommendation_system_spark.streaming.feature_twins import (
+        user_features_batch,
+    )
+
+    got = user_features_batch(spark, sf_dir_small).collect()
+    silver_rows = (
+        silver_events(spark, sf_dir_small).orderBy("ts", "event_id").collect()
+    )
+    expect = _replay_user_features(silver_rows, _GAP_US)
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[r.event_id]
+        assert r.user_event_count == e["user_event_count"], r
+        assert r.user_total_weight == e["user_total_weight"], r
+        if e["secs_since_last"] is None:
+            assert r.secs_since_last is None  # twin: NULL (stream emits NaN)
+        else:
+            assert abs(r.secs_since_last - e["secs_since_last"]) < 1e-6, r
+        assert int(r.session_start.timestamp() * 1e6) == e["session_start_us"], r
+        assert abs(r.session_duration_seconds - e["session_duration_seconds"]) < 1e-6
+        assert r.events_in_session == e["events_in_session"], r
+        assert r.categories_explored == e["categories_explored"], r
+        assert r.products_viewed_count == e["products_viewed_count"], r
+        assert r.preferred_categories == e["preferred_categories"], r
+        assert r.recent_event_sequence == e["recent_event_sequence"], r
+        assert r.is_returning_to_product == e["is_returning_to_product"], r
+
+
+def test_product_features_batch_twin_matches_replay(spark, sf_dir_small):
+    """Product-keyed batch twin vs the same Python replay used for the
+    streaming operator."""
+    from big_data_recommendation_system_spark.streaming.feature_twins import (
+        product_features_batch,
+    )
+
+    got = product_features_batch(spark, sf_dir_small).collect()
+    state = {}
+    expect = {}
+    rows = (
+        silver_events(spark, sf_dir_small)
+        .filter(F.col("prop_k").isNotNull())
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    for r in rows:
+        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0, "vts": []})
+        ts_us = int(r.ts.timestamp() * 1_000_000)
+        if r.event_type in ("view", "click"):
+            s["v"] += 1
+            s["vts"].append(ts_us)
+        elif r.event_type == "signup":
+            s["c"] += 1
+        elif r.event_type == "purchase":
+            s["b"] += 1
+        denom = max(s["v"], 1)
+        recent = sum(1 for t in s["vts"] if ts_us - 3_600_000_000 < t <= ts_us)
+        expect[r.event_id] = (
+            s["v"],
+            recent,
+            int(s["b"] / denom * 10000 + 0.5) / 100,
+            int(s["c"] / denom * 10000 + 0.5) / 100,
+        )
+    assert len(got) == len(expect)
+    for r in got:
+        assert (
+            r.product_total_views,
+            r.product_recent_views,
+            r.product_conversion_rate,
+            r.product_cart_rate,
+        ) == expect[r.event_id], r
+
+
 def test_multi_sink_routing(spark, stream_env):
     stream = _read_stream(spark, stream_env)
     sinks = os.path.join(stream_env["tmp"], "sinks")
