@@ -268,8 +268,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dims = _dims(emb, "vid").cache()
     nrm = _norms_from_dims(dims, "vid", "nrm").cache()
-    assign = _ivf_assignments(emb, dims, nrm)
-    # search within the query's cell
+    # cache the (tiny) assignment table: it feeds both the query side and
+    # the candidate side of the cell join, and recomputing it would run
+    # the window + norm joins twice. The wide dims⋈assign frame itself is
+    # deliberately NOT cached — materializing 64×N rows costs more than
+    # re-joining against the cached dims and assignment.
+    assign = _ivf_assignments(emb, dims, nrm).cache()
     vd2 = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     qd = vd2.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"),
