@@ -1,0 +1,237 @@
+"""Sign-random-projection (hyperplane) LSH over the embedding column —
+the classic cosine-LSH (Charikar 2002) that complements the IVF path in
+operators/similarity.py: IVF probes a query's cell for top-k search;
+SRP-LSH finds ALL high-cosine pairs corpus-wide in linear time, the
+embedding-space analogue of the MinHash pipeline in
+operators/text_dedup.py (reference parity: the reference has no
+embedding ops at all — this is part of the §2.13 training-data
+extension family; see SURVEY.md).
+
+Determinism discipline (SCALE.md): hyperplane weights are integer
+constants derived from md5 in PYTHON at import time and inlined into
+both engines' plans, embeddings are quantized to 1e-6 fixed point, so
+every dot product is an exact BIGINT sum — bit-identical signatures and
+band keys in Spark and DuckDB. The final verification cosine uses the
+same DECIMAL(38,12)-exact dot/norm forms as the rest of the similarity
+family.
+
+Scale shape:
+- signatures: pure map over the table (16 per-row integer array folds,
+  no explode, no shuffle) — at 100 TB this is a single pass;
+- band join: |bands| short rows per vector, self-join within (band,
+  key) buckets with a stop-bucket cap bounding any n² blowup;
+- verification: exact cosine only on candidate pairs (linear + tiny
+  collision term), never all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SRP_PLANES = 16
+SRP_BANDS = 4
+_SRP_R = SRP_PLANES // SRP_BANDS  # 4 bits per band
+SRP_SCALE = 1_000_000  # hyperplane weight fixed-point
+E_SCALE = 1_000_000  # embedding fixed-point (matches operators/linalg.py)
+EMBED_DIM = 64
+SRP_TAU = 0.4  # verification threshold (matches embedding_near_dup_pairs)
+SRP_MAX_BUCKET = 1024  # stop-bucket cap for the band self-join
+
+_DEC = "decimal(38,12)"
+
+
+def _srp_weight(p: int, i: int) -> int:
+    """Deterministic integer hyperplane component in [-SRP_SCALE,
+    SRP_SCALE], derived from md5 so the constant set is reproducible
+    from the (plane, dim) index alone."""
+    h = int(hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:8], 16)
+    return h % (2 * SRP_SCALE + 1) - SRP_SCALE
+
+
+SRP_WEIGHTS: list[list[int]] = [
+    [_srp_weight(p, i) for i in range(EMBED_DIM)] for p in range(SRP_PLANES)
+]
+
+
+def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, b0..b{bands-1}): per-vector SRP band keys. Each plane
+    contributes one sign bit (integer dot ≥ 0); each band packs
+    ``_SRP_R`` bits into a small integer key. Pure map stage — the
+    per-row folds stay in the JVM (interpreted higher-order functions,
+    but zero shuffle and zero Python)."""
+    q = _quantized_emb(spark, sf_dir)
+    bits = []
+    for p in range(SRP_PLANES):
+        warr = ", ".join(str(w) for w in SRP_WEIGHTS[p])
+        dot = (
+            f"aggregate(zip_with(q, array({warr}), (x, w) -> x * w), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        bits.append(F.expr(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END").alias(f"bit{p}"))
+    sig = q.select("vec_id", *bits)
+    band_cols = [
+        sum(
+            (F.col(f"bit{b * _SRP_R + j}") * (1 << (_SRP_R - 1 - j)))
+            for j in range(_SRP_R)
+        )
+        .cast("long")
+        .alias(f"b{b}")
+        for b in range(SRP_BANDS)
+    ]
+    return sig.select("vec_id", *band_cols).orderBy("vec_id")
+
+
+def _srp_bits_sql() -> str:
+    cols = []
+    for p in range(SRP_PLANES):
+        warr = ", ".join(str(w) for w in SRP_WEIGHTS[p])
+        dot = f"list_sum(list_transform(range(1, {EMBED_DIM} + 1), i -> q[i] * ([{warr}])[i]))"
+        cols.append(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END AS bit{p}")
+    return ",\n    ".join(cols)
+
+
+def _srp_band_sql(b: int) -> str:
+    return " + ".join(
+        f"bit{b * _SRP_R + j} * {1 << (_SRP_R - 1 - j)}" for j in range(_SRP_R)
+    )
+
+
+_SRP_SIG_CTE = f"""WITH qe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+    {_srp_bits_sql()}
+  FROM qe
+), sig AS (
+  SELECT vec_id,
+    {", ".join(f"CAST({_srp_band_sql(b)} AS BIGINT) AS b{b}" for b in range(SRP_BANDS))}
+  FROM bits
+)"""
+
+SRP_SIGNATURES_SQL = f"""{_SRP_SIG_CTE}
+SELECT vec_id, {", ".join(f"b{b}" for b in range(SRP_BANDS))}
+FROM sig ORDER BY vec_id
+"""
+
+
+def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide high-cosine pair detection: SRP band buckets →
+    candidate self-join (stop-bucket capped) → exact DECIMAL cosine
+    verification of candidates only. The embedding-space twin of
+    ``minhash_lsh_pairs``; recall is governed by the band structure
+    (P[detect] = 1-(1-p^r)^b with p = 1-θ/π), verified on the audit
+    slice in pytest."""
+    sig = srp_signatures(spark, sf_dir)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("key")
+                    )
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= SRP_MAX_BUCKET)
+        .select("band", "key")
+    )
+    bands = bands.join(F.broadcast(small), ["band", "key"])
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")).alias("nrm")
+    )
+    da = dims.select(
+        F.col("vec_id").alias("vec_a"), "pos", F.col("x").alias("xa")
+    )
+    db = dims.select(
+        F.col("vec_id").alias("vec_b"), "pos", F.col("x").alias("xb")
+    )
+    dots = (
+        cand.join(da, "vec_a")
+        .join(db, ["vec_b", "pos"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= SRP_TAU)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SRP_LSH_PAIRS_SQL = f"""{_SRP_SIG_CTE}
+, band AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, b{b} AS key FROM sig" for b in range(SRP_BANDS))}
+), small AS (
+  SELECT band, key FROM band GROUP BY band, key HAVING COUNT(*) <= {SRP_MAX_BUCKET}
+), fband AS (
+  SELECT b.* FROM band b JOIN small s ON b.band = s.band AND b.key = s.key
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM fband x JOIN fband y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+), dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range({EMBED_DIM}) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), dots AS (
+  SELECT c.vec_a, c.vec_b,
+    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN dims a ON a.vec_id = c.vec_a
+  JOIN dims b ON b.vec_id = c.vec_b AND b.pos = a.pos
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE dot / (na.nrm * nb.nrm) >= {SRP_TAU}
+ORDER BY vec_a, vec_b
+"""

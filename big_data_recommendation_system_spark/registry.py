@@ -27,6 +27,7 @@ from .operators import (
     rangejoin,
     similarity,
     skew,
+    srp,
     text_dedup,
     topk,
     windows,
@@ -70,17 +71,23 @@ def _ship_package(spark: SparkSession) -> None:
     zip_path = os.path.join(
         tempfile.gettempdir(), f"bdrs_pkg_{os.getpid()}.zip"
     )
-    if not os.path.exists(zip_path):
+    # rebuild when any package source is newer than the zip — a stale zip
+    # could otherwise ship if the package is edited within one process
+    # lifetime (e.g. an interactive session reloading modules)
+    src_files = [
+        os.path.join(root, fname)
+        for root, _dirs, files in os.walk(_PKG_DIR)
+        for fname in files
+        if fname.endswith(".py")
+    ]
+    stale = not os.path.exists(zip_path) or any(
+        os.path.getmtime(f) > os.path.getmtime(zip_path) for f in src_files
+    )
+    if stale:
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(_PKG_DIR):
-                for fname in files:
-                    if not fname.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fname)
-                    rel = os.path.join(
-                        _PKG_NAME, os.path.relpath(full, _PKG_DIR)
-                    )
-                    zf.write(full, rel)
+            for full in src_files:
+                rel = os.path.join(_PKG_NAME, os.path.relpath(full, _PKG_DIR))
+                zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
     spark.conf.set("bdrs.pyfiles.shipped", "true")
 
@@ -140,6 +147,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "ref_engagement_metrics": clickstream.ref_engagement_metrics_query,
     "user_features_batch": feature_twins.user_features_batch,
     "product_features_batch": feature_twins.product_features_batch,
+    "srp_signatures": srp.srp_signatures,
+    "srp_lsh_pairs": srp.srp_lsh_pairs,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
@@ -241,10 +250,99 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # query cycles through the checked window.
 _PRIORITY_ORDER = [
     # -- driver-checked window: the driver hash-checks the FIRST 50 entries.
-    # Round-3 rotation: every slot is (a) oracle-hashed (no rows-only query
-    # wastes a slot) and (b) a query with no prior driver-green row —
-    # never-checked LLM-pipeline additions first, then the round-2
-    # events-loader casualties that need their first green row.
+    # Round-4 rotation: (a) every slot is oracle-hashed, (b) the 29 queries
+    # that have never had a driver-green row lead (VERDICT r3 item 1), then
+    # (c) this round's 5 new queries, then (d) the stalest r1-only greens
+    # fill the remaining slots so nothing stays >2 rounds unchecked.
+    # never-driver-checked (registered r2/r3, green in pytest+strict only):
+    "user_tier_scd2",
+    "dup_graph_pagerank",
+    "dup_graph_degrees",
+    "dedup_retention_plan",
+    "dedup_rate_by_source",
+    "cross_source_dup_matrix",
+    "lsh_recall_report",
+    "shingle_containment_pairs",
+    "kmeans_step",
+    "embedding_covariance",
+    "cluster_label_purity",
+    "user_rfm_segments",
+    "price_quantity_corr",
+    "attribution_delay_stats",
+    "daily_burst_detection",
+    "order_backlog_daily",
+    "epoch_repeat_plan",
+    "media_preprocess_plan",
+    "sentence_dedup_stats",
+    "embedding_quantize",
+    "tfidf_top_terms",
+    "rare_token_quality",
+    "lang_confusion",
+    "frequent_ngrams",
+    "quality_threshold_sweep",
+    "bpe_pair_counts",
+    "session_funnel_paths",
+    "value_outliers_by_type",
+    "daily_event_pivot",
+    # new this round (first driver exposure):
+    "ref_user_summary",
+    "ref_daily_stats",
+    "ref_engagement_metrics",
+    "user_features_batch",
+    "product_features_batch",
+    "srp_signatures",
+    "srp_lsh_pairs",
+    # stalest r1-only greens (2 rounds and a Spark minor version old):
+    "top_event_types_per_user",
+    "ngram_jaccard_pairs",
+    "doc_fingerprints",
+    "lang_id",
+    "simhash_fingerprints",
+    "item_cooccurrence",
+    "events_with_last_signup",
+    "orders_with_returns",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "trailing_hour_counts",
+    "text_stats",
+    "small_quantity_revenue",
+    "orders_priority_rollup",
+    # ---- driver window ends here (50) ------------------------------------
+    # r2-green (least stale of the pre-r3 greens; rotate in r5):
+    "clean_users",
+    "clean_products",
+    # r1-green relational queries awaiting re-verification (rotate in r5):
+    "q1_pricing_summary",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_revenue",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_part_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_return_suppliers",
+    "q22_idle_rich_customers",
+    "ann_ivf_topk",
+    # rows-only by design (no SQL oracle; driver records rows-only):
+    "pca_explained_variance",  # driver-side eigensolve of the collected
+    # 64×64 matrix; the data pass is the hash-verified embedding_covariance
+    "kmeans_refine",  # iterative loop; per-step math is the hash-verified
+    # kmeans_step
+    "als_recommendations",
+    "approx_distinct_daily",
+    "mllib_minhash_pairs",
+    "cosine_topk_fast",
+    # r3-green (freshest — re-verification priority is lowest):
     "bpe_token_stats",
     "vocab_df_stats",
     "daily_gapfill",
@@ -295,91 +393,6 @@ _PRIORITY_ORDER = [
     "conversion_funnel",
     "view_purchase_attribution",
     "events_upsert_corrections",
-    # ---- driver window ends here (50) ------------------------------------
-    # new in r3 (post-rotation): pytest-oracle-checked; rotate into the
-    # window next round
-    "dedup_retention_plan",
-    "dedup_rate_by_source",
-    "cross_source_dup_matrix",
-    "dup_graph_pagerank",
-    "dup_graph_degrees",
-    "lsh_recall_report",
-    "daily_burst_detection",
-    "attribution_delay_stats",
-    "user_rfm_segments",
-    "price_quantity_corr",
-    "epoch_repeat_plan",
-    "media_preprocess_plan",
-    "order_backlog_daily",
-    "session_funnel_paths",
-    "frequent_ngrams",
-    "quality_threshold_sweep",
-    "bpe_pair_counts",
-    "embedding_covariance",
-    "cluster_label_purity",
-    "pca_explained_variance",  # rows-only: driver-side eigensolve of the
-    # collected 64×64 matrix; the data pass is the hash-verified
-    # embedding_covariance
-    "rare_token_quality",
-    "tfidf_top_terms",
-    "value_outliers_by_type",
-    "lang_confusion",
-    "sentence_dedup_stats",
-    "shingle_containment_pairs",
-    "embedding_quantize",
-    "kmeans_step",
-    "kmeans_refine",  # rows-only: iterative loop; per-step math is the
-    # hash-verified kmeans_step
-    # r1-green / rows-only / r2-green queries: correctness carried by prior
-    # rounds + the pytest oracle suite; rotate into the window in r4.
-    "user_tier_scd2",
-    "top_event_types_per_user",
-    "trailing_hour_counts",
-    "daily_event_pivot",
-    "lang_id",
-    "doc_fingerprints",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "item_cooccurrence",
-    "orders_with_returns",
-    "small_quantity_revenue",
-    "events_with_last_signup",
-    "simhash_fingerprints",
-    "als_recommendations",
-    "approx_distinct_daily",
-    "mllib_minhash_pairs",
-    "cosine_topk_fast",
-    "q1_pricing_summary",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_revenue",
-    "q11_important_part_value",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_part_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_return_suppliers",
-    "q22_idle_rich_customers",
-    "orders_priority_rollup",
-    "clean_users",
-    "clean_products",
-    "text_stats",
-    "ref_user_summary",
-    "ref_daily_stats",
-    "ref_engagement_metrics",
-    "user_features_batch",
-    "product_features_batch",
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (
@@ -430,6 +443,8 @@ ORACLES: dict[str, str] = {
     "ref_engagement_metrics": clickstream.REF_ENGAGEMENT_METRICS_SQL,
     "user_features_batch": feature_twins.USER_FEATURES_BATCH_SQL,
     "product_features_batch": feature_twins.PRODUCT_FEATURES_BATCH_SQL,
+    "srp_signatures": srp.SRP_SIGNATURES_SQL,
+    "srp_lsh_pairs": srp.SRP_LSH_PAIRS_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,

@@ -163,7 +163,7 @@ USER_FEATURES_BATCH_SQL = silver_cte(f"""
 ), gaps AS (
   SELECT *,
     CAST(ROW_NUMBER() OVER w_user AS BIGINT) AS user_event_count,
-    SUM(event_weight) OVER w_user_run AS user_total_weight,
+    CAST(SUM(event_weight) OVER w_user_run AS BIGINT) AS user_total_weight,
     (us - lag(us) OVER w_user) / 1e6 AS secs_since_last,
     CASE WHEN COALESCE(us - lag(us) OVER w_user > {_GAP_US}, TRUE)
          THEN 1 ELSE 0 END AS is_gap
@@ -189,7 +189,7 @@ USER_FEATURES_BATCH_SQL = silver_cte(f"""
 ), sess AS (
   SELECT *,
     {_CAT_CNT_SQL},
-    SUM(CASE WHEN is_new THEN 1 ELSE 0 END) OVER w_sess_run
+    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) OVER w_sess_run AS BIGINT)
       AS products_viewed_count,
     MIN(ts) OVER w_sess_all AS session_start,
     CAST(ROW_NUMBER() OVER w_sess AS BIGINT) AS events_in_session,
@@ -285,10 +285,10 @@ PRODUCT_FEATURES_BATCH_SQL = silver_cte("""
   FROM silver WHERE prop_k IS NOT NULL
 ), run AS (
   SELECT prop_k, event_id, ts, event_type,
-    SUM(is_view) OVER w_run AS v,
-    SUM(is_cart) OVER w_run AS c,
-    SUM(is_buy) OVER w_run AS b,
-    SUM(is_view) OVER w_hour AS product_recent_views
+    CAST(SUM(is_view) OVER w_run AS BIGINT) AS v,
+    CAST(SUM(is_cart) OVER w_run AS BIGINT) AS c,
+    CAST(SUM(is_buy) OVER w_run AS BIGINT) AS b,
+    CAST(SUM(is_view) OVER w_hour AS BIGINT) AS product_recent_views
   FROM ev
   WINDOW
     w_run AS (PARTITION BY prop_k ORDER BY ts, event_id

@@ -1131,3 +1131,55 @@ def test_epoch_repeat_plan_invariants(spark, sf_dir_small):
         frac = w - math.floor(w)
         sigma = (frac * (1 - frac) / cnt) ** 0.5 if 0 < frac < 1 else 0.0
         assert abs(tot / cnt - w) <= 5 * sigma + 1e-9, (lang, tot / cnt, w)
+
+
+def test_srp_pairs_subset_and_recall(spark, sf_dir_small):
+    """SRP-LSH detected pairs must be a subset of the brute-force
+    cosine>=tau pair set (verification is exact, so no false positives),
+    with recall in line with the band structure: p = 1 - acos(tau)/pi
+    ~= 0.63 at tau=0.4, P[detect] = 1-(1-p^4)^4 ~= 0.50 — assert >= 0.3
+    to leave noise margin. Brute force computed in-test over the sf0.001
+    slice (500 vectors)."""
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.operators.srp import (
+        SRP_TAU,
+        srp_lsh_pairs,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_lsh_pairs(spark, sf_dir_small).collect()
+    }
+    emb = load_table(spark, sf_dir_small, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x")).cache()
+    norms = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    a = dims.select(F.col("vec_id").alias("va"), "pos", F.col("x").alias("xa"))
+    b = dims.select(F.col("vec_id").alias("vb"), "pos", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    exact = {
+        (r["va"], r["vb"])
+        for r in dots.join(
+            norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na")),
+            "va",
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb")),
+            "vb",
+        )
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= SRP_TAU)
+        .collect()
+    }
+    assert got, "SRP should detect pairs at sf0.001"
+    assert got <= exact, got - exact
+    assert len(got) / len(exact) >= 0.3, (len(got), len(exact))
