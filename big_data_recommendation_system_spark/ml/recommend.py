@@ -152,3 +152,71 @@ SELECT item_a, item_b, co_count, cosine, rank FROM (
 )
 WHERE rank <= 5
 """)
+
+
+def als_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation row for the ALS layer (VERDICT r3 item 8): per
+    the classic implicit-feedback protocol, compare ALS top-5 hit rate
+    against the global-popularity top-5 baseline on the engaged
+    (user, item) matrix. One output row:
+
+      n_users, als_hits, als_hit_rate, pop_hits, pop_hit_rate, lift
+
+    ALS is iterative (seeded but not SQL-expressible), so this stays a
+    rows-only driver entry — the value of the row is the pytest-pinned
+    invariant (hit rate floor + stable shape), which catches a broken
+    model pipeline (wrong matrix, wrong explode, cold-start regression)
+    even without a value hash.
+
+    Scale shape: recs ⋈ matrix on (user, item) — both keyed, linear;
+    the popularity baseline is a broadcast 5-row frame."""
+    silver = silver_events(spark, sf_dir)
+    ui = (
+        silver.filter(F.col("prop_k").isNotNull())
+        .select("user_id", F.col("prop_k").alias("item_id"))
+        .distinct()
+    )
+    recs = als_recommendations(spark, sf_dir).select("user_id", "item_id")
+    als_hits = (
+        recs.join(ui, ["user_id", "item_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    pop5 = (
+        ui.groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("item_id"))
+        .limit(5)
+        .select("item_id")
+    )
+    pop_hits = (
+        ui.join(F.broadcast(pop5), "item_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    users = ui.select("user_id").distinct()
+    joined = (
+        users.join(
+            als_hits.withColumnRenamed("hits", "als_h"), "user_id", "left"
+        )
+        .join(pop_hits.withColumnRenamed("hits", "pop_h"), "user_id", "left")
+        .select(
+            F.coalesce("als_h", F.lit(0)).alias("als_h"),
+            F.coalesce("pop_h", F.lit(0)).alias("pop_h"),
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("als_h").alias("als_hits"),
+        (F.sum("als_h").cast("double") / (F.count(F.lit(1)) * 5)).alias(
+            "als_hit_rate"
+        ),
+        F.sum("pop_h").alias("pop_hits"),
+        (F.sum("pop_h").cast("double") / (F.count(F.lit(1)) * 5)).alias(
+            "pop_hit_rate"
+        ),
+        (
+            F.sum("als_h").cast("double")
+            / F.greatest(F.sum("pop_h"), F.lit(1)).cast("double")
+        ).alias("lift"),
+    )

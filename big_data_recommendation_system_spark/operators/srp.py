@@ -68,12 +68,7 @@ def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, b0..b{bands-1}): per-vector SRP band keys. Each plane
-    contributes one sign bit (integer dot ≥ 0); each band packs
-    ``_SRP_R`` bits into a small integer key. Pure map stage — the
-    per-row folds stay in the JVM (interpreted higher-order functions,
-    but zero shuffle and zero Python)."""
+def _srp_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized_emb(spark, sf_dir)
     bits = []
     for p in range(SRP_PLANES):
@@ -93,7 +88,16 @@ def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"b{b}")
         for b in range(SRP_BANDS)
     ]
-    return sig.select("vec_id", *band_cols).orderBy("vec_id")
+    return sig.select("vec_id", *band_cols)
+
+
+def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, b0..b{bands-1}): per-vector SRP band keys. Each plane
+    contributes one sign bit (integer dot ≥ 0); each band packs
+    ``_SRP_R`` bits into a small integer key. Pure map stage — the
+    per-row folds stay in the JVM (interpreted higher-order functions,
+    but zero shuffle and zero Python)."""
+    return _srp_sig(spark, sf_dir).orderBy("vec_id")
 
 
 def _srp_bits_sql() -> str:
@@ -132,13 +136,30 @@ FROM sig ORDER BY vec_id
 
 
 def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide high-cosine pair detection: SRP band buckets →
-    candidate self-join (stop-bucket capped) → exact DECIMAL cosine
-    verification of candidates only. The embedding-space twin of
+    """Corpus-wide cosine pair detection: SRP band buckets → candidate
+    self-join (stop-bucket capped) → exact DECIMAL cosine verification
+    of candidates only. The embedding-space twin of
     ``minhash_lsh_pairs``; recall is governed by the band structure
     (P[detect] = 1-(1-p^r)^b with p = 1-θ/π), verified on the audit
-    slice in pytest."""
-    sig = srp_signatures(spark, sf_dir)
+    slice in pytest.
+
+    Tuning: 4-bit bands are sized for this corpus's moderate-cosine
+    regime (its true pairs live at cos 0.4-0.5), which makes the random
+    band-collision rate 1-(1-2^-4)^4 ≈ 23% — acceptable per shard/cell,
+    deliberately recall-biased. SRP_PLANES/SRP_BANDS are THE scale
+    lever: a 100 TB high-threshold near-dup pass runs 64-128 planes
+    with 16-bit bands (collision rate 2^-16 per band) and keeps
+    everything else here unchanged.
+
+    Verification is two-phase over a broadcast join of the candidate
+    pairs against the embedding table: a cheap double-precision fold
+    prunes candidates below τ − 1e-9 (the double/decimal divergence is
+    < 1e-10, so no boundary pair can be lost), then the survivors — a
+    few dozen rows — get the exact DECIMAL fold whose values are
+    bit-identical to the oracle's explode-and-SUM form. No 64× explode
+    of the candidate set, and the expensive decimal arithmetic runs on
+    survivors only."""
+    sig = _srp_sig(spark, sf_dir).cache()  # feeds bucket stats + both join sides
     bands = sig.select(
         "vec_id",
         F.explode(
@@ -172,30 +193,47 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
-    norms = dims.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")).alias("nrm")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    da = dims.select(
-        F.col("vec_id").alias("vec_a"), "pos", F.col("x").alias("xa")
+    # exact decimal fold: CAST each elementwise double product to
+    # DECIMAL(38,12) and sum in decimal — identical values to the
+    # oracle's explode + SUM(CAST(...)) in any order
+    # Accumulate at DECIMAL(30,12): Spark types a (30,12)+(30,12) add as
+    # (31,12), which fits under the 38-precision cap, so no scale is ever
+    # dropped and every step is exact (a (38,12) accumulator would widen
+    # to (39,12) and get CAPPED to (38,11) — silently rounding the 12th
+    # digit each merge). |dot| < 100 here, so (30,12) never overflows and
+    # the result equals the oracle's SUM(CAST(... AS DECIMAL(38,12)))
+    # bit for bit.
+    dacc = "decimal(30,12)"
+    fold = (
+        f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {dacc})), "
+        f"CAST(0 AS {dacc}), (acc, v) -> CAST(acc + v AS {dacc})) AS DOUBLE)"
     )
-    db = dims.select(
-        F.col("vec_id").alias("vec_b"), "pos", F.col("x").alias("xb")
+    dfold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    dots = (
-        cand.join(da, "vec_a")
-        .join(db, ["vec_b", "pos"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum((F.col("xa") * F.col("xb")).cast(_DEC)).cast("double").alias("dot"))
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(F.expr(fold.format(a="e", b="e"))).alias("nrm"),
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("qa"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("qb"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(F.broadcast(na), "vec_a")
+    survivors = (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .join(F.broadcast(na), "vec_a")
         .join(F.broadcast(nb), "vec_b")
+        .withColumn("cos_fast", F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_fast") >= SRP_TAU - 1e-9)
+    )
+    return (
+        survivors.withColumn("dot", F.expr(fold.format(a="qa", b="qb")))
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= SRP_TAU)
         .select("vec_a", "vec_b", "cosine")

@@ -218,6 +218,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "cluster_label_purity": similarity.cluster_label_purity,
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
+    "als_eval_metrics": recommend.als_eval_metrics,
     "media_features": multimodal.media_features,
     "media_preprocess_plan": multimodal.media_preprocess_plan,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
@@ -339,6 +340,8 @@ _PRIORITY_ORDER = [
     "kmeans_refine",  # iterative loop; per-step math is the hash-verified
     # kmeans_step
     "als_recommendations",
+    "als_eval_metrics",  # ALS is iterative — rows-only, invariant pinned
+    # by pytest (hit-rate floor vs popularity baseline)
     "approx_distinct_daily",
     "mllib_minhash_pairs",
     "cosine_topk_fast",
