@@ -1183,3 +1183,20 @@ def test_srp_pairs_subset_and_recall(spark, sf_dir_small):
     assert got, "SRP should detect pairs at sf0.001"
     assert got <= exact, got - exact
     assert len(got) / len(exact) >= 0.3, (len(got), len(exact))
+
+
+def test_als_eval_metrics_invariants(spark, sf_dir_small):
+    """The ALS offline-eval row (rows-only driver entry): exactly one
+    row; top-5 hit rate on the engaged matrix must beat the global
+    popularity baseline (lift > 1) — the invariant that catches a broken
+    model pipeline (wrong matrix, wrong explode, cold-start regression)
+    without needing a value hash for the iterative solver."""
+    from big_data_recommendation_system_spark.ml.recommend import als_eval_metrics
+
+    rows = als_eval_metrics(spark, sf_dir_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_users > 0
+    assert 0.0 <= r.pop_hit_rate <= 1.0 and 0.0 <= r.als_hit_rate <= 1.0
+    assert r.als_hit_rate >= 0.5, r  # implicit ALS reconstructs engagement
+    assert r.lift > 1.0, r  # and beats raw popularity
