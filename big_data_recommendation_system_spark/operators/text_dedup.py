@@ -1163,3 +1163,74 @@ FROM e LEFT JOIN m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
 GROUP BY LEAST(floor(e.jaccard * 10), 9) / 10
 ORDER BY jaccard_bin
 """
+
+
+# --- cross-detector agreement ------------------------------------------------
+
+
+def dup_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-dup detectors agree: the text MinHash-LSH pair set vs
+    the embedding-cosine pair set, on the comparable domain (documents
+    with an embedding row — vec_id identifies the embedded doc slice;
+    both restricted to id < NEAR_DUP_MAX_VEC_ID, the embedding path's
+    audit bound). A multimodal pipeline reads this to learn whether its
+    detectors are redundant (template copies caught by both) or
+    complementary (paraphrases only the embedding path sees).
+
+    Scale shape: both inputs are the already-bounded pair sets (text
+    pairs from the materialized substrate), full-outer-joined on the
+    pair key — linear in pairs, nothing quadratic."""
+    from .similarity import NEAR_DUP_MAX_VEC_ID, embedding_near_dup_pairs
+
+    tp = (
+        dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < NEAR_DUP_MAX_VEC_ID)
+            & (F.col("doc_b") < NEAR_DUP_MAX_VEC_ID)
+        )
+        .withColumn("t", F.lit(1))
+    )
+    ep = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        .withColumn("e", F.lit(1))
+    )
+    detector = (
+        F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), F.lit("both"))
+        .when(F.col("t").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("embedding_only"))
+    )
+    return (
+        tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+        .select(detector.alias("detector"))
+        .groupBy("detector")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("detector")
+    )
+
+
+from .similarity import (  # noqa: E402  (no cycle: similarity imports nothing from here)
+    EMBEDDING_NEAR_DUP_SQL as _EMB_ND_SQL,
+    NEAR_DUP_MAX_VEC_ID as _EMB_ND_MAX,
+)
+
+DUP_DETECTOR_OVERLAP_SQL = f"""
+WITH tp AS (
+  SELECT doc_a, doc_b, 1 AS t
+  FROM ({MINHASH_LSH_PAIRS_SQL})
+  WHERE doc_a < {_EMB_ND_MAX} AND doc_b < {_EMB_ND_MAX}
+), ep AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b, 1 AS e
+  FROM ({_EMB_ND_SQL})
+)
+SELECT detector, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+  SELECT CASE WHEN t.t IS NOT NULL AND e.e IS NOT NULL THEN 'both'
+              WHEN t.t IS NOT NULL THEN 'text_only'
+              ELSE 'embedding_only' END AS detector
+  FROM tp t FULL OUTER JOIN ep e
+    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+) GROUP BY detector ORDER BY detector
+"""

@@ -222,6 +222,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "media_features": multimodal.media_features,
     "media_preprocess_plan": multimodal.media_preprocess_plan,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
+    "dup_detector_overlap": text_dedup.dup_detector_overlap,
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
     "dup_graph_pagerank": graph.dup_graph_pagerank,
@@ -307,9 +308,10 @@ _PRIORITY_ORDER = [
     "trailing_hour_counts",
     "text_stats",
     "small_quantity_revenue",
-    "orders_priority_rollup",
+    "dup_detector_overlap",
     # ---- driver window ends here (50) ------------------------------------
-    # r2-green (least stale of the pre-r3 greens; rotate in r5):
+    # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
+    "orders_priority_rollup",
     "clean_users",
     "clean_products",
     # r1-green relational queries awaiting re-verification (rotate in r5):
@@ -517,6 +519,7 @@ ORACLES: dict[str, str] = {
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "media_preprocess_plan": multimodal.MEDIA_PREPROCESS_PLAN_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
+    "dup_detector_overlap": text_dedup.DUP_DETECTOR_OVERLAP_SQL,
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
     "dup_graph_pagerank": graph.DUP_GRAPH_PAGERANK_SQL,
