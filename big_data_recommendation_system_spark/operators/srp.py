@@ -273,3 +273,155 @@ JOIN norms nb ON nb.vec_id = vec_b
 WHERE dot / (na.nrm * nb.nrm) >= {SRP_TAU}
 ORDER BY vec_a, vec_b
 """
+
+
+# --- incremental: new batch vs indexed corpus --------------------------------
+
+# Deterministic batch membership, same convention as the text pipeline
+# (operators/text_dedup.py): every 5th vector plays the incoming batch.
+SRP_BATCH_MOD = 5
+SRP_BATCH_REM = 4
+
+
+def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming-batch vector: how many indexed vectors it matches at
+    cosine ≥ τ (SRP band candidates, two-phase verification), the best
+    match (highest cosine, ties to lowest id) and the is_dup flag — the
+    continuous-ingestion shape for a vector index: in production the
+    index side is the PERSISTED signature/band table of prior runs, so
+    each batch pays O(batch) signature work + an asymmetric band join
+    against the index, never a re-scan of the corpus."""
+    sig = _srp_sig(spark, sf_dir).cache()
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= SRP_MAX_BUCKET)
+        .select("band", "key")
+    )
+    fband = bands.join(F.broadcast(small), ["band", "key"])
+    is_batch = F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM
+    cand = (
+        fband.filter(is_batch)
+        .alias("x")
+        .join(
+            fband.filter(~is_batch).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"), F.col("y.vec_id").alias("match_id")
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    dacc = "decimal(30,12)"
+    fold = (
+        f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {dacc})), "
+        f"CAST(0 AS {dacc}), (acc, v) -> CAST(acc + v AS {dacc})) AS DOUBLE)"
+    )
+    dfold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norms = emb.select(
+        "vec_id", F.sqrt(F.expr(fold.format(a="e", b="e"))).alias("nrm")
+    )
+    ea = emb.select(F.col("vec_id"), F.col("e").alias("qa"))
+    eb = emb.select(F.col("vec_id").alias("match_id"), F.col("e").alias("qb"))
+    na = norms.select("vec_id", F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
+    matches = (
+        cand.join(F.broadcast(ea), "vec_id")
+        .join(F.broadcast(eb), "match_id")
+        .join(F.broadcast(na), "vec_id")
+        .join(F.broadcast(nb), "match_id")
+        .withColumn(
+            "cos_fast",
+            F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_fast") >= SRP_TAU - 1e-9)
+        .withColumn(
+            "cosine",
+            F.expr(fold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= SRP_TAU)
+        .select("vec_id", "match_id", "cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_matches", F.count(F.lit(1)).over(Window.partitionBy("vec_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("match_id").alias("best_match_id"),
+            F.col("cosine").alias("best_cosine"),
+        )
+    )
+    incoming = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM)
+        .select("vec_id")
+    )
+    return (
+        incoming.join(F.broadcast(best), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_match_id",
+            "best_cosine",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SRP_INCREMENTAL_PAIRS_SQL = f"""
+WITH sp AS (
+  SELECT * FROM ({SRP_LSH_PAIRS_SQL})
+), inc AS (
+  -- cross-boundary pairs from the symmetric pipeline, oriented so vec_id
+  -- is always the incoming-batch side
+  SELECT
+    CASE WHEN vec_a % {SRP_BATCH_MOD} = {SRP_BATCH_REM} THEN vec_a ELSE vec_b END AS vec_id,
+    CASE WHEN vec_a % {SRP_BATCH_MOD} = {SRP_BATCH_REM} THEN vec_b ELSE vec_a END AS match_id,
+    cosine
+  FROM sp
+  WHERE (vec_a % {SRP_BATCH_MOD} = {SRP_BATCH_REM})
+     != (vec_b % {SRP_BATCH_MOD} = {SRP_BATCH_REM})
+), best AS (
+  SELECT vec_id,
+    CAST(COUNT(*) AS BIGINT) AS n_matches,
+    FIRST(match_id ORDER BY cosine DESC, match_id ASC) AS best_match_id,
+    FIRST(cosine ORDER BY cosine DESC, match_id ASC) AS best_cosine
+  FROM inc GROUP BY vec_id
+)
+SELECT e.vec_id,
+  COALESCE(b.n_matches, 0) AS n_matches,
+  b.best_match_id,
+  b.best_cosine,
+  COALESCE(b.n_matches, 0) > 0 AS is_dup
+FROM embeddings e
+LEFT JOIN best b ON b.vec_id = e.vec_id
+WHERE e.vec_id % {SRP_BATCH_MOD} = {SRP_BATCH_REM}
+ORDER BY e.vec_id
+"""

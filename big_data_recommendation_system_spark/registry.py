@@ -149,6 +149,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "product_features_batch": feature_twins.product_features_batch,
     "srp_signatures": srp.srp_signatures,
     "srp_lsh_pairs": srp.srp_lsh_pairs,
+    "srp_incremental_pairs": srp.srp_incremental_pairs,
     "user_summary": gold.user_summary,
     "daily_stats": gold.daily_stats,
     "engagement_metrics": gold.engagement_metrics,
@@ -307,10 +308,11 @@ _PRIORITY_ORDER = [
     "ann_cosine_topk",
     "trailing_hour_counts",
     "text_stats",
-    "small_quantity_revenue",
     "dup_detector_overlap",
+    "srp_incremental_pairs",
     # ---- driver window ends here (50) ------------------------------------
     # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
+    "small_quantity_revenue",
     "orders_priority_rollup",
     "clean_users",
     "clean_products",
@@ -450,6 +452,7 @@ ORACLES: dict[str, str] = {
     "product_features_batch": feature_twins.PRODUCT_FEATURES_BATCH_SQL,
     "srp_signatures": srp.SRP_SIGNATURES_SQL,
     "srp_lsh_pairs": srp.SRP_LSH_PAIRS_SQL,
+    "srp_incremental_pairs": srp.SRP_INCREMENTAL_PAIRS_SQL,
     "user_summary": gold.USER_SUMMARY_SQL,
     "daily_stats": gold.DAILY_STATS_SQL,
     "engagement_metrics": gold.ENGAGEMENT_METRICS_SQL,
