@@ -188,12 +188,11 @@ def _minhash_lsh_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of survivors (the one-shot pipeline; consumers go
     through the ``dup_pairs`` provider so the substrate is computed once
     per corpus snapshot, not once per report)."""
-    # cache the small intermediates: the shingled frame feeds signatures
-    # AND both sides of the verification join; signatures feed band keys
-    # AND the agreement prefilter; bands feed both sides of the
-    # candidate self-join. Without caching, each reuse recomputes the
-    # whole upstream chain (the shingle map alone would run 5×).
-    d = _shingled_docs(spark, sf_dir).cache()
+    # the shingled frame comes from the shared substrate (it also feeds
+    # the containment index and the incremental batch path); signatures
+    # and bands are cached here because each feeds 2-3 consumers inside
+    # this pipeline — without caching, each reuse recomputes the chain.
+    d = shingled_docs_table(spark, sf_dir)
     sigs = minhash_signatures(d).cache()
     bands = lsh_band_keys(sigs).cache()
     small_buckets = (
@@ -271,6 +270,9 @@ SUBSTRATE_CONSUMERS = frozenset(
         "dup_graph_pagerank",
         "dup_graph_degrees",
         "lsh_recall_report",
+        "shingle_containment_pairs",
+        "incremental_near_dup",
+        "dup_detector_overlap",
     }
 )
 
@@ -285,6 +287,18 @@ def _materialized(df: DataFrame) -> DataFrame:
     if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
         df = df.persist()
         df.count()
+    return df
+
+
+def shingled_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus shingled-docs frame (doc_id, sh), persisted once
+    per session+corpus — the first stage every shingle consumer (LSH
+    signatures, containment index, incremental batch) shares."""
+    key = _substrate_key(spark, sf_dir, "shingles")
+    df = _SUBSTRATE.get(key)
+    if df is None:
+        df = _shingled_docs(spark, sf_dir)
+    _SUBSTRATE[key] = df = _materialized(df)
     return df
 
 
@@ -888,7 +902,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies are computed over the FULL band table (corpus statistics,
     shared with the symmetric pipeline so the DuckDB twin can reuse the
     same CTE chain and filter pairs to the cross-boundary orientation)."""
-    d = _shingled_docs(spark, sf_dir).cache()
+    d = shingled_docs_table(spark, sf_dir)
     sigs = minhash_signatures(d).cache()
     bands = lsh_band_keys(sigs).cache()
     small_buckets = (
@@ -1030,8 +1044,9 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b) count and a broadcast-back of the per-doc capped set
     sizes. Every compared value is an exact BIGINT or one final
     division. Complements minhash_lsh_pairs: run both at corpus scale —
-    LSH for symmetric near-dups, this for asymmetric inclusion."""
-    d = _shingled_docs(spark, sf_dir).select(
+    LSH for symmetric near-dups, this for asymmetric inclusion. The
+    shingled frame comes from the shared substrate."""
+    d = shingled_docs_table(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     ).select("doc_id", F.md5("shingle").alias("h"))
     capped = (
