@@ -716,3 +716,103 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# --- mixture planning (target shares -> sampling rates) ----------------------
+
+# target language shares for the training mix the pipeline is asked to
+# assemble; the PLAN op below converts these into per-language sampling
+# rates given what the corpus actually contains
+TARGET_MIX: dict[str, float] = {
+    "en": 0.40,
+    "zh": 0.20,
+    "es": 0.15,
+    "de": 0.15,
+    "fr": 0.10,
+}
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning half of mixture construction: given TARGET_MIX
+    shares and the corpus's actual per-language token supply, compute
+    the largest downsampling-only corpus hitting the target mix and the
+    per-language sampling rate that builds it. budget = min over
+    languages of avail_tokens/share (the binding language samples at
+    rate 1.0); rate_l = share_l·budget/avail_l ≤ 1 by construction;
+    planned_tokens_l = floor(share_l·budget). ``mixture_sample``
+    executes rates like these; this op derives them from data instead
+    of hard-coding.
+
+    Scale shape: one token-count rollup keyed on lang (map-side
+    combined), a broadcast 1-row min, pure arithmetic after. Exact
+    BIGINT token counts; the divisions are identical single IEEE
+    expressions in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    share = F.lit(None).cast("double")
+    for lang, s in sorted(TARGET_MIX.items()):
+        share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
+    per_lang = (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("avail_tokens"),
+        )
+        .withColumn("target_share", F.coalesce(share, F.lit(0.0)))
+    )
+    budget = (
+        per_lang.filter(F.col("target_share") > 0)
+        .agg(
+            F.min(
+                F.col("avail_tokens").cast("double") / F.col("target_share")
+            ).alias("budget")
+        )
+    )
+    rate = F.when(
+        F.col("target_share") > 0,
+        F.col("target_share") * F.col("budget") / F.col("avail_tokens"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_lang.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("avail_tokens").cast("long").alias("avail_tokens"),
+            "target_share",
+            rate.alias("sample_rate"),
+            F.floor(F.col("target_share") * F.col("budget"))
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TARGET_SHARE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {s!r}"
+        for lang, s in sorted(TARGET_MIX.items())
+    )
+    + " ELSE 0.0 END"
+)
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_lang AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len({tokens_sql()})) AS BIGINT) AS avail_tokens,
+    {_TARGET_SHARE_SQL} AS target_share
+  FROM documents
+  GROUP BY lang
+), budget AS (
+  SELECT MIN(CAST(avail_tokens AS DOUBLE) / target_share) AS budget
+  FROM per_lang WHERE target_share > 0
+)
+SELECT lang, n_docs, avail_tokens, target_share,
+  CASE WHEN target_share > 0
+       THEN target_share * budget / avail_tokens ELSE 0.0 END AS sample_rate,
+  CAST(floor(target_share * budget) AS BIGINT) AS planned_tokens
+FROM per_lang CROSS JOIN budget
+ORDER BY lang
+"""

@@ -629,3 +629,90 @@ GROUP BY pair
 ORDER BY n_weighted DESC, pair ASC
 LIMIT {BPE_PAIR_TOP_K}
 """
+
+
+# --- per-source vocabulary drift --------------------------------------------
+
+VOCAB_DRIFT_TOP_K = 50
+
+
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: chi-square statistic of each source's
+    token distribution against the corpus distribution over the corpus's
+    top-50 tokens — the monitoring view that flags a feed whose content
+    shifted (new boilerplate, language drift, template change) before it
+    poisons a training mix.
+
+    chi2_s = Σ_t (o_st − n_s·p_t)² / (n_s·p_t), with p_t the corpus
+    share of token t and n_s the source's top-K token total. Counts are
+    exact BIGINTs; each term is one deterministic IEEE expression from
+    those ints; the 50-term sum runs through DECIMAL(38,12) so it is
+    order-independent and hash-stable cross-engine.
+
+    Scale shape: one (token) hash agg for the corpus top-K (map-side
+    combined), broadcast of the 50-row top-K table, one (source, token)
+    hash agg, one per-source rollup. Linear; nothing wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    topk = (
+        corpus.orderBy(F.desc("c_tok"), F.asc("token"))
+        .limit(VOCAB_DRIFT_TOP_K)
+    )
+    c_tot = topk.agg(F.sum("c_tok").alias("c_tot"))
+    st = (
+        toks.join(F.broadcast(topk.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    n_s = st.groupBy("source").agg(F.sum("o").alias("n_s"))
+    full = (
+        st.join(F.broadcast(topk), "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(c_tot))
+    )
+    expected = F.col("n_s") * F.col("c_tok") / F.col("c_tot")
+    term = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    return (
+        full.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_topk_tokens"),
+            F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_VOCAB_DIVERGENCE_SQL = f"""{_DOCS_TOK_CTE}
+, toks AS (
+  SELECT source, unnest(tok) AS token FROM t
+), corpus AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_tok
+  FROM toks GROUP BY token
+), topk AS (
+  SELECT token, c_tok FROM corpus
+  ORDER BY c_tok DESC, token ASC LIMIT {VOCAB_DRIFT_TOP_K}
+), ctot AS (
+  SELECT CAST(SUM(c_tok) AS BIGINT) AS c_tot FROM topk
+), st AS (
+  SELECT source, tk.token, CAST(COUNT(*) AS BIGINT) AS o
+  FROM toks JOIN topk tk ON tk.token = toks.token
+  GROUP BY source, tk.token
+), ns AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM st GROUP BY source
+)
+SELECT st.source,
+  CAST(MAX(ns.n_s) AS BIGINT) AS n_topk_tokens,
+  CAST(SUM(CAST(
+    (st.o - ns.n_s * topk.c_tok / ctot.c_tot)
+    * (st.o - ns.n_s * topk.c_tok / ctot.c_tot)
+    / (ns.n_s * topk.c_tok / ctot.c_tot) AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+FROM st
+JOIN topk ON topk.token = st.token
+JOIN ns ON ns.source = st.source
+CROSS JOIN ctot
+GROUP BY st.source
+ORDER BY st.source
+"""

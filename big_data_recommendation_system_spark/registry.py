@@ -196,6 +196,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "token_budget_sample": corpus_prep.token_budget_sample,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
+    "mixture_plan": packing.mixture_plan,
+    "source_vocab_divergence": text_analysis.source_vocab_divergence,
     "epoch_repeat_plan": packing.epoch_repeat_plan,
     "sequence_packing": packing.sequence_packing,
     "packing_summary": packing.packing_summary,
@@ -311,6 +313,10 @@ _PRIORITY_ORDER = [
     "dup_detector_overlap",
     "srp_incremental_pairs",
     # ---- driver window ends here (50) ------------------------------------
+    # new in r4 post-rotation (pytest-oracle-checked; first window slots
+    # in r5):
+    "mixture_plan",
+    "source_vocab_divergence",
     # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
     "small_quantity_revenue",
     "orders_priority_rollup",
@@ -498,6 +504,8 @@ ORACLES: dict[str, str] = {
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
+    "mixture_plan": packing.MIXTURE_PLAN_SQL,
+    "source_vocab_divergence": text_analysis.SOURCE_VOCAB_DIVERGENCE_SQL,
     "epoch_repeat_plan": packing.EPOCH_REPEAT_PLAN_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
     "packing_summary": packing.PACKING_SUMMARY_SQL,
