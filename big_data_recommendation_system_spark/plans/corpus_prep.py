@@ -487,3 +487,78 @@ SELECT doc_id, shuffle_key, n_tokens, tokens_before
 FROM p WHERE tokens_before < {SAMPLE_TOKEN_BUDGET}
 ORDER BY doc_id
 """
+
+
+# --- curriculum ordering -----------------------------------------------------
+
+# quality_score cutoffs (easy -> hard phases); scores come from
+# text_analysis.text_stats' composite heuristic
+CURRICULUM_CUTOFFS = [90.0, 70.0, 50.0]
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents bucketed into quality phases
+    (highest-quality first), deterministically shuffled WITHIN each
+    phase by a salted hash, and assigned a global 1-based training
+    position. The composition a curriculum-learning data loader
+    consumes directly.
+
+    Scale shape: the total order (phase, shuffle_key, doc_id) goes
+    through the scalable exact ranker (range repartition + local
+    row_number + broadcast prefix offsets, operators/ranking.py) — NO
+    single-partition global window; the DuckDB oracle uses the plain
+    ROW_NUMBER form over the same total order."""
+    from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
+    from .text_analysis import text_stats
+
+    stats = text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    phase = F.lit(len(CURRICULUM_CUTOFFS))
+    for i, cut in reversed(list(enumerate(CURRICULUM_CUTOFFS))):
+        phase = F.when(F.col("quality_score") >= cut, F.lit(i)).otherwise(phase)
+    keyed = stats.select(
+        "doc_id",
+        phase.cast("int").alias("phase"),
+        F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = with_global_rank(keyed, ["phase", "shuffle_key", "doc_id"])
+    return (
+        ranked.select(
+            "doc_id",
+            "phase",
+            "shuffle_key",
+            F.col(RANK_COL).alias("position"),
+        )
+        .orderBy("position")
+    )
+
+
+def _curriculum_phase_sql() -> str:
+    arms = " ".join(
+        f"WHEN quality_score >= {cut} THEN {i}"
+        for i, cut in enumerate(CURRICULUM_CUTOFFS)
+    )
+    return f"CASE {arms} ELSE {len(CURRICULUM_CUTOFFS)} END"
+
+
+def _curriculum_sql() -> str:
+    from .text_analysis import TEXT_STATS_SQL
+
+    return f"""
+WITH stats AS ({TEXT_STATS_SQL}),
+keyed AS (
+  SELECT doc_id,
+    CAST({_curriculum_phase_sql()} AS INT) AS phase,
+    md5('curr:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM stats
+)
+SELECT doc_id, phase, shuffle_key,
+  CAST(ROW_NUMBER() OVER (ORDER BY phase, shuffle_key, doc_id) AS BIGINT)
+    AS position
+FROM keyed
+ORDER BY position
+"""
+
+
+CURRICULUM_ORDER_SQL = _curriculum_sql()

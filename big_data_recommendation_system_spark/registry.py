@@ -193,6 +193,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "decontamination_report": corpus_prep.decontamination_report,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
+    "curriculum_order": corpus_prep.curriculum_order,
     "token_budget_sample": corpus_prep.token_budget_sample,
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
@@ -317,6 +318,7 @@ _PRIORITY_ORDER = [
     # in r5):
     "mixture_plan",
     "source_vocab_divergence",
+    "curriculum_order",
     # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
     "small_quantity_revenue",
     "orders_priority_rollup",
@@ -501,6 +503,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
+    "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
