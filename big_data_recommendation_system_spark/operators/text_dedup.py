@@ -273,6 +273,7 @@ SUBSTRATE_CONSUMERS = frozenset(
         "shingle_containment_pairs",
         "incremental_near_dup",
         "dup_detector_overlap",
+        "dedup_token_savings",
     }
 )
 
@@ -1248,4 +1249,53 @@ SELECT detector, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
   FROM tp t FULL OUTER JOIN ep e
     ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
 ) GROUP BY detector ORDER BY detector
+"""
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted dedup impact per source: training tokens before
+    and after executing the retention plan, and the share saved — the
+    number that actually matters for a corpus budget (a feed can have a
+    high doc drop RATE but trivial token savings if its dups are short).
+    One narrow rollup over the shared substrate's retention plan joined
+    with per-doc token counts."""
+    plan = dedup_retention_plan(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    return (
+        plan.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+            F.sum(F.when(~F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "tokens_dropped"
+            ),
+            (
+                F.sum(F.when(~F.col("keep"), F.col("n_tok")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_tok")
+            ).alias("token_drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_TOKEN_SAVINGS_SQL = f"""
+SELECT d.source,
+  CAST(SUM(len({tokens_sql()})) AS BIGINT) AS tokens_total,
+  CAST(SUM(CASE WHEN p.keep THEN len({tokens_sql()}) ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST(SUM(CASE WHEN p.keep THEN 0 ELSE len({tokens_sql()}) END) AS BIGINT)
+    AS tokens_dropped,
+  CAST(SUM(CASE WHEN p.keep THEN 0 ELSE len({tokens_sql()}) END) AS DOUBLE)
+    / SUM(len({tokens_sql()})) AS token_drop_rate
+FROM ({DEDUP_RETENTION_PLAN_SQL}) p
+JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
 """

@@ -227,6 +227,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "media_preprocess_plan": multimodal.media_preprocess_plan,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dup_detector_overlap": text_dedup.dup_detector_overlap,
+    "dedup_token_savings": text_dedup.dedup_token_savings,
     "dedup_rate_by_source": text_dedup.dedup_rate_by_source,
     "cross_source_dup_matrix": text_dedup.cross_source_dup_matrix,
     "dup_graph_pagerank": graph.dup_graph_pagerank,
@@ -319,6 +320,7 @@ _PRIORITY_ORDER = [
     "mixture_plan",
     "source_vocab_divergence",
     "curriculum_order",
+    "dedup_token_savings",
     # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
     "small_quantity_revenue",
     "orders_priority_rollup",
@@ -534,6 +536,7 @@ ORACLES: dict[str, str] = {
     "media_preprocess_plan": multimodal.MEDIA_PREPROCESS_PLAN_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dup_detector_overlap": text_dedup.DUP_DETECTOR_OVERLAP_SQL,
+    "dedup_token_savings": text_dedup.DEDUP_TOKEN_SAVINGS_SQL,
     "dedup_rate_by_source": text_dedup.DEDUP_RATE_BY_SOURCE_SQL,
     "cross_source_dup_matrix": text_dedup.CROSS_SOURCE_DUP_MATRIX_SQL,
     "dup_graph_pagerank": graph.DUP_GRAPH_PAGERANK_SQL,
