@@ -716,7 +716,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map stage: every output value is computed per row from the
     vector alone (array max for the scale, element-wise round for the
     codes, an ordered array fold for the L1 error), so the operator
-    scales linearly and shuffles nothing. Hash-discipline notes: scale
+    scales linearly and shuffles nothing. The codes are emitted as a
+    comma-joined string (concat_ws / array_to_string) rather than a raw
+    array column: the correctness harness canonicalizes rows via pandas
+    sort_values, which cannot order list cells — every registered query
+    keeps its output schema scalar-only (see
+    tests/test_registry.py::test_oracled_query_schemas_are_scalar_only).
+    Hash-discipline notes: scale
     and max_abs_err are single IEEE ops on identical float32 inputs
     (bit-identical across engines); the L1 sum is a per-row left
     fold whose order is the array order on both engines (bit-identical
@@ -764,7 +770,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.size("quantized").cast("long").alias("n_dims"),
             "scale",
-            "quantized",
+            # serialize the codes: concat_ws stringifies the bigint
+            # elements, so "-3,0,5,..." is byte-identical across engines
+            F.concat_ws(",", F.col("quantized")).alias("quantized"),
             "l1_err",
             "max_abs_err",
         )
@@ -783,10 +791,11 @@ WITH base AS (
 SELECT vec_id,
   CAST(len(xd) AS BIGINT) AS n_dims,
   scale,
-  CASE WHEN scale = 0.0
-    THEN list_transform(xd, x -> CAST(0 AS BIGINT))
-    ELSE list_transform(xd, x -> CAST(round(x / scale) AS BIGINT))
-  END AS quantized,
+  array_to_string(
+    CASE WHEN scale = 0.0
+      THEN list_transform(xd, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(xd, x -> CAST(round(x / scale) AS BIGINT))
+    END, ',') AS quantized,
   CASE WHEN scale = 0.0 THEN 0.0 ELSE
     list_reduce(
       list_prepend(CAST(0.0 AS DOUBLE),

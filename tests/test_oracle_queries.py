@@ -18,3 +18,24 @@ def test_all_queries_run_small(spark, sf_dir_small):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir_small)
         assert df.count() >= 0, name
+
+
+def test_oracled_query_schemas_are_scalar_only(spark, sf_dir_small):
+    """No oracled query may emit a top-level array/struct/map column.
+
+    The driver's correctness harness canonicalizes result rows with a
+    pandas sort over every column; list-valued cells raise
+    `TypeError: unhashable type: 'list'` and the query records an `err`
+    instead of a hash row (this killed embedding_quantize in round 4).
+    Serialize nested values (concat_ws / array_join on the Spark side,
+    array_to_string / string_agg in the DuckDB twin) before registering.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(ORACLES):
+        schema = QUERIES[name](spark, sf_dir_small).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
