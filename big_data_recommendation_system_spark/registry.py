@@ -9,6 +9,7 @@ before hashing.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 import zipfile
@@ -68,12 +69,19 @@ def _ship_package(spark: SparkSession) -> None:
             return
     except Exception:
         pass
+    zip_path = _build_pkg_zip()
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set("bdrs.pyfiles.shipped", "true")
+
+
+@functools.lru_cache(maxsize=1)
+def _build_pkg_zip() -> str:
+    """Zip the package for addPyFile, once per process (memoized — the
+    sources cannot change under a running driver, so there is no point
+    re-statting every package file's mtime on every query call)."""
     zip_path = os.path.join(
         tempfile.gettempdir(), f"bdrs_pkg_{os.getpid()}.zip"
     )
-    # rebuild when any package source is newer than the zip — a stale zip
-    # could otherwise ship if the package is edited within one process
-    # lifetime (e.g. an interactive session reloading modules)
     src_files = [
         os.path.join(root, fname)
         for root, _dirs, files in os.walk(_PKG_DIR)
@@ -88,8 +96,7 @@ def _ship_package(spark: SparkSession) -> None:
             for full in src_files:
                 rel = os.path.join(_PKG_NAME, os.path.relpath(full, _PKG_DIR))
                 zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
-    spark.conf.set("bdrs.pyfiles.shipped", "true")
+    return zip_path
 
 
 def _pinned(fn: QueryFn) -> QueryFn:
@@ -257,11 +264,100 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # query cycles through the checked window.
 _PRIORITY_ORDER = [
     # -- driver-checked window: the driver hash-checks the FIRST 50 entries.
-    # Round-4 rotation: (a) every slot is oracle-hashed, (b) the 29 queries
-    # that have never had a driver-green row lead (VERDICT r3 item 1), then
-    # (c) this round's 5 new queries, then (d) the stalest r1-only greens
-    # fill the remaining slots so nothing stays >2 rounds unchecked.
-    # never-driver-checked (registered r2/r3, green in pytest+strict only):
+    # Round-6 rotation (VERDICT r5 item 1): (a) the 4 round-4 registrations
+    # that have never had a driver row, (b) the stalest r1/r2 greens,
+    # (c) the 20 TPC-H queries (r1-green, 4 rounds and two Spark minor
+    # versions stale) + ann_ivf_topk, then (d) backfill with the stalest
+    # r3-greens so nothing stays >2 rounds unchecked.
+    # never driver-checked (registered in round 4):
+    "mixture_plan",
+    "source_vocab_divergence",
+    "curriculum_order",
+    "dedup_token_savings",
+    # stalest r1/r2 greens:
+    "small_quantity_revenue",
+    "orders_priority_rollup",
+    "clean_users",
+    "clean_products",
+    # TPC-H suite + IVF ANN, r1-green, 4 rounds stale:
+    "q1_pricing_summary",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_revenue",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_part_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_return_suppliers",
+    "q22_idle_rich_customers",
+    "ann_ivf_topk",
+    # backfill: stalest r3-greens (silver/gold/DQ/analytics families):
+    "silver_events",
+    "clean_clickstream",
+    "dq_rule_stats",
+    "user_value_quartiles",
+    "event_sequences",
+    "user_sessions",
+    "daily_stats",
+    "engagement_metrics",
+    "user_summary",
+    "product_summary",
+    "latest_event_per_user",
+    "dedup_exact_events",
+    "first_event_per_user_type_day",
+    "purchases_with_prior_tier",
+    "dq_trend",
+    "dq_daily_validity",
+    "cohort_retention",
+    "daily_type_cube",
+    "conversion_funnel",
+    "view_purchase_attribution",
+    "events_upsert_corrections",
+    # ---- driver window ends here (50) ------------------------------------
+    # r7 rotation queue: cosine_topk_agreement first (it is the oracle
+    # coverage for the rows-only cosine_topk_fast — VERDICT r5 item 4),
+    # then the remaining r3-greens:
+    "cosine_topk_agreement",
+    "users_without_purchase",
+    "q12_late_shipment_priority",
+    "bpe_token_stats",
+    "vocab_df_stats",
+    "daily_gapfill",
+    "profile_events",
+    "value_percentiles_by_type",
+    "corpus_split",
+    "doc_repetition_stats",
+    "corpus_prep_summary",
+    "decontamination_report",
+    "pii_scrub",
+    "mixture_sample",
+    "sequence_packing",
+    "packing_summary",
+    "chunk_documents",
+    "balanced_sample",
+    "incremental_near_dup",
+    "near_dup_clusters",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_clusters",
+    "knn_label_eval",
+    "corpus_shuffle",
+    "span_dedup_stats",
+    "token_budget_sample",
+    "filter_funnel_report",
+    "media_features",
+    # r4/r5-green — driver-verified in each of the last two rounds,
+    # freshest, lowest re-verification priority:
     "user_tier_scd2",
     "dup_graph_pagerank",
     "dup_graph_degrees",
@@ -291,7 +387,6 @@ _PRIORITY_ORDER = [
     "session_funnel_paths",
     "value_outliers_by_type",
     "daily_event_pivot",
-    # new this round (first driver exposure):
     "ref_user_summary",
     "ref_daily_stats",
     "ref_engagement_metrics",
@@ -299,7 +394,6 @@ _PRIORITY_ORDER = [
     "product_features_batch",
     "srp_signatures",
     "srp_lsh_pairs",
-    # stalest r1-only greens (2 rounds and a Spark minor version old):
     "top_event_types_per_user",
     "ngram_jaccard_pairs",
     "doc_fingerprints",
@@ -314,40 +408,6 @@ _PRIORITY_ORDER = [
     "text_stats",
     "dup_detector_overlap",
     "srp_incremental_pairs",
-    # ---- driver window ends here (50) ------------------------------------
-    # new in r4 post-rotation (pytest-oracle-checked; first window slots
-    # in r5):
-    "mixture_plan",
-    "source_vocab_divergence",
-    "curriculum_order",
-    "dedup_token_savings",
-    # r1/r2-green (least stale of the pre-r3 greens; rotate in r5):
-    "small_quantity_revenue",
-    "orders_priority_rollup",
-    "clean_users",
-    "clean_products",
-    # r1-green relational queries awaiting re-verification (rotate in r5):
-    "q1_pricing_summary",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_revenue",
-    "q11_important_part_value",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_part_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_return_suppliers",
-    "q22_idle_rich_customers",
-    "ann_ivf_topk",
     # rows-only by design (no SQL oracle; driver records rows-only):
     "pca_explained_variance",  # driver-side eigensolve of the collected
     # 64×64 matrix; the data pass is the hash-verified embedding_covariance
@@ -359,57 +419,6 @@ _PRIORITY_ORDER = [
     "approx_distinct_daily",
     "mllib_minhash_pairs",
     "cosine_topk_fast",
-    # r3-green (freshest — re-verification priority is lowest):
-    "bpe_token_stats",
-    "vocab_df_stats",
-    "daily_gapfill",
-    "profile_events",
-    "value_percentiles_by_type",
-    "corpus_split",
-    "doc_repetition_stats",
-    "corpus_prep_summary",
-    "decontamination_report",
-    "pii_scrub",
-    "mixture_sample",
-    "sequence_packing",
-    "packing_summary",
-    "chunk_documents",
-    "balanced_sample",
-    "incremental_near_dup",
-    "near_dup_clusters",
-    "simhash_near_dup_pairs",
-    "cosine_topk_agreement",
-    "embedding_near_dup_pairs",
-    "embedding_clusters",
-    "knn_label_eval",
-    "corpus_shuffle",
-    "span_dedup_stats",
-    "token_budget_sample",
-    "filter_funnel_report",
-    "media_features",
-    "users_without_purchase",
-    "q12_late_shipment_priority",
-    "silver_events",
-    "clean_clickstream",
-    "dq_rule_stats",
-    "user_value_quartiles",
-    "event_sequences",
-    "user_sessions",
-    "daily_stats",
-    "engagement_metrics",
-    "user_summary",
-    "product_summary",
-    "latest_event_per_user",
-    "dedup_exact_events",
-    "first_event_per_user_type_day",
-    "purchases_with_prior_tier",
-    "dq_trend",
-    "dq_daily_validity",
-    "cohort_retention",
-    "daily_type_cube",
-    "conversion_funnel",
-    "view_purchase_attribution",
-    "events_upsert_corrections",
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (
