@@ -173,13 +173,17 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    small = (
+    # Stop-bucket cap as a broadcast ANTI-join: the set of OVER-cap
+    # buckets is tiny by definition (they are the degenerate hubs being
+    # dropped), so it broadcasts at any corpus size; the complement
+    # ("small") is corpus-scale and must never carry the hint.
+    stop = (
         bands.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= SRP_MAX_BUCKET)
+        .filter(F.col("n") > SRP_MAX_BUCKET)
         .select("band", "key")
     )
-    bands = bands.join(F.broadcast(small), ["band", "key"])
+    bands = bands.join(F.broadcast(stop), ["band", "key"], "left_anti")
     cand = (
         bands.alias("x")
         .join(
@@ -224,14 +228,19 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("qb"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    survivors = (
-        cand.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
-        .join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
-        .withColumn("cos_fast", F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos_fast") >= SRP_TAU - 1e-9)
-    )
+    # Broadcast hints belong on the CANDIDATE side: `cand` is bounded by
+    # the stop-bucket cap (a few hundred pairs here; still tiny at 100 TB),
+    # while ea/eb/na/nb derive from the full embeddings table — hinting
+    # those would broadcast the corpus. Each join keeps the hint on the
+    # accumulating candidate frame so the corpus-sized side streams.
+    enriched = F.broadcast(cand).join(na, "vec_a")
+    enriched = F.broadcast(enriched).join(nb, "vec_b")
+    enriched = F.broadcast(enriched).join(ea, "vec_a")
+    enriched = F.broadcast(enriched).join(eb, "vec_b")
+    survivors = enriched.withColumn(
+        "cos_fast",
+        F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
+    ).filter(F.col("cos_fast") >= SRP_TAU - 1e-9)
     return (
         survivors.withColumn("dot", F.expr(fold.format(a="qa", b="qb")))
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
@@ -303,13 +312,15 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    small = (
+    # Same stop-bucket discipline as srp_lsh_pairs: broadcast the tiny
+    # over-cap set and anti-join, never the corpus-scale complement.
+    stop = (
         bands.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= SRP_MAX_BUCKET)
+        .filter(F.col("n") > SRP_MAX_BUCKET)
         .select("band", "key")
     )
-    fband = bands.join(F.broadcast(small), ["band", "key"])
+    fband = bands.join(F.broadcast(stop), ["band", "key"], "left_anti")
     is_batch = F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM
     cand = (
         fband.filter(is_batch)
@@ -344,12 +355,14 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(F.col("vec_id").alias("match_id"), F.col("e").alias("qb"))
     na = norms.select("vec_id", F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
+    # As in srp_lsh_pairs: the broadcast hint rides the candidate side
+    # (bounded by the band caps), never the embeddings-derived frames.
+    joined = F.broadcast(cand).join(na, "vec_id")
+    joined = F.broadcast(joined).join(nb, "match_id")
+    joined = F.broadcast(joined).join(ea, "vec_id")
+    joined = F.broadcast(joined).join(eb, "match_id")
     matches = (
-        cand.join(F.broadcast(ea), "vec_id")
-        .join(F.broadcast(eb), "match_id")
-        .join(F.broadcast(na), "vec_id")
-        .join(F.broadcast(nb), "match_id")
-        .withColumn(
+        joined.withColumn(
             "cos_fast",
             F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
         )
