@@ -95,3 +95,14 @@ def round2_neutral(col: Column) -> Column:
     any engine given the same double produces the same rounded value.
     """
     return F.floor(col * 100 + F.lit(0.5)) / 100
+
+
+def round1_neutral(col: Column) -> Column:
+    """Engine-neutral 1-decimal round-half-up: ``floor(x*10 + 0.5) / 10``.
+
+    The reference rounds ``mobile_pct``/``event_pct`` to ONE decimal
+    (gold_pipeline.py:307,333 ``.round(1)``); this is the same
+    boundary-stable formulation as :func:`round2_neutral` at that
+    precision.
+    """
+    return F.floor(col * 10 + F.lit(0.5)) / 10

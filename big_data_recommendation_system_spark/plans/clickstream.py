@@ -439,9 +439,17 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY product_id ORDER BY ts DESC, record_id D
 
 _ROUND2 = "floor(({x}) * 100 + 0.5) / 100"
 
+# mobile_pct / event_pct are ONE-decimal in the reference
+# (gold_pipeline.py:307,333 use .round(1)) — same neutral form at 10×.
+_ROUND1 = "floor(({x}) * 10 + 0.5) / 10"
+
 
 def _r2(x: str) -> str:
     return _ROUND2.format(x=x)
+
+
+def _r1(x: str) -> str:
+    return _ROUND1.format(x=x)
 
 
 def ref_user_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +542,7 @@ REF_DAILY_STATS_SQL = f"""{_CC_CTE}
 SELECT event_date, daily_active_users, products_viewed, total_sessions,
   total_events, total_engagement, mobile_events,
   {_r2("CAST(total_events AS DOUBLE) / daily_active_users")} AS events_per_user,
-  {_r2("mobile_events * 100.0 / total_events")} AS mobile_pct
+  {_r1("mobile_events * 100.0 / total_events")} AS mobile_pct
 FROM ds
 """
 
@@ -562,6 +570,6 @@ REF_ENGAGEMENT_METRICS_SQL = f"""{_CC_CTE}
   FROM cc GROUP BY event_type
 )
 SELECT event_type, unique_users, total_events, total_engagement,
-  {_r2("total_events * 100.0 / SUM(total_events) OVER ()")} AS event_pct
+  {_r1("total_events * 100.0 / SUM(total_events) OVER ()")} AS event_pct
 FROM em
 """

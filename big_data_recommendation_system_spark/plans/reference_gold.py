@@ -19,6 +19,7 @@ from ..functions.pandas_parity import (
     cut_right_closed,
     decimal_avg,
     decimal_sum,
+    round1_neutral,
     round2_neutral,
 )
 
@@ -165,7 +166,8 @@ def daily_stats(clickstream: DataFrame) -> DataFrame:
         )
         .withColumn(
             "mobile_pct",
-            round2_neutral(F.col("mobile_events") * 100.0 / F.col("total_events")),
+            # the reference rounds this to ONE decimal (gold_pipeline.py:307)
+            round1_neutral(F.col("mobile_events") * 100.0 / F.col("total_events")),
         )
         .withColumn("created_date", F.current_date().cast("string"))
     )
@@ -182,7 +184,8 @@ def engagement_metrics(clickstream: DataFrame) -> DataFrame:
     )
     return agg.withColumn(
         "event_pct",
-        round2_neutral(
+        # the reference rounds this to ONE decimal (gold_pipeline.py:333)
+        round1_neutral(
             F.col("total_events")
             * 100.0
             / F.sum("total_events").over(Window.partitionBy())
