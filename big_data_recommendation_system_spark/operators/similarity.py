@@ -721,7 +721,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     array column: the correctness harness canonicalizes rows via pandas
     sort_values, which cannot order list cells — every registered query
     keeps its output schema scalar-only (see
-    tests/test_registry.py::test_oracled_query_schemas_are_scalar_only).
+    tests/test_oracle_queries.py::test_oracled_query_schemas_are_scalar_only).
+    Vectors are assumed non-empty (fixed EMBED_DIM fixtures): on a
+    zero-length array Spark's concat_ws yields '' while DuckDB's
+    array_to_string yields NULL — the oracle wraps it in coalesce(.., '')
+    so even that degenerate case agrees.
     Hash-discipline notes: scale
     and max_abs_err are single IEEE ops on identical float32 inputs
     (bit-identical across engines); the L1 sum is a per-row left
@@ -791,11 +795,11 @@ WITH base AS (
 SELECT vec_id,
   CAST(len(xd) AS BIGINT) AS n_dims,
   scale,
-  array_to_string(
+  coalesce(array_to_string(
     CASE WHEN scale = 0.0
       THEN list_transform(xd, x -> CAST(0 AS BIGINT))
       ELSE list_transform(xd, x -> CAST(round(x / scale) AS BIGINT))
-    END, ',') AS quantized,
+    END, ','), '') AS quantized,
   CASE WHEN scale = 0.0 THEN 0.0 ELSE
     list_reduce(
       list_prepend(CAST(0.0 AS DOUBLE),
