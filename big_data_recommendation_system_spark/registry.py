@@ -319,15 +319,14 @@ _PRIORITY_ORDER = [
     "dq_trend",
     "dq_daily_validity",
     "cohort_retention",
-    "daily_type_cube",
+    "cosine_topk_agreement",  # oracle coverage for the rows-only
+    # cosine_topk_fast (VERDICT r5 item 4)
     "conversion_funnel",
     "view_purchase_attribution",
     "events_upsert_corrections",
     # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue: cosine_topk_agreement first (it is the oracle
-    # coverage for the rows-only cosine_topk_fast — VERDICT r5 item 4),
-    # then the remaining r3-greens:
-    "cosine_topk_agreement",
+    # r7 rotation queue (remaining r3-greens):
+    "daily_type_cube",
     "users_without_purchase",
     "q12_late_shipment_priority",
     "bpe_token_stats",

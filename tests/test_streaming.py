@@ -237,18 +237,32 @@ def test_stateful_product_features_replay(spark, stream_env, sf_dir_small):
         .orderBy("ts", "event_id")
         .collect()
     )
+    # Peers-inclusive like the operator itself: feature_processor.py
+    # computes `recent` via searchsorted(side="right") over ALL view
+    # timestamps in the batch, so same-(product, ts) view ties count for
+    # each other regardless of event_id order. Replaying sequentially
+    # would miss later-processed ties — count against the full list.
+    all_vts: dict = {}
     for r in rows:
-        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0, "vts": []})
+        if r.event_type in ("view", "click"):
+            all_vts.setdefault(r.prop_k, []).append(
+                int(r.ts.timestamp() * 1_000_000)
+            )
+    for r in rows:
+        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0})
         ts_us = int(r.ts.timestamp() * 1_000_000)
         if r.event_type in ("view", "click"):
             s["v"] += 1
-            s["vts"].append(ts_us)
         elif r.event_type == "signup":
             s["c"] += 1
         elif r.event_type == "purchase":
             s["b"] += 1
         denom = max(s["v"], 1)
-        recent = sum(1 for t in s["vts"][-1000:] if ts_us - 3_600_000_000 < t <= ts_us)
+        recent = sum(
+            1
+            for t in all_vts.get(r.prop_k, [])
+            if ts_us - 3_600_000_000 < t <= ts_us
+        )
         expect[r.event_id] = (
             s["v"],
             recent,
@@ -318,18 +332,32 @@ def test_product_features_batch_twin_matches_replay(spark, sf_dir_small):
         .orderBy("ts", "event_id")
         .collect()
     )
+    # The twin's trailing-hour count is a peers-inclusive RANGE window:
+    # every view in (ts-1h, ts] counts, INCLUDING other views at exactly
+    # the same (product, ts). A sequential prefix would miss same-ts
+    # peers processed later, so compute `recent` against the full
+    # per-product view-timestamp list instead of the running state.
+    all_vts: dict = {}
     for r in rows:
-        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0, "vts": []})
+        if r.event_type in ("view", "click"):
+            all_vts.setdefault(r.prop_k, []).append(
+                int(r.ts.timestamp() * 1_000_000)
+            )
+    for r in rows:
+        s = state.setdefault(r.prop_k, {"v": 0, "c": 0, "b": 0})
         ts_us = int(r.ts.timestamp() * 1_000_000)
         if r.event_type in ("view", "click"):
             s["v"] += 1
-            s["vts"].append(ts_us)
         elif r.event_type == "signup":
             s["c"] += 1
         elif r.event_type == "purchase":
             s["b"] += 1
         denom = max(s["v"], 1)
-        recent = sum(1 for t in s["vts"] if ts_us - 3_600_000_000 < t <= ts_us)
+        recent = sum(
+            1
+            for t in all_vts.get(r.prop_k, [])
+            if ts_us - 3_600_000_000 < t <= ts_us
+        )
         expect[r.event_id] = (
             s["v"],
             recent,
