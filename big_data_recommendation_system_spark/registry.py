@@ -407,17 +407,27 @@ _PRIORITY_ORDER = [
     "text_stats",
     "dup_detector_overlap",
     "srp_incremental_pairs",
-    # rows-only by design (no SQL oracle; driver records rows-only):
+    # rows-only by design (no SQL oracle; driver records rows-only).
+    # Pure rows-only (external invariant, pinned in pytest):
     "pca_explained_variance",  # driver-side eigensolve of the collected
     # 64×64 matrix; the data pass is the hash-verified embedding_covariance
-    "kmeans_refine",  # iterative loop; per-step math is the hash-verified
-    # kmeans_step
-    "als_recommendations",
+    "als_recommendations",  # iterative MLlib ALS; non-deterministic factor
+    # init — pytest pins hit-rate lift vs the popularity baseline
     "als_eval_metrics",  # ALS is iterative — rows-only, invariant pinned
     # by pytest (hit-rate floor vs popularity baseline)
-    "approx_distinct_daily",
-    "mllib_minhash_pairs",
-    "cosine_topk_fast",
+    "mllib_minhash_pairs",  # MLlib approxSimilarityJoin internals; pytest
+    # pins recall >= 0.9 against the hash-verified minhash_lsh_pairs
+    # Self-evidencing rows-only (the recorded rows carry their own
+    # certificate, so a driver rows check is more than a row count):
+    "kmeans_refine",  # per-iteration descent report: every row carries a
+    # `descended` Lloyd-invariant flag; per-step math is the hash-verified
+    # kmeans_step
+    "approx_distinct_daily",  # each row carries the exact count beside the
+    # HLL estimate plus a rel_err_within_5pct certificate (HLL sketches
+    # differ across engines, so no hash oracle is possible)
+    "cosine_topk_fast",  # neighbor-set agreement with the decimal-exact
+    # path is the hash-verified cosine_topk_agreement (in this round's
+    # checked window)
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (

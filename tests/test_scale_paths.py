@@ -39,9 +39,17 @@ def test_salted_agg_equals_direct(spark, sf_dir):
 
 
 def test_approx_distinct_within_bound(spark, sf_dir):
-    approx = {
-        str(r.event_date): r.approx_daily_active_users
-        for r in approx_distinct_daily(spark, sf_dir).collect()
+    rows = approx_distinct_daily(spark, sf_dir).collect()
+    # the query's own certificate columns must hold and agree with an
+    # independently computed exact count
+    for r in rows:
+        assert r.rel_err_within_5pct, r
+        assert abs(r.approx_daily_active_users - r.exact_daily_active_users) <= max(
+            3, 0.05 * r.exact_daily_active_users
+        ), r
+    approx = {str(r.event_date): r.approx_daily_active_users for r in rows}
+    exact_in_row = {
+        str(r.event_date): r.exact_daily_active_users for r in rows
     }
     exact = {
         str(r.event_date): r.dau
@@ -51,6 +59,7 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         .collect()
     }
     assert approx.keys() == exact.keys()
+    assert exact_in_row == exact  # query's exact column == independent exact
     for day, e in exact.items():
         assert abs(approx[day] - e) <= max(3, 0.05 * e), (day, approx[day], e)
 

@@ -825,6 +825,23 @@ def test_kmeans_objective_monotone_descent(spark, sf_dir_small):
     assert objectives[-1] < objectives[0]  # refinement actually moved
 
 
+def test_kmeans_refine_descent_report(spark, sf_dir_small):
+    """kmeans_refine's self-evidencing report: one row per iteration,
+    every descended flag true, all vectors assigned each round."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        KMEANS_ITERS,
+        kmeans_refine,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    n_vecs = load_table(spark, sf_dir_small, "embeddings").count()
+    rows = kmeans_refine(spark, sf_dir_small).collect()
+    assert [r.iteration for r in rows] == list(range(1, KMEANS_ITERS + 1))
+    assert all(r.descended for r in rows), rows
+    assert all(r.n_members == n_vecs for r in rows), rows
+    assert rows[-1].total_objective < rows[0].total_objective
+
+
 def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
     """A small document fully embedded in a much larger one must be
     flagged by shingle containment (C = 1.0) even though its jaccard is
