@@ -754,7 +754,14 @@ def dedup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is keyed on cluster_id/doc_id; nothing quadratic. The
     cluster table comes from the shared substrate (``dup_clusters``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    clusters = dup_clusters(spark, sf_dir)
+    return retention_plan_from(dup_clusters(spark, sf_dir), docs)
+
+
+def retention_plan_from(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """Frame-level retention plan: ``clusters`` is (doc_id, cluster_id,
+    cluster_size) — the substrate or a written dup_clusters table —
+    ``docs`` is (doc_id, n_chars). Shared by the registered query and
+    cli/run_dedup.py's read-back path."""
     sized = clusters.join(docs, "doc_id")
     winners = (
         sized.groupBy("cluster_id")
@@ -803,6 +810,12 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds one narrow-key aggregation to the cluster pipeline."""
     plan = dedup_retention_plan(spark, sf_dir).select("doc_id", "keep")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return rate_by_source_from(plan, src)
+
+
+def rate_by_source_from(plan: DataFrame, src: DataFrame) -> DataFrame:
+    """Frame-level per-source dedup rate over a (doc_id, keep) plan and a
+    (doc_id, source) dimension — shared with cli/run_dedup.py."""
     return (
         plan.join(src, "doc_id")
         .groupBy("source")
@@ -1263,8 +1276,14 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
     )
+    return token_savings_from(plan, docs)
+
+
+def token_savings_from(plan: DataFrame, docs_tok: DataFrame) -> DataFrame:
+    """Frame-level token-savings rollup over a (doc_id, keep) plan and a
+    (doc_id, source, n_tok) frame — shared with cli/run_dedup.py."""
     return (
-        plan.join(docs, "doc_id")
+        plan.join(docs_tok, "doc_id")
         .groupBy("source")
         .agg(
             F.sum("n_tok").alias("tokens_total"),

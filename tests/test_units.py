@@ -1217,3 +1217,66 @@ def test_als_eval_metrics_invariants(spark, sf_dir_small):
     assert 0.0 <= r.pop_hit_rate <= 1.0 and 0.0 <= r.als_hit_rate <= 1.0
     assert r.als_hit_rate >= 0.5, r  # implicit ALS reconstructs engagement
     assert r.lift > 1.0, r  # and beats raw popularity
+
+
+def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
+    """cli/run_dedup.py (S7/S9 over the dedup substrate): build writes
+    dup_pairs/dup_clusters/retention_plan Parquet, report READS them back
+    and its written outputs must equal the registered (oracle-hashed)
+    queries computed inline — the written snapshot is a faithful
+    substrate, not a divergent copy."""
+    import argparse
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    run_dedup = importlib.import_module("run_dedup")
+    from big_data_recommendation_system_spark.operators import text_dedup
+
+    out = str(tmp_path / "dedup_out")
+    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out)
+    run_dedup.run_build(ns)
+    run_dedup.run_report(ns)
+
+    pairs = spark.read.parquet(os.path.join(out, "dup_pairs"))
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in text_dedup.minhash_lsh_pairs(spark, sf_dir_small).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == want_pairs
+    assert want_pairs, "sf0.001 must contain near-dups"
+
+    rate_written = {
+        r.source: (r.n_docs, r.n_kept, r.n_dropped)
+        for r in spark.read.parquet(
+            os.path.join(out, "reports", "dedup_rate_by_source")
+        ).collect()
+    }
+    rate_inline = {
+        r.source: (r.n_docs, r.n_kept, r.n_dropped)
+        for r in text_dedup.dedup_rate_by_source(spark, sf_dir_small).collect()
+    }
+    assert rate_written == rate_inline
+
+    tok_written = {
+        r.source: (r.tokens_total, r.tokens_kept, r.tokens_dropped)
+        for r in spark.read.parquet(
+            os.path.join(out, "reports", "dedup_token_savings")
+        ).collect()
+    }
+    tok_inline = {
+        r.source: (r.tokens_total, r.tokens_kept, r.tokens_dropped)
+        for r in text_dedup.dedup_token_savings(spark, sf_dir_small).collect()
+    }
+    assert tok_written == tok_inline
+
+    hist = spark.read.parquet(
+        os.path.join(out, "reports", "cluster_size_histogram")
+    ).collect()
+    clusters = spark.read.parquet(os.path.join(out, "dup_clusters"))
+    assert sum(r.cluster_size * r.n_clusters for r in hist) == clusters.count()
+
+    runs = spark.read.parquet(os.path.join(out, "_pipeline_runs"))
+    stages = {r.stage for r in runs.collect()}
+    assert stages == {"dedup_build", "dedup_report"}
