@@ -488,24 +488,36 @@ def test_session_window_matches_batch_sessionize(spark, stream_env, sf_dir_small
         .start()
     )
     q.awaitTermination(180)
+    # Full per-session equivalence, not just per-user counts: every
+    # session's start, end, event count AND engagement must match the
+    # batch gap-and-island rollup. session_window's end is
+    # last-event + gap, the batch twin's is last-event — normalize by
+    # adding the 30-min gap to the batch end.
     streamed = {
-        r.user_id: (r.n_sessions, r.n_events)
+        (r.user_id, r.session_start): (
+            r.session_end,
+            r.events_in_session,
+            float(r.session_engagement),
+        )
         for r in spark.sql(
-            "SELECT user_id, count(*) n_sessions, sum(events_in_session) n_events "
-            "FROM sessions_cmp WHERE user_id != 999999 GROUP BY user_id"
+            "SELECT * FROM sessions_cmp WHERE user_id != 999999"
         ).collect()
     }
     batch = {
-        r.user_id: (r.n_sessions, r.n_events)
+        (r.user_id, r.session_start): (
+            r.session_end_plus_gap,
+            r.n_events,
+            float(r.session_engagement),
+        )
         for r in user_sessions(spark, sf_dir_small)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
+        .withColumn(
+            "session_end_plus_gap",
+            F.col("session_end") + F.expr("INTERVAL 30 MINUTES"),
         )
         .collect()
     }
     assert streamed == batch
+    assert len(streamed) > 0
 
 
 def test_kafka_wire_format_roundtrip(spark):
