@@ -965,16 +965,23 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iter_reports = []
     for i in range(KMEANS_ITERS):
-        assign = _kmeans_assign(dims, cdims)
+        # persist the assignment so the iteration report and the new
+        # centroids share ONE computation of it; the one-row report is
+        # localCheckpointed so collecting the final union never re-runs
+        # earlier iterations' assignments
+        assign = _kmeans_assign(dims, cdims).persist()
         iter_reports.append(
-            _kmeans_stats(assign).agg(
+            _kmeans_stats(assign)
+            .agg(
                 F.lit(i + 1).cast("long").alias("iteration"),
                 F.count(F.lit(1)).cast("long").alias("n_clusters"),
                 F.sum("n_members").cast("long").alias("n_members"),
                 F.sum("objective").alias("total_objective"),
             )
+            .localCheckpoint(eager=True)
         )
         cdims = _kmeans_new_centroids(assign, dims).localCheckpoint(eager=True)
+        assign.unpersist()
     report = iter_reports[0]
     for extra in iter_reports[1:]:
         report = report.unionByName(extra)
