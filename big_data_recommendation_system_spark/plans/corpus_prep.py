@@ -388,6 +388,91 @@ ORDER BY d.doc_id
 """
 
 
+def train_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE decontamination direction: for every TRAIN document,
+    how many of its distinct word n-grams appear anywhere in the eval
+    (validation/test) splits, with the any-hit contamination flag — the
+    pass that decides which training documents to DROP so the model
+    never sees eval content (decontamination_report answers the audit
+    question 'is eval clean of train'; this answers the actionable one
+    'which train docs must go').
+
+    Scale shape: at 100 TB the train side is the corpus and the eval
+    side is a fixed benchmark set (MBs of n-grams), so the distinct
+    eval-shingle set carries the broadcast hint and the corpus-sized
+    exploded train frame streams through a broadcast hash join — the
+    same runtime-filter discipline as the SRP verification joins. One
+    hash aggregation per side; nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        split_label(split_bucket(F.col("doc_id"))).alias("split"),
+        tokens(F.col("text")).alias("tok"),
+    )
+    shingled = docs.select(
+        "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
+    ).cache()
+    eval_sh = (
+        shingled.filter(F.col("split") != "train")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train_docs = shingled.filter(F.col("split") == "train").select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles"), "sh"
+    )
+    hits = (
+        train_docs.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    ratio = F.col("n_eval_hits") / F.col("n_shingles")
+    return (
+        train_docs.drop("sh")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            F.when(F.col("n_shingles") > 0, F.coalesce(ratio, F.lit(0.0)))
+            .otherwise(F.lit(0.0))
+            .alias("hit_ratio"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAIN_CONTAMINATION_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id,
+    {_split_label_sql(_split_bucket_sql("doc_id"))} AS split,
+    {tokens_sql()} AS tok
+  FROM documents
+), shingled AS (
+  SELECT doc_id, split, {shingles_sql("tok", DECON_NGRAM)} AS sh FROM labeled
+), eval_sh AS (
+  SELECT DISTINCT s
+  FROM (SELECT unnest(sh) AS s FROM shingled WHERE split != 'train')
+), train_docs AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh
+  FROM shingled WHERE split = 'train'
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_eval_hits
+  FROM (SELECT doc_id, unnest(sh) AS s FROM train_docs) t
+  JOIN eval_sh e ON t.s = e.s
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.n_shingles,
+  CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+  CASE WHEN d.n_shingles > 0
+       THEN CAST(COALESCE(h.n_eval_hits, 0) AS DOUBLE) / d.n_shingles
+       ELSE 0.0 END AS hit_ratio,
+  COALESCE(h.n_eval_hits, 0) > 0 AS is_contaminated
+FROM train_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- deterministic corpus shuffle (training order) ---------------------------
 
 _SHUFFLE_SALT = "epoch0"

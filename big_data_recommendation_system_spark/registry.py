@@ -199,6 +199,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "doc_repetition_stats": corpus_prep.doc_repetition_stats,
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "decontamination_report": corpus_prep.decontamination_report,
+    "train_contamination_scan": corpus_prep.train_contamination_scan,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
     "curriculum_order": corpus_prep.curriculum_order,
     "token_budget_sample": corpus_prep.token_budget_sample,
@@ -325,7 +326,9 @@ _PRIORITY_ORDER = [
     "view_purchase_attribution",
     "events_upsert_corrections",
     # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue (remaining r3-greens):
+    # r7 rotation queue: new round-6 registrations first (never
+    # driver-checked), then the remaining r3-greens:
+    "train_contamination_scan",
     "daily_type_cube",
     "users_without_purchase",
     "q12_late_shipment_priority",
@@ -522,6 +525,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition_stats": corpus_prep.DOC_REPETITION_STATS_SQL,
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
+    "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
