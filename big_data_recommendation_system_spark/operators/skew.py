@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.silver import silver_events
+from ..plans.silver import silver_cte, silver_events
 
 
 def salted_agg(
@@ -48,7 +48,13 @@ def salted_agg(
 
 def user_engagement_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """user_summary's decomposable core via salted two-phase aggregation —
-    equivalent results to the direct groupBy (tested), skew-proof plan."""
+    hash-identical to the direct groupBy (counts and int sums are exact
+    under any grouping; the value sum stays DECIMAL until one final cast,
+    so partial-merge order cannot perturb it), but the plan splits each
+    hot user across ``n_salts`` reduce cells before the tiny merge —
+    the escape hatch when one zipfian key exceeds a task even after
+    AQE skew handling. Oracle: the direct single-phase SQL aggregation
+    (salting is plan shape, not semantics)."""
     silver = silver_events(spark, sf_dir)
     return salted_agg(
         silver,
@@ -63,7 +69,19 @@ def user_engagement_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pw").alias("total_engagement"),
             F.sum("pv").cast("double").alias("total_value"),
         ],
-    )
+    ).orderBy("user_id")
+
+
+USER_ENGAGEMENT_SALTED_SQL = silver_cte("""
+SELECT
+  user_id,
+  COUNT(*) AS total_events,
+  CAST(SUM(event_weight) AS BIGINT) AS total_engagement,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM silver
+GROUP BY user_id
+ORDER BY user_id
+""")
 
 
 def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -248,6 +248,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "embedding_covariance": linalg.embedding_covariance,
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
+    "user_engagement_salted": skew.user_engagement_salted,
     "users_without_purchase": joins.users_without_purchase,
     "orders_with_returns": joins.orders_with_returns,
     "small_quantity_revenue": joins.small_quantity_revenue,
@@ -322,13 +323,18 @@ _PRIORITY_ORDER = [
     "cohort_retention",
     "cosine_topk_agreement",  # oracle coverage for the rows-only
     # cosine_topk_fast (VERDICT r5 item 4)
+    "events_upsert_corrections",
+    # round-6 registrations — windowed NOW so nothing new waits a round
+    # for its first driver row (the r4 mistake VERDICT r5 item 1 flagged);
+    # the two r3-greens they displace (conversion_funnel,
+    # view_purchase_attribution) lead the r7 queue below:
+    "train_contamination_scan",
+    "user_engagement_salted",
+    # ---- driver window ends here (50) ------------------------------------
+    # r7 rotation queue: the two r3-greens displaced by this round's new
+    # registrations, then the remaining r3-greens:
     "conversion_funnel",
     "view_purchase_attribution",
-    "events_upsert_corrections",
-    # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue: new round-6 registrations first (never
-    # driver-checked), then the remaining r3-greens:
-    "train_contamination_scan",
     "daily_type_cube",
     "users_without_purchase",
     "q12_late_shipment_priority",
@@ -526,6 +532,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
+    "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
