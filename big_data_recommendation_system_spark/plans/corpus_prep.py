@@ -406,9 +406,36 @@ def train_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         split_label(split_bucket(F.col("doc_id"))).alias("split"),
-        tokens(F.col("text")).alias("tok"),
+        "text",
     )
-    shingled = docs.select(
+    hits = train_eval_hits_from(docs)
+    ratio = F.col("n_eval_hits") / F.col("n_shingles")
+    return (
+        hits.select(
+            "doc_id",
+            "n_shingles",
+            "n_eval_hits",
+            F.when(F.col("n_shingles") > 0, F.coalesce(ratio, F.lit(0.0)))
+            .otherwise(F.lit(0.0))
+            .alias("hit_ratio"),
+            (F.col("n_eval_hits") > 0).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def train_eval_hits_from(docs: DataFrame) -> DataFrame:
+    """Frame-level core of the contamination scan: ``docs`` is
+    (doc_id, split, text); returns one row per TRAIN document with
+    (doc_id, n_shingles, n_eval_hits), ``n_eval_hits`` coalesced to 0.
+    The eval side is every row with ``split != 'train'``. Shared by
+    :func:`train_contamination_scan` (raw corpus) and
+    ``cli/run_corpus.py`` (which applies it to the post-filter corpus —
+    the documents that actually ship to training)."""
+    toked = docs.select(
+        "doc_id", "split", tokens(F.col("text")).alias("tok")
+    )
+    shingled = toked.select(
         "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
     ).cache()
     eval_sh = (
@@ -425,20 +452,10 @@ def train_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_eval_hits"))
     )
-    ratio = F.col("n_eval_hits") / F.col("n_shingles")
-    return (
-        train_docs.drop("sh")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
-            F.when(F.col("n_shingles") > 0, F.coalesce(ratio, F.lit(0.0)))
-            .otherwise(F.lit(0.0))
-            .alias("hit_ratio"),
-            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("is_contaminated"),
-        )
-        .orderBy("doc_id")
+    return train_docs.drop("sh").join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
     )
 
 

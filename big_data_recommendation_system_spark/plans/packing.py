@@ -410,19 +410,17 @@ _FUNNEL_GATES = [
 ]
 
 
-def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-filter funnel: classify every document by the FIRST
-    quality gate it fails (length → repetition → language → boilerplate)
-    and count documents per gate — the monitoring artifact a production
-    filtering pipeline publishes per snapshot, composing the engine's
-    quality signals (corpus_prep length/distinct gates, Gopher top-word
-    share, known-language set, span_dedup_stats boilerplate share).
+def funnel_doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-gate verdict (doc_id, gate): the FIRST gate
+    each document fails (length → distinct_ratio → top_word → lang →
+    boilerplate), or 'kept'. Frame-level core shared by
+    :func:`filter_funnel_report` (which rolls it up per gate) and
+    ``cli/run_corpus.py`` (which keeps the 'kept' rows).
 
     One tokenize pass feeds the word gates; the top-word share is the
     explode + two-level aggregation of doc_repetition_stats; the
-    boilerplate share joins the chunk-hash rollup. Output is one tiny
-    row per gate — at any corpus size the wide work is three hash-keyed
-    aggregations."""
+    boilerplate share joins the chunk-hash rollup. The wide work is
+    three hash-keyed aggregations at any corpus size."""
     from ..functions.text import LANG_STOPWORDS
     from .corpus_prep import MAX_WORDS, MIN_DISTINCT_RATIO, MIN_WORDS
 
@@ -471,6 +469,15 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gate"),
         )
     )
+    return joined
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter funnel: documents per first-failed quality gate
+    — the monitoring artifact a production filtering pipeline publishes
+    per snapshot. Rollup of :func:`funnel_doc_gates`; one tiny row per
+    gate."""
+    joined = funnel_doc_gates(spark, sf_dir)
     stage = F.lit(None).cast("long")
     for i, g in enumerate(reversed(_FUNNEL_GATES)):
         stage = F.when(F.col("gate") == g, F.lit(len(_FUNNEL_GATES) - i)).otherwise(

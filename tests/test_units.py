@@ -1283,3 +1283,110 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
     runs = spark.read.parquet(os.path.join(out, "_pipeline_runs"))
     stages = {r.stage for r in runs.collect()}
     assert stages == {"dedup_build", "dedup_report"}
+
+
+def test_run_corpus_cli_end_to_end(spark, sf_dir_small, tmp_path):
+    """cli/run_corpus.py: the written manifest must satisfy every funnel
+    stage's invariant when recomputed inline — survivors are exact-dup
+    free, near-dup cluster representatives only, quality-kept,
+    decontaminated at DECON_TAU, and the per-split pack assignment is
+    the exact exclusive prefix sum of the kept token counts."""
+    import argparse
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    run_corpus = importlib.import_module("run_corpus")
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        dup_clusters,
+        retention_plan_from,
+    )
+    from big_data_recommendation_system_spark.plans.corpus_prep import (
+        DECON_TAU,
+        train_eval_hits_from,
+    )
+    from big_data_recommendation_system_spark.plans.packing import (
+        PACK_BUDGET,
+        funnel_doc_gates,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    out = str(tmp_path / "corpus_out")
+    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out, dedup_dir=None)
+    run_corpus.run_build(ns)
+    run_corpus.run_report(ns)
+
+    docs = load_table(spark, sf_dir_small, "documents")
+    funnel = spark.read.parquet(os.path.join(out, "funnel")).collect()
+    counts = {r.drop_reason: r.n_docs for r in funnel}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= set(run_corpus.FUNNEL_STAGES)
+
+    manifest = spark.read.parquet(os.path.join(out, "corpus_manifest"))
+    rows = manifest.collect()
+    kept_ids = [r.doc_id for r in rows]
+    assert len(kept_ids) == len(set(kept_ids)) == counts["kept"]
+
+    # stage 1: no two survivors share exact content
+    hashes = [
+        r.h
+        for r in docs.filter(F.col("doc_id").isin(kept_ids))
+        .select(F.md5("text").alias("h"))
+        .collect()
+    ]
+    assert len(hashes) == len(set(hashes))
+
+    # stage 2: every survivor is its near-dup cluster's representative
+    plan = retention_plan_from(
+        dup_clusters(spark, sf_dir_small), docs.select("doc_id", "n_chars")
+    )
+    losers = {r.doc_id for r in plan.filter(~F.col("keep")).collect()}
+    assert not losers.intersection(kept_ids)
+    assert losers, "sf0.001 must contain near-dups for this test to bite"
+
+    # stage 3: every survivor passes every quality gate
+    gates = {
+        r.doc_id: r.gate for r in funnel_doc_gates(spark, sf_dir_small).collect()
+    }
+    assert all(gates[i] == "kept" for i in kept_ids)
+
+    # stage 4: no kept train doc crosses the contamination threshold
+    # when hits are recomputed over the shipped corpus itself
+    shipped = docs.select("doc_id", "text").join(
+        manifest.select("doc_id", "split"), "doc_id"
+    )
+    hits = train_eval_hits_from(shipped).collect()
+    assert all(
+        r.n_eval_hits < DECON_TAU * r.n_shingles
+        for r in hits
+        if r.n_shingles > 0 and r.doc_id in set(kept_ids)
+    )
+
+    # stage 5: pack assignment == exclusive prefix sum per split
+    by_split = {}
+    for r in sorted(rows, key=lambda r: (r.split, r.doc_id)):
+        run = by_split.setdefault(r.split, [0])
+        assert r.start_offset == run[0], (r.split, r.doc_id)
+        assert r.pack_id == r.start_offset // PACK_BUDGET
+        assert r.offset_in_pack == r.start_offset % PACK_BUDGET
+        run[0] += r.n_tokens
+
+    # reports read back consistently
+    card = spark.read.parquet(os.path.join(out, "reports", "corpus_card"))
+    assert card.agg(F.sum("n_docs")).first()[0] == counts["kept"]
+    pstats = {
+        r.split: r
+        for r in spark.read.parquet(
+            os.path.join(out, "reports", "packing_stats")
+        ).collect()
+    }
+    for s, docs_tokens in by_split.items():
+        assert pstats[s].total_tokens == docs_tokens[0]
+        assert pstats[s].utilization > 0
+
+    runs = spark.read.parquet(os.path.join(out, "_pipeline_runs"))
+    assert {r.stage for r in runs.collect()} == {
+        "corpus_build",
+        "corpus_report",
+    }
