@@ -491,14 +491,14 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_sql() -> str:
+def _funnel_gates_sql() -> str:
+    """Per-document (doc_id, gate) twin of :func:`funnel_doc_gates` —
+    a self-contained subquery, shared by FILTER_FUNNEL_SQL's rollup and
+    the corpus-assembly oracle (plans/assembly.py)."""
     from ..functions.text import LANG_STOPWORDS
     from .corpus_prep import MAX_WORDS, MIN_DISTINCT_RATIO, MIN_WORDS
 
     langs = ", ".join(f"'{lang}'" for lang in sorted(LANG_STOPWORDS))
-    stage_case = "CASE " + " ".join(
-        f"WHEN gate = '{g}' THEN {i + 1}" for i, g in enumerate(_FUNNEL_GATES)
-    ) + " END"
     return f"""
 WITH t AS (SELECT doc_id, lang, {tokens_sql()} AS tok FROM documents),
 base AS (
@@ -553,8 +553,17 @@ flags AS (
   LEFT JOIN tw ON tw.doc_id = base.doc_id
   LEFT JOIN spans ON spans.doc_id = base.doc_id
 )
+SELECT doc_id, gate FROM flags
+"""
+
+
+def _funnel_sql() -> str:
+    stage_case = "CASE " + " ".join(
+        f"WHEN gate = '{g}' THEN {i + 1}" for i, g in enumerate(_FUNNEL_GATES)
+    ) + " END"
+    return f"""
 SELECT CAST({stage_case} AS BIGINT) AS stage, gate, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM flags GROUP BY gate ORDER BY stage
+FROM ({_funnel_gates_sql()}) GROUP BY gate ORDER BY stage
 """
 
 

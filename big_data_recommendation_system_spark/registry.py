@@ -34,6 +34,7 @@ from .operators import (
     windows,
 )
 from .plans import (
+    assembly,
     clickstream,
     corpus_prep,
     gold,
@@ -200,6 +201,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_prep_summary": corpus_prep.corpus_prep_summary,
     "decontamination_report": corpus_prep.decontamination_report,
     "train_contamination_scan": corpus_prep.train_contamination_scan,
+    "corpus_assembly_funnel": assembly.corpus_assembly_funnel,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
     "curriculum_order": corpus_prep.curriculum_order,
     "token_budget_sample": corpus_prep.token_budget_sample,
@@ -320,7 +322,7 @@ _PRIORITY_ORDER = [
     "purchases_with_prior_tier",
     "dq_trend",
     "dq_daily_validity",
-    "cohort_retention",
+    "corpus_assembly_funnel",
     "cosine_topk_agreement",  # oracle coverage for the rows-only
     # cosine_topk_fast (VERDICT r5 item 4)
     "events_upsert_corrections",
@@ -331,8 +333,9 @@ _PRIORITY_ORDER = [
     "train_contamination_scan",
     "user_engagement_salted",
     # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue: the two r3-greens displaced by this round's new
+    # r7 rotation queue: the three r3-greens displaced by this round's new
     # registrations, then the remaining r3-greens:
+    "cohort_retention",
     "conversion_funnel",
     "view_purchase_attribution",
     "daily_type_cube",
@@ -532,6 +535,7 @@ ORACLES: dict[str, str] = {
     "corpus_prep_summary": corpus_prep.CORPUS_PREP_SUMMARY_SQL,
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
+    "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,

@@ -61,177 +61,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from big_data_recommendation_system_spark.plans.assembly import (
+    funnel_rollup,
+    pack_survivors,
+    staged_docs,
+)
+from big_data_recommendation_system_spark.plans.packing import PACK_BUDGET
 from pyspark.sql import functions as F
 
-from big_data_recommendation_system_spark.operators.ranking import (
-    PREFIX_COL,
-    with_global_prefix_sum,
-)
-from big_data_recommendation_system_spark.operators.text_dedup import (
-    dup_clusters,
-    retention_plan_from,
-)
-from big_data_recommendation_system_spark.plans.corpus_prep import (
-    DECON_TAU,
-    split_bucket,
-    split_label,
-    train_eval_hits_from,
-)
-from big_data_recommendation_system_spark.plans.packing import (
-    PACK_BUDGET,
-    funnel_doc_gates,
-)
-from big_data_recommendation_system_spark.functions.text import tokens
 from big_data_recommendation_system_spark.session import get_spark
 from big_data_recommendation_system_spark.sources.sinks import record_run
-from big_data_recommendation_system_spark.sources.tables import load_table
-
-# funnel attribution order (first drop wins); 'kept' closes the funnel
-FUNNEL_STAGES = [
-    "exact_dup",
-    "near_dup",
-    "length",
-    "distinct_ratio",
-    "top_word",
-    "lang",
-    "boilerplate",
-    "contaminated",
-    "kept",
-]
-
-
-def staged_docs(
-    spark: SparkSession, sf_dir: str, dedup_dir: str | None = None
-) -> DataFrame:
-    """One row per input document: (doc_id, source, lang, split,
-    n_tokens, drop_reason) with drop_reason ∈ FUNNEL_STAGES."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.md5("text").alias("content_hash"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
-
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
-    exact = (
-        base.select("doc_id", "content_hash")
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", (F.col("rn") > 1).alias("is_exact_dup"))
-    )
-
-    clusters_path = dedup_dir and os.path.join(dedup_dir, "dup_clusters")
-    if clusters_path and os.path.isdir(clusters_path):
-        clusters = spark.read.parquet(clusters_path)
-    else:
-        clusters = dup_clusters(spark, sf_dir)
-    plan = retention_plan_from(clusters, docs.select("doc_id", "n_chars"))
-    near = plan.select("doc_id", (~F.col("keep")).alias("is_near_dup"))
-
-    gates = funnel_doc_gates(spark, sf_dir)  # (doc_id, gate)
-
-    staged = (
-        base.join(exact, "doc_id")
-        .join(near, "doc_id", "left")
-        .join(gates, "doc_id")
-        .withColumn("split", split_label(split_bucket(F.col("doc_id"))))
-        .withColumn(
-            "is_near_dup", F.coalesce("is_near_dup", F.lit(False))
-        )
-    )
-
-    # decontamination runs on the corpus that survived stages 1-3 — the
-    # documents that would actually ship; the eval side is likewise the
-    # post-filter eval splits
-    survivors_13 = staged.filter(
-        ~F.col("is_exact_dup")
-        & ~F.col("is_near_dup")
-        & (F.col("gate") == "kept")
-    ).select("doc_id", "split")
-    hits = train_eval_hits_from(
-        docs.select("doc_id", "text").join(survivors_13, "doc_id")
-    )
-    # ratio rule, not any-hit: the synthetic corpus's tiny vocabulary
-    # (and any web corpus's boilerplate n-grams) makes single-shingle
-    # collisions pervasive — the registered train_contamination_scan
-    # reports the any-hit flag for auditing, but the assembly drop uses
-    # the DECON_TAU overlap fraction (the same threshold the
-    # decontamination_report applies in the eval direction)
-    contaminated = hits.filter(
-        (F.col("n_shingles") > 0)
-        & (F.col("n_eval_hits") / F.col("n_shingles") >= DECON_TAU)
-    ).select("doc_id", F.lit(True).alias("is_contaminated"))
-
-    drop_reason = (
-        F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
-        .when(F.col("is_near_dup"), F.lit("near_dup"))
-        .when(F.col("gate") != "kept", F.col("gate"))
-        .when(F.coalesce("is_contaminated", F.lit(False)), F.lit("contaminated"))
-        .otherwise(F.lit("kept"))
-    )
-    return (
-        staged.join(contaminated, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "split",
-            "n_tokens",
-            drop_reason.alias("drop_reason"),
-        )
-    )
-
-
-def pack_survivors(staged: DataFrame) -> DataFrame:
-    """Per-split sequence-pack assignment over the kept documents: one
-    global (split, doc_id)-ordered exclusive prefix sum, then each
-    split's base offset (its first document's running total — a
-    3-row broadcast) rebases the counter so packs number from 0 within
-    every split."""
-    kept = staged.filter(F.col("drop_reason") == "kept").select(
-        "doc_id", "source", "lang", "split", "n_tokens"
-    )
-    pref = with_global_prefix_sum(kept, ["split", "doc_id"], "n_tokens")
-    split_base = pref.groupBy("split").agg(
-        F.min(PREFIX_COL).alias("_split_base")
-    )
-    off = F.col(PREFIX_COL) - F.col("_split_base")
-    return (
-        pref.join(F.broadcast(split_base), "split")
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "split",
-            "n_tokens",
-            off.cast("long").alias("start_offset"),
-            F.floor(off / PACK_BUDGET).cast("long").alias("pack_id"),
-            (off % PACK_BUDGET).cast("long").alias("offset_in_pack"),
-        )
-    )
 
 
 def run_build(args: argparse.Namespace) -> None:
     spark = get_spark("bdrs-corpus-build")
     t0 = time.time()
     staged = staged_docs(spark, args.sf_dir, getattr(args, "dedup_dir", None))
-
-    stage_idx = F.lit(None).cast("long")
-    for i, s in enumerate(reversed(FUNNEL_STAGES)):
-        stage_idx = F.when(
-            F.col("drop_reason") == s, F.lit(len(FUNNEL_STAGES) - 1 - i)
-        ).otherwise(stage_idx)
-    funnel = (
-        staged.groupBy("drop_reason")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .select(stage_idx.alias("stage"), "drop_reason", "n_docs", "n_tokens")
-        .orderBy("stage")
-    )
+    funnel = funnel_rollup(staged)
     funnel.write.mode("overwrite").parquet(os.path.join(args.out_dir, "funnel"))
 
     manifest = pack_survivors(staged)

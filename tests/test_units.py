@@ -1302,6 +1302,9 @@ def test_run_corpus_cli_end_to_end(spark, sf_dir_small, tmp_path):
         dup_clusters,
         retention_plan_from,
     )
+    from big_data_recommendation_system_spark.plans.assembly import (
+        FUNNEL_STAGES,
+    )
     from big_data_recommendation_system_spark.plans.corpus_prep import (
         DECON_TAU,
         train_eval_hits_from,
@@ -1321,7 +1324,7 @@ def test_run_corpus_cli_end_to_end(spark, sf_dir_small, tmp_path):
     funnel = spark.read.parquet(os.path.join(out, "funnel")).collect()
     counts = {r.drop_reason: r.n_docs for r in funnel}
     assert sum(counts.values()) == docs.count()
-    assert set(counts) <= set(run_corpus.FUNNEL_STAGES)
+    assert set(counts) <= set(FUNNEL_STAGES)
 
     manifest = spark.read.parquet(os.path.join(out, "corpus_manifest"))
     rows = manifest.collect()
