@@ -274,6 +274,9 @@ SUBSTRATE_CONSUMERS = frozenset(
         "incremental_near_dup",
         "dup_detector_overlap",
         "dedup_token_savings",
+        # plans/assembly.py's composed funnel reads dup_clusters for its
+        # near-dup stage — same shared substrate, same grouping rule
+        "corpus_assembly_funnel",
     }
 )
 

@@ -35,6 +35,7 @@ from .operators import (
 )
 from .plans import (
     assembly,
+    bloom,
     clickstream,
     corpus_prep,
     gold,
@@ -202,6 +203,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "decontamination_report": corpus_prep.decontamination_report,
     "train_contamination_scan": corpus_prep.train_contamination_scan,
     "corpus_assembly_funnel": assembly.corpus_assembly_funnel,
+    "bloom_decon_prefilter": bloom.bloom_decon_prefilter,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
     "curriculum_order": corpus_prep.curriculum_order,
     "token_budget_sample": corpus_prep.token_budget_sample,
@@ -321,7 +323,7 @@ _PRIORITY_ORDER = [
     "first_event_per_user_type_day",
     "purchases_with_prior_tier",
     "dq_trend",
-    "dq_daily_validity",
+    "bloom_decon_prefilter",
     "corpus_assembly_funnel",
     "cosine_topk_agreement",  # oracle coverage for the rows-only
     # cosine_topk_fast (VERDICT r5 item 4)
@@ -333,8 +335,9 @@ _PRIORITY_ORDER = [
     "train_contamination_scan",
     "user_engagement_salted",
     # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue: the three r3-greens displaced by this round's new
+    # r7 rotation queue: the r3-greens displaced by this round's new
     # registrations, then the remaining r3-greens:
+    "dq_daily_validity",
     "cohort_retention",
     "conversion_funnel",
     "view_purchase_attribution",
@@ -536,6 +539,7 @@ ORACLES: dict[str, str] = {
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
     "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
+    "bloom_decon_prefilter": bloom.BLOOM_DECON_PREFILTER_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,

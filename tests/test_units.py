@@ -1393,3 +1393,55 @@ def test_run_corpus_cli_end_to_end(spark, sf_dir_small, tmp_path):
         "corpus_build",
         "corpus_report",
     }
+
+
+def test_bloom_prefilter_never_misses(spark, sf_dir_small):
+    """The defining Bloom property: ZERO false negatives. Every true
+    train∩eval shingle must survive the bitmap pre-filter, so the
+    report's n_exact_hits equals an independently computed exact-join
+    count per source, and positives bracket: exact ≤ bloom ≤ total."""
+    from big_data_recommendation_system_spark.functions.text import (
+        shingles,
+        tokens,
+    )
+    from big_data_recommendation_system_spark.plans.bloom import (
+        bloom_decon_prefilter,
+    )
+    from big_data_recommendation_system_spark.plans.corpus_prep import (
+        DECON_NGRAM,
+        split_bucket,
+        split_label,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    report = {r.source: r for r in
+              bloom_decon_prefilter(spark, sf_dir_small).collect()}
+    assert report, "empty report"
+
+    labeled = (
+        load_table(spark, sf_dir_small, "documents")
+        .select(
+            "source",
+            split_label(split_bucket(F.col("doc_id"))).alias("split"),
+            tokens(F.col("text")).alias("tok"),
+        )
+        .select("source", "split",
+                F.explode(shingles("tok", DECON_NGRAM)).alias("s"))
+    )
+    eval_s = labeled.filter(F.col("split") != "train").select("s").distinct()
+    truth = {
+        r.source: r.n
+        for r in (
+            labeled.filter(F.col("split") == "train")
+            .select("source", "s")
+            .distinct()
+            .join(eval_s, "s")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    for src, row in report.items():
+        assert row.n_exact_hits == truth.get(src, 0), src
+        assert row.n_exact_hits <= row.n_bloom_pos <= row.n_train_shingles, src
+        assert row.n_false_pos == row.n_bloom_pos - row.n_exact_hits, src
