@@ -115,3 +115,97 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _key_counts_block(key_col: str) -> str:
+    """One key column's heavy-hitter block for KEY_SKEW_REPORT_SQL."""
+    return f"""
+counts_{key_col} AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM silver GROUP BY 1
+),
+tot_{key_col} AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+    CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts_{key_col}
+),
+top_{key_col} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS BIGINT)
+      AS rank,
+    key, n_rows
+  FROM counts_{key_col} ORDER BY n_rows DESC, key LIMIT 10
+),
+block_{key_col} AS (
+  SELECT '{key_col}' AS key_col, rank, key, n_rows, n_keys,
+    floor(CAST(n_rows * 100 AS DOUBLE) / total * 100 + 0.5) / 100
+      AS pct_of_total,
+    floor(CAST(n_rows * n_keys AS DOUBLE) / total * 100 + 0.5) / 100
+      AS skew_factor
+  FROM top_{key_col} CROSS JOIN tot_{key_col}
+)"""
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic over the silver event stream: the top-10
+    keys per candidate shuffle key with row counts, share of total, and
+    skew factor (key rows ÷ mean rows per key) — the report an operator
+    reads to decide WHICH keys need ``salted_agg`` / AQE skew handling
+    before a 100 TB run, produced by the engine itself.
+
+    Scale shape: per-key counts are one map-side-combined hash agg per
+    key column; the global top-10 is orderBy+limit (TakeOrdered — a
+    per-partition top-10 merged on the driver side of the exchange, no
+    single-partition window over the full keyset); the rank window runs
+    over the 10 surviving rows only; the 1-row totals frame joins in as
+    a broadcast scalar. Ratios are exact-integer products with ONE
+    double division, then the engine-neutral 2-decimal round."""
+    from ..functions.pandas_parity import round2_neutral
+
+    silver = silver_events(spark, sf_dir)
+    blocks = []
+    for key_col in ("user_id", "event_type"):
+        counts = silver.groupBy(
+            F.col(key_col).cast("string").alias("key")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        tot = counts.agg(
+            F.sum("n_rows").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+        top = counts.orderBy(F.desc("n_rows"), "key").limit(10)
+        from pyspark.sql import Window
+
+        rank_w = Window.orderBy(F.desc("n_rows"), "key")  # 10 rows max
+        blocks.append(
+            top.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(key_col).alias("key_col"),
+                "rank",
+                "key",
+                "n_rows",
+                "n_keys",
+                round2_neutral(
+                    (F.col("n_rows") * 100).cast("double") / F.col("total")
+                ).alias("pct_of_total"),
+                round2_neutral(
+                    (F.col("n_rows") * F.col("n_keys")).cast("double")
+                    / F.col("total")
+                ).alias("skew_factor"),
+            )
+        )
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("key_col", "rank")
+
+
+KEY_SKEW_REPORT_SQL = silver_cte(
+    ","
+    + ",".join(_key_counts_block(k) for k in ("user_id", "event_type"))
+    + """
+SELECT * FROM block_user_id
+UNION ALL
+SELECT * FROM block_event_type
+ORDER BY key_col, rank
+"""
+)

@@ -253,6 +253,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
     "user_engagement_salted": skew.user_engagement_salted,
+    "key_skew_report": skew.key_skew_report,
     "users_without_purchase": joins.users_without_purchase,
     "orders_with_returns": joins.orders_with_returns,
     "small_quantity_revenue": joins.small_quantity_revenue,
@@ -322,7 +323,7 @@ _PRIORITY_ORDER = [
     "dedup_exact_events",
     "first_event_per_user_type_day",
     "purchases_with_prior_tier",
-    "dq_trend",
+    "key_skew_report",
     "bloom_decon_prefilter",
     "corpus_assembly_funnel",
     "cosine_topk_agreement",  # oracle coverage for the rows-only
@@ -337,6 +338,7 @@ _PRIORITY_ORDER = [
     # ---- driver window ends here (50) ------------------------------------
     # r7 rotation queue: the r3-greens displaced by this round's new
     # registrations, then the remaining r3-greens:
+    "dq_trend",
     "dq_daily_validity",
     "cohort_retention",
     "conversion_funnel",
@@ -541,6 +543,7 @@ ORACLES: dict[str, str] = {
     "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
     "bloom_decon_prefilter": bloom.BLOOM_DECON_PREFILTER_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
+    "key_skew_report": skew.KEY_SKEW_REPORT_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
