@@ -1080,3 +1080,349 @@ SELECT cid AS cluster_id, CAST(n_members AS BIGINT) AS n_members,
 FROM ranked WHERE _r = 1
 ORDER BY cluster_id
 """
+
+
+# --- product quantization (PQ) + asymmetric-distance top-k -------------------
+
+# 64-dim embeddings split into PQ_SUBS subspaces of PQ_SUBDIM dims; each
+# subvector is coded as its nearest (exact L2, decimal-accumulated) of
+# PQ_CENTROIDS deterministic codebook entries — the subvectors of the
+# lowest vec_ids, same convention as the IVF coarse centroids. The
+# corpus is then 8 small ints per vector (the classic PQ memory win:
+# the ADC search never touches the raw corpus vectors).
+PQ_SUBS = 8
+PQ_SUBDIM = 8
+PQ_CENTROIDS = 16
+# ADC is a shortlist generator, not the final ranking: the re-rank stage
+# computes exact distances for the top-PQ_SHORTLIST ADC candidates only.
+PQ_SHORTLIST = 50
+
+
+def _pq_sub_dims(emb: DataFrame) -> DataFrame:
+    """(vid, s, pos, x): position-exploded embedding with subspace id."""
+    return _dims(emb, "vid").select(
+        "vid",
+        F.floor(F.col("pos") / PQ_SUBDIM).cast("int").alias("s"),
+        "pos",
+        "x",
+    )
+
+
+def _pq_codes_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, code): each vector's nearest codebook entry per
+    subspace — exact L2 via decimal accumulation, ties to the lowest
+    centroid id, so the assignment is order-independent and identical
+    in the DuckDB twin."""
+    sub = _pq_sub_dims(emb)
+    cent = sub.filter(F.col("vid") < PQ_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
+    )
+    d = (
+        sub.join(F.broadcast(cent), "pos")
+        .groupBy("vid", "s", "centroid_id")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).cast(
+                    _DEC
+                )
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vid", "s").orderBy(
+        F.asc("d"), F.asc("centroid_id")
+    )
+    return (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("vid").alias("vec_id"),
+            "s",
+            F.col("centroid_id").alias("code"),
+            "d",
+        )
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ code string (8 comma-joined centroid ids) plus the
+    total quantization error — the compressed corpus representation ADC
+    searches against. Serialized to a scalar string for the driver's
+    hash (array columns are unhashable — see embedding_quantize).
+
+    Scale shape: one explode of the corpus, one broadcast of the
+    16x64-value codebook, one (vec, subspace, centroid) partial-agg
+    shuffle, one keyed argmin window — all linear in corpus size; the
+    output is ~8 bytes/vector where the input was 256."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_codes_frame(emb)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda t: t["code"].cast("string"),
+                ),
+            ).alias("pq_code"),
+            F.sum("d").cast("double").alias("quant_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pq_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search vs exact L2 top-k, one row PER QUERY with the
+    intersection size of each stage — the driver-checkable correctness
+    row for the PQ path, extending the cosine_topk_agreement pattern.
+
+    Stage 1 (ADC): each query precomputes its distance to every codebook
+    entry per subspace (a Q x PQ_SUBS x PQ_CENTROIDS = 1280-row
+    broadcast table); a corpus vector's approximate distance is the sum
+    of 8 table lookups joined on its codes — the raw corpus vectors are
+    never touched. Stage 2 (re-rank): exact decimal L2 for the
+    top-PQ_SHORTLIST ADC candidates ONLY (the production pattern: the
+    exact pass is shortlist-bounded, not corpus-bounded). Both stages
+    and the exact baseline accumulate as DECIMAL, so ranks and both
+    intersections are bit-identical cross-engine. PQ loss makes
+    n_common_adc < k legitimate (measured ~0.2 recall on the isotropic
+    synthetic embeddings — PQ's worst case); the re-rank lifts it to the
+    shortlist's coverage (~0.7 at sf0.01). What the hash pins is that
+    both engines agree on WHICH neighbors at every stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_sub_dims(emb)
+    codes = _pq_codes_frame(emb)
+
+    qsub = sub.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), "s", "pos", F.col("x").alias("qx")
+    )
+    cent = sub.filter(F.col("vid") < PQ_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
+    )
+    qdist = (
+        qsub.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "s", "centroid_id")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))).cast(
+                    _DEC
+                )
+            ).alias("qd")
+        )
+    )
+    adc = (
+        codes.select("vec_id", "s", F.col("code").alias("centroid_id"))
+        .join(F.broadcast(qdist), ["s", "centroid_id"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("approx_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    adc_ranked = adc.withColumn("rank", F.row_number().over(wa))
+    adc_top = adc_ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    shortlist = adc_ranked.filter(F.col("rank") <= PQ_SHORTLIST).select(
+        "query_id", "neighbor_id"
+    )
+
+    dims = _dims(emb, "vid")
+    qd = dims.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+
+    # exact re-rank of the shortlist only: per-pair distances touch
+    # PQ_SHORTLIST x 64 rows per query, never the full corpus
+    rerank = (
+        shortlist.join(
+            dims.select(
+                F.col("vid").alias("neighbor_id"), "pos", F.col("x").alias("x")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qd), ["query_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))).cast(
+                    _DEC
+                )
+            ).alias("rdist")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("rdist"), F.asc("neighbor_id")
+    )
+    rerank_top = (
+        rerank.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    exact = (
+        F.broadcast(qd)
+        .join(
+            dims.select(
+                F.col("vid").alias("neighbor_id"), "pos", F.col("x").alias("x")
+            ),
+            "pos",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))).cast(
+                    _DEC
+                )
+            ).alias("dist")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    def _n_common(top: DataFrame, alias: str) -> DataFrame:
+        return (
+            top.join(exact_top, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    queries = adc.select("query_id").distinct()
+    return (
+        queries.join(_n_common(adc_top, "n_common_adc"), "query_id", "left")
+        .join(_n_common(rerank_top, "n_common_rerank"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common_adc", F.lit(0))
+            .cast("long")
+            .alias("n_common_adc"),
+            F.coalesce("n_common_rerank", F.lit(0))
+            .cast("long")
+            .alias("n_common_rerank"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_PQ_CODES_CTE = f"""
+sub AS (
+  SELECT vec_id AS vid, CAST(i // {PQ_SUBDIM} AS INT) AS s, i AS pos,
+    CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+),
+cent AS (
+  SELECT vid AS centroid_id, pos, x AS cx FROM sub
+  WHERE vid < {PQ_CENTROIDS}
+),
+cdist AS (
+  SELECT v.vid, v.s, c.centroid_id,
+    SUM(CAST((v.x - c.cx) * (v.x - c.cx) AS DECIMAL(38,12))) AS d
+  FROM sub v JOIN cent c ON v.pos = c.pos
+  GROUP BY v.vid, v.s, c.centroid_id
+),
+codes AS (
+  SELECT vid AS vec_id, s, centroid_id AS code, d
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vid, s ORDER BY d ASC, centroid_id ASC) AS r
+    FROM cdist
+  ) WHERE r = 1
+)"""
+
+
+PQ_CODES_SQL = f"""
+WITH {_PQ_CODES_CTE}
+SELECT vec_id,
+  string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_code,
+  CAST(SUM(d) AS DOUBLE) AS quant_err
+FROM codes
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+PQ_TOPK_AGREEMENT_SQL = f"""
+WITH {_PQ_CODES_CTE},
+qdist AS (
+  SELECT q.vid AS query_id, q.s, c.centroid_id,
+    SUM(CAST((q.x - c.cx) * (q.x - c.cx) AS DECIMAL(38,12))) AS qd
+  FROM sub q JOIN cent c ON q.pos = c.pos
+  WHERE q.vid < {N_QUERIES}
+  GROUP BY q.vid, q.s, c.centroid_id
+),
+adc AS (
+  SELECT qdist.query_id, codes.vec_id AS neighbor_id,
+    SUM(qd) AS approx_dist
+  FROM codes JOIN qdist
+    ON qdist.s = codes.s AND qdist.centroid_id = codes.code
+  WHERE qdist.query_id != codes.vec_id
+  GROUP BY qdist.query_id, codes.vec_id
+),
+adc_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+),
+adc_top AS (
+  SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= {TOP_K}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= {PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    SUM(CAST((q.x - c.x) * (q.x - c.x) AS DECIMAL(38,12))) AS rdist
+  FROM shortlist sl
+  JOIN sub c ON c.vid = sl.neighbor_id
+  JOIN sub q ON q.vid = sl.query_id AND q.pos = c.pos
+  GROUP BY sl.query_id, sl.neighbor_id
+),
+rerank_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rdist ASC, neighbor_id ASC) AS rank
+    FROM rerank
+  ) WHERE rank <= {TOP_K}
+),
+edist AS (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+    SUM(CAST((q.x - c.x) * (q.x - c.x) AS DECIMAL(38,12))) AS dist
+  FROM sub q JOIN sub c ON q.pos = c.pos
+  WHERE q.vid < {N_QUERIES} AND q.vid != c.vid
+  GROUP BY q.vid, c.vid
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM edist
+  ) WHERE rank <= {TOP_K}
+),
+na AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_common_adc
+  FROM adc_top a JOIN exact_top e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+),
+nr AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS n_common_rerank
+  FROM rerank_top r JOIN exact_top e
+    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+  GROUP BY r.query_id
+)
+SELECT q.query_id,
+  CAST(COALESCE(n_common_adc, 0) AS BIGINT) AS n_common_adc,
+  CAST(COALESCE(n_common_rerank, 0) AS BIGINT) AS n_common_rerank
+FROM (SELECT DISTINCT query_id FROM adc) q
+LEFT JOIN na USING (query_id)
+LEFT JOIN nr USING (query_id)
+ORDER BY q.query_id
+"""

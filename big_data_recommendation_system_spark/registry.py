@@ -228,6 +228,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "cosine_topk_fast": similarity.cosine_topk_fast_query,
     "cosine_topk_agreement": similarity.cosine_topk_agreement,
     "ann_ivf_topk": similarity.ann_ivf_topk,
+    "pq_codes": similarity.pq_codes,
+    "pq_topk_agreement": similarity.pq_topk_agreement,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "embedding_clusters": similarity.embedding_clusters,
     "knn_label_eval": similarity.knn_label_eval,
@@ -321,8 +323,8 @@ _PRIORITY_ORDER = [
     "product_summary",
     "latest_event_per_user",
     "dedup_exact_events",
-    "first_event_per_user_type_day",
-    "purchases_with_prior_tier",
+    "pq_codes",
+    "pq_topk_agreement",
     "key_skew_report",
     "bloom_decon_prefilter",
     "corpus_assembly_funnel",
@@ -338,6 +340,8 @@ _PRIORITY_ORDER = [
     # ---- driver window ends here (50) ------------------------------------
     # r7 rotation queue: the r3-greens displaced by this round's new
     # registrations, then the remaining r3-greens:
+    "first_event_per_user_type_day",
+    "purchases_with_prior_tier",
     "dq_trend",
     "dq_daily_validity",
     "cohort_retention",
@@ -567,6 +571,8 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "cosine_topk_agreement": similarity.COSINE_TOPK_AGREEMENT_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
+    "pq_codes": similarity.PQ_CODES_SQL,
+    "pq_topk_agreement": similarity.PQ_TOPK_AGREEMENT_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
     "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
     "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
