@@ -716,3 +716,230 @@ CROSS JOIN ctot
 GROUP BY st.source
 ORDER BY st.source
 """
+
+
+# --- BPE merge learning (tokenizer training loop) ---------------------------
+
+BPE_MERGE_STEPS = 3
+# The trainer's alphabet: restricting the vocabulary to [a-z0-9] words keeps
+# every symbol-string comparison and the deterministic (count DESC, pair ASC)
+# tie-break in plain ASCII, where Spark's UTF-16 and DuckDB's UTF-8 collation
+# agree byte-for-byte. Real byte-level BPE trainers impose the same kind of
+# closed alphabet; non-alphabet words simply don't vote on merges.
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE training iteration over the (word, freq, syms) vocabulary:
+    count adjacent symbol pairs weighted by word frequency, pick THE top
+    merge (count DESC, pair ASC), apply it with canonical greedy
+    left-to-right non-overlapping semantics, and emit a one-row report.
+
+    The greedy overlap rule (``aaaa`` + merge ``a a`` -> ``aa aa``, never
+    ``a aa a``) is expressed declaratively: merge-start positions that are
+    CONSECUTIVE form a run (only possible when pa == pb), and within each
+    run greedy keeps every other start beginning with the first — a
+    gaps-and-islands window (pos - row_number), no per-row Python.
+
+    Scale shape: everything runs over the VOCABULARY (corpus collapsed to
+    distinct words), not raw tokens; the chosen merge is a one-row frame
+    broadcast back, so each step is two small shuffles (pair count, vocab
+    regroup) plus word-partitioned windows. A production trainer would
+    materialize the vocab between steps exactly like the dedup substrate;
+    here the 3-step chain stays lazy so the oracle sees one plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("pos")
+    sy = vocab.select(
+        "word", "freq", F.posexplode("syms").alias("pos", "sym")
+    ).withColumn("nxt", F.lead("sym").over(w))
+    top1 = (
+        sy.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("n_weighted"))
+        .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
+        .orderBy(F.desc("n_weighted"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("pa"),
+            F.col("nxt").alias("pb"),
+            "pair",
+            F.col("n_weighted").cast("long").alias("n_weighted"),
+        )
+    )
+    j = sy.crossJoin(F.broadcast(top1)).withColumn(
+        "is_start", (F.col("sym") == F.col("pa")) & (F.col("nxt") == F.col("pb"))
+    )
+    starts = (
+        j.filter("is_start")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.col("pos") - F.col("rn"))
+        .withColumn(
+            "k2",
+            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
+        )
+        .filter(F.col("k2") % 2 == 1)
+        .select("word", "pos", F.lit(True).alias("sel"))
+    )
+    m = (
+        j.join(starts, ["word", "pos"], "left")
+        .withColumn("sel", F.coalesce("sel", F.lit(False)))
+        .withColumn("sel_prev", F.coalesce(F.lag("sel").over(w), F.lit(False)))
+        .withColumn(
+            "out_sym",
+            F.when(F.col("sel"), F.concat("pa", "pb")).otherwise(F.col("sym")),
+        )
+    )
+    vocab2 = (
+        m.filter(~F.col("sel_prev"))
+        .groupBy("word", "freq")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, out_sym))),"
+                " x -> x.out_sym)"
+            ).alias("syms")
+        )
+    )
+    rep = (
+        m.agg(
+            F.first("pair").alias("pair"),
+            F.first("n_weighted").alias("n_weighted"),
+            F.sum(F.when(F.col("sel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_vocab_merges"),
+            F.sum(F.when(F.col("sel"), F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias("n_weighted_merges"),
+        )
+        .select(
+            F.lit(step).alias("step"),
+            "pair",
+            "n_weighted",
+            "n_vocab_merges",
+            "n_weighted_merges",
+        )
+    )
+    return vocab2, rep
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: run ``BPE_MERGE_STEPS`` merge-learning
+    iterations over the corpus vocabulary and report, per step, the merge
+    that was learned (pair, weighted count when chosen, how many vocab
+    positions / corpus tokens it collapsed). ``bpe_pair_counts`` is the
+    counting half of one step; this is the full loop — the operator a
+    tokenizer-training pipeline actually runs.
+
+    Fully declarative on both engines: the arg-max merge of each step is
+    an ORDER BY/LIMIT 1 one-row frame broadcast back into the vocabulary
+    (no driver .collect(), no Python in the loop), and the greedy merge
+    application is window algebra (see _bpe_merge_step). The DuckDB
+    oracle unrolls the same three steps as CTE blocks.
+
+    Reference scope: the reference computes token statistics per document
+    (processing/data_quality.py's text metrics); merge learning is part of
+    this engine's training-data extension surface (SURVEY.md §2 text
+    family), same as bpe_pair_counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.withColumn("tok", tokens(F.col("text")))
+        .select(F.explode("tok").alias("word"))
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+    reports = []
+    for step in range(1, BPE_MERGE_STEPS + 1):
+        vocab, rep = _bpe_merge_step(vocab, step)
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+def _bpe_sql_step(k: int) -> str:
+    """One unrolled merge-step CTE block (DuckDB), mirroring
+    _bpe_merge_step: vocab{k-1} -> sy{k}/top{k}/st{k}/sel{k}/m{k} ->
+    vocab{k} + rep{k}."""
+    p = k - 1
+    return f"""
+sy{k} AS (
+  SELECT word, freq, pos, sym,
+    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM (
+    SELECT word, freq,
+      unnest(range(1, len(syms) + 1)) AS pos,
+      unnest(syms) AS sym
+    FROM vocab{p}
+  )
+),
+top{k} AS (
+  SELECT sym AS pa, nxt AS pb, sym || ' ' || nxt AS pair,
+    CAST(SUM(freq) AS BIGINT) AS n_weighted
+  FROM sy{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY n_weighted DESC, pair ASC
+  LIMIT 1
+),
+st{k} AS (
+  SELECT s.word, s.pos,
+    row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS rn
+  FROM sy{k} s, top{k} t
+  WHERE s.sym = t.pa AND s.nxt = t.pb
+),
+sel{k} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+      row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k2
+    FROM st{k}
+  ) WHERE k2 % 2 = 1
+),
+m{k} AS (
+  SELECT g.*, coalesce(
+      lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS sel_prev
+  FROM (
+    SELECT y.word, y.freq, y.pos,
+      CASE WHEN s.pos IS NOT NULL THEN t.pa || t.pb ELSE y.sym END AS sym,
+      s.pos IS NOT NULL AS sel
+    FROM sy{k} y
+    CROSS JOIN top{k} t
+    LEFT JOIN sel{k} s ON y.word = s.word AND y.pos = s.pos
+  ) g
+),
+vocab{k} AS (
+  SELECT word, freq, list(sym ORDER BY pos) AS syms
+  FROM m{k} WHERE NOT sel_prev
+  GROUP BY word, freq
+),
+rep{k} AS (
+  SELECT {k} AS step, t.pair, t.n_weighted,
+    CAST((SELECT COUNT(*) FROM m{k} WHERE sel) AS BIGINT) AS n_vocab_merges,
+    CAST((SELECT SUM(freq) FROM m{k} WHERE sel) AS BIGINT)
+      AS n_weighted_merges
+  FROM top{k} t
+)"""
+
+
+BPE_LEARN_MERGES_SQL = (
+    f"""{_DOCS_TOK_CTE}
+, vocab0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+    list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+  FROM (SELECT unnest(tok) AS word FROM t)
+  WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+  GROUP BY word
+),"""
+    + ",".join(_bpe_sql_step(k) for k in range(1, BPE_MERGE_STEPS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM rep{k}" for k in range(1, BPE_MERGE_STEPS + 1)
+    )
+    + "\nORDER BY step"
+)

@@ -251,6 +251,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "frequent_ngrams": text_analysis.frequent_ngrams,
     "quality_threshold_sweep": text_analysis.quality_threshold_sweep,
     "bpe_pair_counts": text_analysis.bpe_pair_counts,
+    "bpe_learn_merges": text_analysis.bpe_learn_merges,
     "embedding_covariance": linalg.embedding_covariance,
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
@@ -330,16 +331,18 @@ _PRIORITY_ORDER = [
     "corpus_assembly_funnel",
     "cosine_topk_agreement",  # oracle coverage for the rows-only
     # cosine_topk_fast (VERDICT r5 item 4)
-    "events_upsert_corrections",
     # round-6 registrations — windowed NOW so nothing new waits a round
     # for its first driver row (the r4 mistake VERDICT r5 item 1 flagged);
-    # the two r3-greens they displace (conversion_funnel,
-    # view_purchase_attribution) lead the r7 queue below:
+    # the three r3-greens they displace (conversion_funnel,
+    # view_purchase_attribution, events_upsert_corrections) lead the r7
+    # queue below:
     "train_contamination_scan",
     "user_engagement_salted",
+    "bpe_learn_merges",
     # ---- driver window ends here (50) ------------------------------------
     # r7 rotation queue: the r3-greens displaced by this round's new
     # registrations, then the remaining r3-greens:
+    "events_upsert_corrections",
     "first_event_per_user_type_day",
     "purchases_with_prior_tier",
     "dq_trend",
@@ -592,6 +595,7 @@ ORACLES: dict[str, str] = {
     "frequent_ngrams": text_analysis.FREQUENT_NGRAMS_SQL,
     "quality_threshold_sweep": text_analysis.QUALITY_THRESHOLD_SWEEP_SQL,
     "bpe_pair_counts": text_analysis.BPE_PAIR_COUNTS_SQL,
+    "bpe_learn_merges": text_analysis.BPE_LEARN_MERGES_SQL,
     "embedding_covariance": linalg.EMBEDDING_COVARIANCE_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,

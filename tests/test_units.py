@@ -1465,3 +1465,63 @@ def test_pq_rerank_dominates_adc(spark, sf_dir):
         assert 0 <= r.n_common_adc <= r.n_common_rerank <= TOP_K, r
     total = TOP_K * len(rows)
     assert sum(r.n_common_rerank for r in rows) >= 0.5 * total
+
+
+def test_bpe_merge_greedy_overlap_matches_pure_python(spark):
+    """The declarative gaps-and-islands merge in _bpe_merge_step must
+    implement canonical BPE greedy left-to-right non-overlapping
+    application — the hard case is an identical-symbol merge over a run
+    ('aaaa' + merge (a,a) -> ['aa','aa'], 'aaa' -> ['aa','a'], never
+    ['a','aa',...]). Compared against a character-exact pure-Python BPE
+    step over a corpus engineered so step 1 learns exactly that merge."""
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        _bpe_merge_step,
+    )
+
+    corpus = {  # word -> freq; 'a a' dominates every other pair
+        "aaaa": 10,
+        "aaa": 7,
+        "aa": 5,
+        "banana": 4,
+        "aab": 3,
+        "baa": 2,
+    }
+
+    def py_bpe_step(vocab):
+        counts = {}
+        for syms, freq in vocab:
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + freq
+        (pa, pb), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out = []
+        for syms, freq in vocab:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    merged.append(pa + pb)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out.append((merged, freq))
+        return out, (pa, pb), n
+
+    vocab_rows = [(w, f, list(w)) for w, f in corpus.items()]
+    vocab = spark.createDataFrame(vocab_rows, "word string, freq long, syms array<string>")
+    py_vocab = [(list(w), f) for w, f in corpus.items()]
+
+    for step in (1, 2, 3):
+        vocab, rep = _bpe_merge_step(vocab, step)
+        py_vocab, (pa, pb), n = py_bpe_step(py_vocab)
+        r = rep.collect()[0]
+        assert r.pair == f"{pa} {pb}", (step, r.pair, pa, pb)
+        assert r.n_weighted == n, (step, r)
+        got = {
+            row.word: row.syms for row in vocab.select("word", "syms").collect()
+        }
+        want = {"".join(s): s for s, _ in py_vocab}
+        assert got == want, (step, got, want)
