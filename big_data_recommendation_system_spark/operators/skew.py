@@ -209,3 +209,91 @@ SELECT * FROM block_event_type
 ORDER BY key_col, rank
 """
 )
+
+
+# --- salted join -------------------------------------------------------------
+
+SALTED_JOIN_N_SALTS = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_src: Sequence[str],
+    n_salts: int = SALTED_JOIN_N_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: semantics identical to ``big.join(small, on,
+    how)``, plan shape split so no single reduce task owns a hot key.
+
+    The fact side gets a salt derived from ``salt_src`` columns (MUST be
+    key-independent — e.g. a row id — or every row of a hot key lands in
+    the same cell and the salt is a no-op); the dim side is replicated
+    once per salt via a literal-array explode. Joining on (keys + salt)
+    spreads each hot key across ``n_salts`` cells at the cost of reading
+    the dim ``n_salts`` times — the escape hatch when the dim is too big
+    to broadcast AND one fact key overflows a task even after AQE's
+    skew-join split (AQE only splits the FACT side; it cannot help when
+    the matching dim partition itself is the problem, or for the
+    sort-merge fallback on a non-splittable hot partition).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_src], F.lit(7)), F.lit(n_salts)
+    ).cast("int")
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn("__salt", F.explode(salts))
+    return b.join(s, [*on, "__salt"], how).drop("__salt")
+
+
+def user_tenure_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical hot-key fact-x-dim join, salted: per-user first-seen
+    dates (the dim — at 100 TB a billion-row user table, far beyond
+    broadcast) joined back to the event fact on the zipfian user_id via
+    ``salted_join`` (salt from the unique event_id), then rolled up to
+    tenure-bucket engagement. The oracle is the PLAIN join + rollup —
+    salting is plan shape, not semantics, so the hash must be identical.
+    """
+    silver = silver_events(spark, sf_dir)
+    dim = silver.groupBy("user_id").agg(
+        F.min("event_date").alias("first_seen_date")
+    )
+    fact = silver.select("user_id", "event_id", "event_type", "event_date")
+    joined = salted_join(fact, dim, ["user_id"], ["event_id"])
+    tenure = F.datediff("event_date", "first_seen_date")
+    bucket = (
+        F.when(tenure <= F.lit(0), "day0")
+        .when(tenure <= F.lit(7), "week1")
+        .when(tenure <= F.lit(30), "month1")
+        .otherwise("later")
+    )
+    return (
+        joined.withColumn("tenure_bucket", bucket)
+        .groupBy("event_type", "tenure_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type", "tenure_bucket")
+    )
+
+
+USER_TENURE_SALTED_JOIN_SQL = silver_cte("""
+, dim AS (
+  SELECT user_id, MIN(event_date) AS first_seen_date
+  FROM silver GROUP BY user_id
+)
+SELECT s.event_type,
+  CASE
+    WHEN date_diff('day', d.first_seen_date, s.event_date) <= 0 THEN 'day0'
+    WHEN date_diff('day', d.first_seen_date, s.event_date) <= 7 THEN 'week1'
+    WHEN date_diff('day', d.first_seen_date, s.event_date) <= 30 THEN 'month1'
+    ELSE 'later'
+  END AS tenure_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM silver s JOIN dim d ON s.user_id = d.user_id
+GROUP BY 1, 2
+ORDER BY event_type, tenure_bucket
+""")
