@@ -78,9 +78,14 @@ def main() -> None:
             if name not in SUBSTRATE_CONSUMERS:
                 spark.catalog.clearCache()
 
+    # Field order matters: the driver preserves only the TAIL of this
+    # line in BENCH_r{N}.json, so the per-query map (which exceeds the
+    # truncation budget) goes FIRST and every summary total goes LAST —
+    # the surviving fragment then always carries the headline numbers.
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "total_query_wall_seconds",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
@@ -90,7 +95,6 @@ def main() -> None:
                 "avg_query_sec": round(
                     sum(timings.values()) / max(len(timings), 1), 3
                 ),
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
             }

@@ -220,3 +220,36 @@ def als_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("pop_h"), F.lit(1)).cast("double")
         ).alias("lift"),
     )
+
+
+def als_input_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic implicit-feedback (user_id, item_id, rating)
+    matrix that FEEDS ALS — registered with a DuckDB oracle so the
+    nondeterministic-factorization family gains a hash-checked anchor
+    upstream of the model fit (VERDICT r6 item 7): a wrong weight map,
+    broken JSON prop extraction, or a filter regression now fails the
+    value hash here rather than only nudging the pytest lift floor.
+
+    Scale shape: one map-side-combined hash aggregation over silver on
+    (user_id, item_id) — exactly the matrix ALS partitions by user/item
+    blocks downstream; linear, no skew beyond what salted_agg handles."""
+    return (
+        user_item_matrix(silver_events(spark, sf_dir))
+        .select(
+            "user_id",
+            F.col("item_id").cast("int").alias("item_id"),
+            F.col("rating").cast("long").alias("rating"),
+        )
+        .orderBy("user_id", "item_id")
+    )
+
+
+ALS_INPUT_MATRIX_SQL = silver_cte("""
+SELECT user_id,
+  CAST(prop_k AS INT) AS item_id,
+  CAST(SUM(event_weight) AS BIGINT) AS rating
+FROM silver
+WHERE prop_k IS NOT NULL
+GROUP BY 1, 2
+ORDER BY user_id, item_id
+""")

@@ -30,14 +30,22 @@ def salted_agg(
     keys: Sequence[str],
     partial_aggs: Sequence[Column],
     merge_aggs: Sequence[Column],
+    salt_src: Sequence[str],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
     ``partial_aggs`` aggregate within (keys, salt); ``merge_aggs``
     combine the partials per keys (referencing the partial aliases).
+    The salt is ``pmod(xxhash64(salt_src, 7), n_salts)`` — the same
+    convention as ``salted_join`` — so the cell assignment is a pure
+    function of the row (partitioning- and retry-independent), and
+    ``salt_src`` MUST be key-independent (e.g. a unique row id) or a
+    hot key's rows all hash to one cell and the salt is a no-op.
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_src], F.lit(7)), F.lit(n_salts)
+    ).cast("int")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -69,6 +77,7 @@ def user_engagement_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pw").alias("total_engagement"),
             F.sum("pv").cast("double").alias("total_value"),
         ],
+        salt_src=["event_id"],
     ).orderBy("user_id")
 
 
@@ -145,12 +154,15 @@ block_{key_col} AS (
 )"""
 
 
-def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter diagnostic over the silver event stream: the top-10
-    keys per candidate shuffle key with row counts, share of total, and
-    skew factor (key rows ÷ mean rows per key) — the report an operator
-    reads to decide WHICH keys need ``salted_agg`` / AQE skew handling
-    before a 100 TB run, produced by the engine itself.
+def key_skew_frame(
+    df: DataFrame, key_cols: Sequence[str] = ("user_id", "event_type")
+) -> DataFrame:
+    """Heavy-hitter diagnostic over any keyed frame: the top-10 keys per
+    candidate shuffle key with row counts, share of total, and skew
+    factor (key rows ÷ mean rows per key) — the report an operator reads
+    to decide WHICH keys need ``salted_agg`` / AQE skew handling before
+    a 100 TB run, produced by the engine itself. Reused by
+    ``cli/run_pipeline.py --skew-report`` against the silver clickstream.
 
     Scale shape: per-key counts are one map-side-combined hash agg per
     key column; the global top-10 is orderBy+limit (TakeOrdered — a
@@ -161,10 +173,9 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division, then the engine-neutral 2-decimal round."""
     from ..functions.pandas_parity import round2_neutral
 
-    silver = silver_events(spark, sf_dir)
     blocks = []
-    for key_col in ("user_id", "event_type"):
-        counts = silver.groupBy(
+    for key_col in key_cols:
+        counts = df.groupBy(
             F.col(key_col).cast("string").alias("key")
         ).agg(F.count(F.lit(1)).alias("n_rows"))
         tot = counts.agg(
@@ -199,6 +210,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("key_col", "rank")
 
 
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``key_skew_frame`` over the silver event stream
+    on its two candidate shuffle keys (oracle: the CTE twin below)."""
+    return key_skew_frame(silver_events(spark, sf_dir))
+
+
 KEY_SKEW_REPORT_SQL = silver_cte(
     ","
     + ",".join(_key_counts_block(k) for k in ("user_id", "event_type"))
@@ -226,6 +243,10 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: semantics identical to ``big.join(small, on,
     how)``, plan shape split so no single reduce task owns a hot key.
+    ``how`` is restricted to fact-preserving modes ({'inner', 'left',
+    'left_semi', 'left_anti'}): for 'right'/'full' the explode
+    replication would emit each unmatched small-side row ``n_salts``
+    times, which is NOT equivalent to the plain join.
 
     The fact side gets a salt derived from ``salt_src`` columns (MUST be
     key-independent — e.g. a row id — or every row of a hot key lands in
@@ -238,6 +259,13 @@ def salted_join(
     the matching dim partition itself is the problem, or for the
     sort-merge fallback on a non-splittable hot partition).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the dim-side explode "
+            f"replication duplicates unmatched small rows for right/full "
+            f"outer joins; allowed: {sorted(allowed)}"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in salt_src], F.lit(7)), F.lit(n_salts)
     ).cast("int")

@@ -58,8 +58,24 @@ SRP_WEIGHTS: list[list[int]] = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelization guard: a small parquet scan arrives as
+    1-2 partitions, which would run every per-row signature/verification
+    fold on a single core while the rest of the executor idles (the real
+    cost behind the r6 srp_lsh_pairs wall-time regression: the broadcast
+    -join output inherits the stream side's single partition, so the
+    464k-candidate cosine prefilter ran serially). Spread to the
+    session's default parallelism when the scan is under it; no-op at
+    production scale where the file layout already provides the
+    parallelism, so no shuffle is added to the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         F.expr(
@@ -196,8 +212,14 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
         .distinct()
+        # cache: each downstream BROADCAST build re-executes its build
+        # side, so an uncached cand would replay the band self-join +
+        # distinct (3 shuffles) once per verification join. The frame is
+        # tiny by construction (stop-bucket cap bounds it at any corpus
+        # size), so caching it is the cheap half of the r6 regression fix.
+        .cache()
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
@@ -220,23 +242,38 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    norms = emb.select(
-        "vec_id",
-        F.sqrt(F.expr(fold.format(a="e", b="e"))).alias("nrm"),
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("qa"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("qb"))
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    # ONE embeddings+norms frame, cached, joined once per pair side.
     # Broadcast hints belong on the CANDIDATE side: `cand` is bounded by
     # the stop-bucket cap (a few hundred pairs here; still tiny at 100 TB),
-    # while ea/eb/na/nb derive from the full embeddings table — hinting
-    # those would broadcast the corpus. Each join keeps the hint on the
-    # accumulating candidate frame so the corpus-sized side streams.
-    enriched = F.broadcast(cand).join(na, "vec_a")
-    enriched = F.broadcast(enriched).join(nb, "vec_b")
-    enriched = F.broadcast(enriched).join(ea, "vec_a")
-    enriched = F.broadcast(enriched).join(eb, "vec_b")
+    # while emb_n derives from the full embeddings table — hinting it
+    # would broadcast the corpus. Each broadcast-join stage re-executes
+    # its STREAM side, so without the cache the embeddings scan and the
+    # expensive decimal norm fold would run once per join (the r6
+    # 2.5x wall-time regression); the cache computes them exactly once
+    # and both joins read the in-memory columnar copy.
+    emb_n = emb.withColumn(
+        "nrm", F.sqrt(F.expr(fold.format(a="e", b="e")))
+    ).cache()
+    ena = emb_n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    enb = emb_n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    # First join: broadcast the bare candidate pairs (two longs per row —
+    # broadcastable at any corpus size under the cap). The SECOND join
+    # deliberately carries NO hint: its left side now holds the qa vector
+    # payload, and force-broadcasting |cand| x dim doubles would ship the
+    # candidate vectors to every executor; AQE sees the runtime sizes and
+    # picks broadcast only when the payload actually fits (locally it
+    # instead broadcasts the small emb_n side; at 100 TB both sides are
+    # keyed on vec_b and the shuffle join is linear).
+    enriched = F.broadcast(cand).join(ena, "vec_a")
+    enriched = enriched.join(enb, "vec_b")
     survivors = enriched.withColumn(
         "cos_fast",
         F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
@@ -334,8 +371,11 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_id"), F.col("y.vec_id").alias("match_id")
         )
         .distinct()
+        # cap-bounded candidate set — cached for the same reason as in
+        # srp_lsh_pairs (broadcast builds re-execute their build side)
+        .cache()
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
@@ -348,19 +388,26 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    norms = emb.select(
-        "vec_id", F.sqrt(F.expr(fold.format(a="e", b="e"))).alias("nrm")
+    # As in srp_lsh_pairs: ONE cached embeddings+norms frame joined once
+    # per side; the broadcast hint rides the candidate side (bounded by
+    # the band caps), never the embeddings-derived frame, and the cache
+    # keeps the norm fold from re-executing per broadcast stage.
+    emb_n = emb.withColumn(
+        "nrm", F.sqrt(F.expr(fold.format(a="e", b="e")))
+    ).cache()
+    ena = emb_n.select(
+        "vec_id", F.col("e").alias("qa"), F.col("nrm").alias("na")
     )
-    ea = emb.select(F.col("vec_id"), F.col("e").alias("qa"))
-    eb = emb.select(F.col("vec_id").alias("match_id"), F.col("e").alias("qb"))
-    na = norms.select("vec_id", F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
-    # As in srp_lsh_pairs: the broadcast hint rides the candidate side
-    # (bounded by the band caps), never the embeddings-derived frames.
-    joined = F.broadcast(cand).join(na, "vec_id")
-    joined = F.broadcast(joined).join(nb, "match_id")
-    joined = F.broadcast(joined).join(ea, "vec_id")
-    joined = F.broadcast(joined).join(eb, "match_id")
+    enb = emb_n.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("e").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    # Hint discipline as in srp_lsh_pairs: broadcast the bare pair frame
+    # once; the second join carries the vector payload, so no hint — AQE
+    # decides from runtime sizes.
+    joined = F.broadcast(cand).join(ena, "vec_id")
+    joined = joined.join(enb, "match_id")
     matches = (
         joined.withColumn(
             "cos_fast",

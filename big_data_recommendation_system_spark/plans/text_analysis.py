@@ -735,6 +735,14 @@ def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     merge (count DESC, pair ASC), apply it with canonical greedy
     left-to-right non-overlapping semantics, and emit a one-row report.
 
+    PRECONDITION: the vocabulary must still contain at least one adjacent
+    symbol pair (some word with >= 2 symbols). If every word has fully
+    merged, ``top1`` is empty and the crossJoin empties the vocabulary —
+    callers raising ``BPE_MERGE_STEPS`` far beyond 3 on tiny corpora must
+    check ``rep`` non-empty per step before chaining further (unreachable
+    at the shipped step count on any real corpus: exhausting pairs in 3
+    merges requires every distinct word to be <= 2 symbols long).
+
     The greedy overlap rule (``aaaa`` + merge ``a a`` -> ``aa aa``, never
     ``a aa a``) is expressed declaratively: merge-start positions that are
     CONSECUTIVE form a run (only possible when pa == pb), and within each

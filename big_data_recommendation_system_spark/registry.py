@@ -256,7 +256,9 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
     "user_engagement_salted": skew.user_engagement_salted,
+    "user_tenure_salted_join": skew.user_tenure_salted_join,
     "key_skew_report": skew.key_skew_report,
+    "als_input_matrix": recommend.als_input_matrix,
     "users_without_purchase": joins.users_without_purchase,
     "orders_with_returns": joins.orders_with_returns,
     "small_quantity_revenue": joins.small_quantity_revenue,
@@ -274,82 +276,30 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # query cycles through the checked window.
 _PRIORITY_ORDER = [
     # -- driver-checked window: the driver hash-checks the FIRST 50 entries.
-    # Round-6 rotation (VERDICT r5 item 1): (a) the 4 round-4 registrations
-    # that have never had a driver row, (b) the stalest r1/r2 greens,
-    # (c) the 20 TPC-H queries (r1-green, 4 rounds and two Spark minor
-    # versions stale) + ann_ivf_topk, then (d) backfill with the stalest
-    # r3-greens so nothing stays >2 rounds unchecked.
-    # never driver-checked (registered in round 4):
-    "mixture_plan",
-    "source_vocab_divergence",
-    "curriculum_order",
-    "dedup_token_savings",
-    # stalest r1/r2 greens:
-    "small_quantity_revenue",
-    "orders_priority_rollup",
-    "clean_users",
-    "clean_products",
-    # TPC-H suite + IVF ANN, r1-green, 4 rounds stale:
-    "q1_pricing_summary",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_revenue",
-    "q11_important_part_value",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_part_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_return_suppliers",
-    "q22_idle_rich_customers",
-    "ann_ivf_topk",
-    # backfill: stalest r3-greens (silver/gold/DQ/analytics families):
-    "silver_events",
-    "clean_clickstream",
-    "dq_rule_stats",
-    "user_value_quartiles",
-    "event_sequences",
-    "user_sessions",
-    "daily_stats",
-    "engagement_metrics",
-    "user_summary",
-    "product_summary",
-    "latest_event_per_user",
-    "dedup_exact_events",
-    "pq_codes",
-    "pq_topk_agreement",
-    "key_skew_report",
-    "bloom_decon_prefilter",
-    "corpus_assembly_funnel",
-    "cosine_topk_agreement",  # oracle coverage for the rows-only
-    # cosine_topk_fast (VERDICT r5 item 4)
-    # round-6 registrations — windowed NOW so nothing new waits a round
-    # for its first driver row (the r4 mistake VERDICT r5 item 1 flagged);
-    # the three r3-greens they displace (conversion_funnel,
-    # view_purchase_attribution, events_upsert_corrections) lead the r7
-    # queue below:
-    "train_contamination_scan",
+    # Round-7 rotation (VERDICT r6 items 1, 3, 7): (a) round-7
+    # registrations windowed NOW (user_tenure_salted_join — the
+    # finished-but-dead r6 operator — and als_input_matrix, the new
+    # deterministic ALS anchor), (b) queries whose CODE changed this round
+    # (the SRP cached-frame repair; user_engagement_salted's hash-based
+    # salt), (c) the three r3-greens displaced by the r6 window, then
+    # (d) the stalest r3-greens so nothing stays >2 rounds unchecked.
+    # new registrations, never driver-checked:
+    "user_tenure_salted_join",
+    "als_input_matrix",
+    # code changed this round — re-verify before anything else:
+    "srp_lsh_pairs",
+    "srp_incremental_pairs",
     "user_engagement_salted",
-    "bpe_learn_merges",
-    # ---- driver window ends here (50) ------------------------------------
-    # r7 rotation queue: the r3-greens displaced by this round's new
-    # registrations, then the remaining r3-greens:
+    # r3-greens displaced by the r6 rotation:
+    "conversion_funnel",
+    "view_purchase_attribution",
     "events_upsert_corrections",
+    # stalest r3-greens (everything here last checked in r3):
     "first_event_per_user_type_day",
     "purchases_with_prior_tier",
     "dq_trend",
     "dq_daily_validity",
     "cohort_retention",
-    "conversion_funnel",
-    "view_purchase_attribution",
     "daily_type_cube",
     "users_without_purchase",
     "q12_late_shipment_priority",
@@ -379,8 +329,7 @@ _PRIORITY_ORDER = [
     "token_budget_sample",
     "filter_funnel_report",
     "media_features",
-    # r4/r5-green — driver-verified in each of the last two rounds,
-    # freshest, lowest re-verification priority:
+    # backfill to 50 with the stalest r4/r5-greens:
     "user_tier_scd2",
     "dup_graph_pagerank",
     "dup_graph_degrees",
@@ -389,6 +338,9 @@ _PRIORITY_ORDER = [
     "cross_source_dup_matrix",
     "lsh_recall_report",
     "shingle_containment_pairs",
+    # ---- driver window ends here (50) ------------------------------------
+    # r8 rotation queue: remaining r4/r5-greens (stalest first), then the
+    # r6-green block (driver-verified last round, lowest priority):
     "kmeans_step",
     "embedding_covariance",
     "cluster_label_purity",
@@ -416,7 +368,6 @@ _PRIORITY_ORDER = [
     "user_features_batch",
     "product_features_batch",
     "srp_signatures",
-    "srp_lsh_pairs",
     "top_event_types_per_user",
     "ngram_jaccard_pairs",
     "doc_fingerprints",
@@ -430,7 +381,58 @@ _PRIORITY_ORDER = [
     "trailing_hour_counts",
     "text_stats",
     "dup_detector_overlap",
-    "srp_incremental_pairs",
+    # r6-green block — driver-verified LAST round, freshest, lowest
+    # re-verification priority (the old r6 window, minus the entries
+    # promoted back into this round's window above):
+    "mixture_plan",
+    "source_vocab_divergence",
+    "curriculum_order",
+    "dedup_token_savings",
+    "small_quantity_revenue",
+    "orders_priority_rollup",
+    "clean_users",
+    "clean_products",
+    "q1_pricing_summary",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_revenue",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_part_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_return_suppliers",
+    "q22_idle_rich_customers",
+    "ann_ivf_topk",
+    "silver_events",
+    "clean_clickstream",
+    "dq_rule_stats",
+    "user_value_quartiles",
+    "event_sequences",
+    "user_sessions",
+    "daily_stats",
+    "engagement_metrics",
+    "user_summary",
+    "product_summary",
+    "latest_event_per_user",
+    "dedup_exact_events",
+    "pq_codes",
+    "pq_topk_agreement",
+    "key_skew_report",
+    "bloom_decon_prefilter",
+    "corpus_assembly_funnel",
+    "cosine_topk_agreement",
+    "train_contamination_scan",
+    "bpe_learn_merges",
     # rows-only by design (no SQL oracle; driver records rows-only).
     # Pure rows-only (external invariant, pinned in pytest):
     "pca_explained_variance",  # driver-side eigensolve of the collected
@@ -550,7 +552,9 @@ ORACLES: dict[str, str] = {
     "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
     "bloom_decon_prefilter": bloom.BLOOM_DECON_PREFILTER_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
+    "user_tenure_salted_join": skew.USER_TENURE_SALTED_JOIN_SQL,
     "key_skew_report": skew.KEY_SKEW_REPORT_SQL,
+    "als_input_matrix": recommend.ALS_INPUT_MATRIX_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,

@@ -90,6 +90,21 @@ def run_gold(args: argparse.Namespace) -> None:
         df = builder(clickstream)
         df.write.mode("overwrite").parquet(os.path.join(args.gold_dir, name))
         print(f"{name}: {df.count()} rows ({time.time() - t0:.1f}s)")
+    if getattr(args, "skew_report", False):
+        # Operational loop: measure key skew on the silver table that
+        # feeds every gold aggregation, write the diagnostic beside the
+        # run metadata — the artifact an operator reads to decide which
+        # keys need salted_agg / AQE skew handling before scaling up.
+        from big_data_recommendation_system_spark.operators.skew import (
+            key_skew_frame,
+        )
+
+        keys = tuple(k for k in args.skew_keys.split(",") if k)
+        skew_path = os.path.join(args.gold_dir, "_skew_report")
+        key_skew_frame(clickstream, keys).write.mode("overwrite").parquet(
+            skew_path
+        )
+        print(f"skew report ({','.join(keys)}) -> {skew_path}")
     record_run(spark, os.path.join(args.gold_dir, "_pipeline_runs"), {"stage": "gold"})
 
 
@@ -104,6 +119,12 @@ def main() -> None:
     g = sub.add_parser("gold")
     g.add_argument("--silver-dir", required=True)
     g.add_argument("--gold-dir", required=True)
+    g.add_argument(
+        "--skew-report",
+        action="store_true",
+        help="also write a heavy-hitter key-skew diagnostic (_skew_report)",
+    )
+    g.add_argument("--skew-keys", default="user_id,product_id")
     g.set_defaults(fn=run_gold)
     args = ap.parse_args()
     args.fn(args)

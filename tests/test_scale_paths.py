@@ -38,6 +38,33 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         assert s.total_value == row.total_value  # decimal partials → exact
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain join for every
+    supported `how`, and refuse the modes the dim-side replication would
+    corrupt (right/full duplicate unmatched small rows n_salts times)."""
+    import pytest
+
+    from big_data_recommendation_system_spark.operators.skew import salted_join
+
+    silver = silver_events(spark, sf_dir)
+    fact = silver.select("user_id", "event_id", "event_type").limit(2000)
+    # dim missing some keys so left-join null paths and anti/semi are
+    # exercised: keep only even user_ids
+    dim = (
+        silver.groupBy("user_id")
+        .agg(F.min("event_date").alias("first_seen"))
+        .filter(F.col("user_id") % 2 == 0)
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            map(tuple, salted_join(fact, dim, ["user_id"], ["event_id"], how=how).collect())
+        )
+        want = sorted(map(tuple, fact.join(dim, ["user_id"], how).collect()))
+        assert got == want, how
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(fact, dim, ["user_id"], ["event_id"], how="full")
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     rows = approx_distinct_daily(spark, sf_dir).collect()
     # the query's own certificate columns must hold and agree with an

@@ -1525,3 +1525,64 @@ def test_bpe_merge_greedy_overlap_matches_pure_python(spark):
         }
         want = {"".join(s): s for s, _ in py_vocab}
         assert got == want, (step, got, want)
+
+
+def test_run_pipeline_cli_skew_report(spark, tmp_path):
+    """cli/run_pipeline.py gold --skew-report: the written _skew_report
+    diagnostic must equal key_skew_frame computed inline over the same
+    silver clickstream (the operational measure-skew-then-salt loop as a
+    CLI artifact, mirroring run_dedup/run_corpus)."""
+    import argparse
+    import importlib
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    run_pipeline = importlib.import_module("run_pipeline")
+    from big_data_recommendation_system_spark.operators.skew import key_skew_frame
+
+    from .test_reference_parity import (
+        CLICKSTREAM_LINES,
+        PRODUCT_LINES,
+        USER_LINES,
+    )
+
+    bronze = tmp_path / "bronze"
+    for topic, lines in [
+        ("clickstream", CLICKSTREAM_LINES),
+        ("user_events", USER_LINES),
+        ("product_events", PRODUCT_LINES),
+    ]:
+        (bronze / topic).mkdir(parents=True)
+        with open(bronze / topic / "part-0.json", "w") as f:
+            for rec in lines:
+                f.write(json.dumps(rec) + "\n")
+
+    silver_dir, gold_dir = str(tmp_path / "silver"), str(tmp_path / "gold")
+    run_pipeline.run_silver(
+        argparse.Namespace(
+            bronze_dir=str(bronze),
+            silver_dir=silver_dir,
+            topics="clickstream,user_events,product_events",
+        )
+    )
+    run_pipeline.run_gold(
+        argparse.Namespace(
+            silver_dir=silver_dir,
+            gold_dir=gold_dir,
+            skew_report=True,
+            skew_keys="user_id,product_id",
+        )
+    )
+
+    written = spark.read.parquet(os.path.join(gold_dir, "_skew_report"))
+    inline = key_skew_frame(
+        spark.read.parquet(os.path.join(silver_dir, "clickstream_silver")),
+        ("user_id", "product_id"),
+    )
+    key = lambda r: (r.key_col, r.rank)  # noqa: E731
+    got = {key(r): tuple(r) for r in written.collect()}
+    want = {key(r): tuple(r) for r in inline.collect()}
+    assert got == want and got, (got, want)
+    assert {r.key_col for r in written.collect()} == {"user_id", "product_id"}
