@@ -193,7 +193,7 @@ def _minhash_lsh_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and bands are cached here because each feeds 2-3 consumers inside
     # this pipeline — without caching, each reuse recomputes the chain.
     d = shingled_docs_table(spark, sf_dir)
-    sigs = minhash_signatures(d).cache()
+    sigs = minhash_sig_table(spark, sf_dir)
     bands = lsh_band_keys(sigs).cache()
     small_buckets = (
         bands.groupBy("band", "band_key")
@@ -274,6 +274,7 @@ SUBSTRATE_CONSUMERS = frozenset(
         "incremental_near_dup",
         "dup_detector_overlap",
         "dedup_token_savings",
+        "lsh_band_tuning_report",
         # plans/assembly.py's composed funnel reads dup_clusters for its
         # near-dup stage — same shared substrate, same grouping rule
         "corpus_assembly_funnel",
@@ -302,6 +303,19 @@ def shingled_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SUBSTRATE.get(key)
     if df is None:
         df = _shingled_docs(spark, sf_dir)
+    _SUBSTRATE[key] = df = _materialized(df)
+    return df
+
+
+def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature frame (doc_id, sig), persisted once per
+    session+corpus — shared by the pairs pipeline and the band-tuning
+    report (the production shape persists signatures beside the corpus
+    snapshot precisely so parameter sweeps never re-hash the text)."""
+    key = _substrate_key(spark, sf_dir, "minhash_sigs")
+    df = _SUBSTRATE.get(key)
+    if df is None:
+        df = minhash_signatures(shingled_docs_table(spark, sf_dir))
     _SUBSTRATE[key] = df = _materialized(df)
     return df
 
@@ -339,23 +353,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_pairs(spark, sf_dir)
 
 
-def _minhash_sql() -> str:
+def _sig_cte_sql() -> str:
+    """CTE chain ending in ``sig(doc_id, h0..h{NUM_PERMS-1})`` — the
+    MinHash signature table both the pairs pipeline and the band-tuning
+    report build on (shared so the two cannot drift)."""
     p = MINHASH_PRIME
     min_cols = ",\n    ".join(
         f"MIN(({a} * v + {c}) % {p}) AS h{i}"
         for i, (a, c) in ((i, _perm_consts(i)) for i in range(NUM_PERMS))
-    )
-    band_selects = "\n  UNION ALL\n  ".join(
-        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(
-                f"CAST(h{b * _R + j} AS VARCHAR)" for j in range(_R)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
-    agreement_sql = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERMS)
     )
     return f"""{_DOCS_SHINGLED_CTE}
 , sh AS (SELECT doc_id, unnest(sh) AS s FROM d)
@@ -370,7 +375,23 @@ def _minhash_sql() -> str:
   SELECT doc_id,
     {min_cols}
   FROM hv GROUP BY doc_id
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * _R + j} AS VARCHAR)" for j in range(_R)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    agreement_sql = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERMS)
+    )
+    return f"""{_sig_cte_sql()}
 , band AS (
   {band_selects}
 )
@@ -920,7 +941,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with the symmetric pipeline so the DuckDB twin can reuse the
     same CTE chain and filter pairs to the cross-boundary orientation)."""
     d = shingled_docs_table(spark, sf_dir)
-    sigs = minhash_signatures(d).cache()
+    sigs = minhash_sig_table(spark, sf_dir)
     bands = lsh_band_keys(sigs).cache()
     small_buckets = (
         bands.groupBy("band", "band_key")
@@ -1321,3 +1342,115 @@ JOIN documents d ON d.doc_id = p.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# --- LSH band-parameter tuning report ---------------------------------------
+
+# Every (bands, rows) factorization of the NUM_PERMS-component signature:
+# the operational knob an operator turns BEFORE a 100 TB near-dup run.
+LSH_TUNING_CONFIGS = [
+    (NUM_PERMS // r, r) for r in (1, 2, 4, 8) if NUM_PERMS % r == 0
+]
+
+
+def _detect_prob(bands: int, r: int, tau: float = JACCARD_THRESHOLD) -> float:
+    """P[candidate | jaccard = tau] = 1 - (1 - tau^r)^bands, the classic
+    S-curve — computed in PYTHON and inlined as the same literal into
+    both engines, so no float-function parity risk."""
+    return round(1.0 - (1.0 - tau**r) ** bands, 6)
+
+
+def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-vs-theoretical banding tradeoff over THIS corpus's actual
+    MinHash signatures: for every (bands, rows) factorization of the
+    signature, the theoretical detection probability at the jaccard
+    threshold next to the measured bucket structure — total buckets, max
+    bucket size, the candidate-pair count the band join would produce
+    (sum of s*(s-1)/2 over buckets), how many buckets the stop-bucket
+    cap would drop, and the capped candidate count. The companion to
+    ``key_skew_report``: measure first, then pick (bands, rows) and the
+    cap; the docstring math in ``srp.py`` chooses constants a priori —
+    this report validates them against the corpus before a full run.
+
+    Scale shape: ONE signature computation (the session-persisted
+    ``minhash_sig_table`` substrate, shared with the pairs pipeline —
+    the config variants re-slice the same 17-column frame), |configs| x
+    bands short rows per doc into one hash agg on (config, band, key),
+    then a second tiny agg to one row per config. Linear; no joins, no
+    windows."""
+    sig = minhash_sig_table(spark, sf_dir)
+    frames = []
+    for bands_n, r in LSH_TUNING_CONFIGS:
+        frames.append(
+            lsh_band_keys(sig, bands_n, r).select(
+                F.lit(bands_n).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "band",
+                "band_key",
+            )
+        )
+    allb = frames[0]
+    for f_ in frames[1:]:
+        allb = allb.unionByName(f_)
+    buckets = allb.groupBy("n_bands", "rows_per_band", "band", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    prob = F.lit(None).cast("double")
+    for bands_n, r in LSH_TUNING_CONFIGS:
+        prob = F.when(
+            F.col("n_bands") == bands_n, F.lit(_detect_prob(bands_n, r))
+        ).otherwise(prob)
+    pairs = F.expr("(s * (s - 1)) div 2")
+    return (
+        buckets.groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("s").cast("long").alias("max_bucket"),
+            F.sum(pairs).cast("long").alias("candidate_pairs"),
+            F.sum((F.col("s") > MAX_BUCKET_SIZE).cast("int"))
+            .cast("long")
+            .alias("stop_buckets"),
+            F.sum(F.when(F.col("s") <= MAX_BUCKET_SIZE, pairs).otherwise(0))
+            .cast("long")
+            .alias("capped_candidate_pairs"),
+        )
+        .withColumn("detect_prob_at_tau", prob)
+        .orderBy(F.desc("n_bands"))
+    )
+
+
+def _lsh_tuning_sql() -> str:
+    band_selects = []
+    for bands_n, r in LSH_TUNING_CONFIGS:
+        for b in range(bands_n):
+            key = " || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {bands_n} AS n_bands, {r} AS rows_per_band, "
+                f"{b} AS band, {key} AS band_key FROM sig"
+            )
+    prob_case = " ".join(
+        f"WHEN {bands_n} THEN {_detect_prob(bands_n, r)}"
+        for bands_n, r in LSH_TUNING_CONFIGS
+    )
+    return f"""{_sig_cte_sql()}
+, band AS (
+  {"  UNION ALL ".join(band_selects)}
+), buckets AS (
+  SELECT n_bands, rows_per_band, band, band_key, CAST(COUNT(*) AS BIGINT) AS s
+  FROM band GROUP BY 1, 2, 3, 4
+)
+SELECT n_bands, rows_per_band,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(MAX(s) AS BIGINT) AS max_bucket,
+  CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs,
+  CAST(SUM(CASE WHEN s > {MAX_BUCKET_SIZE} THEN 1 ELSE 0 END) AS BIGINT) AS stop_buckets,
+  CAST(SUM(CASE WHEN s <= {MAX_BUCKET_SIZE} THEN (s * (s - 1)) // 2 ELSE 0 END) AS BIGINT)
+    AS capped_candidate_pairs,
+  CASE n_bands {prob_case} END AS detect_prob_at_tau
+FROM buckets GROUP BY 1, 2 ORDER BY n_bands DESC
+"""
+
+
+LSH_BAND_TUNING_REPORT_SQL = _lsh_tuning_sql()

@@ -832,3 +832,110 @@ SELECT lang, n_docs, avail_tokens, target_share,
 FROM per_lang CROSS JOIN budget
 ORDER BY lang
 """
+
+
+# --- sequence-length histogram ----------------------------------------------
+
+# Right-closed token-count buckets for pack-budget planning: the report an
+# operator reads to choose PACK_BUDGET / CHUNK_SIZE before a packing run
+# (e.g. "95% of tokens live in docs <= 128 tokens" => budget 2048 packs
+# ~16+ docs per sequence).
+LENGTH_BUCKET_EDGES = [16, 32, 64, 128]
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of document token counts over right-closed buckets:
+    per bucket, doc and token counts plus doc/token share and the
+    cumulative token share. Scale shape: one map + one hash agg to
+    |buckets| rows; the share window and the totals broadcast both run
+    over the <= 5-row aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    from ..functions.pandas_parity import round2_neutral
+
+    t = _doc_tokens(spark, sf_dir)
+    edges = LENGTH_BUCKET_EDGES
+    bucket_id = F.lit(len(edges))
+    label = F.lit(f"gt_{edges[-1]}")
+    for i in reversed(range(len(edges))):
+        lo = 0 if i == 0 else edges[i - 1]
+        bucket_id = F.when(F.col("n_tokens") <= edges[i], F.lit(i)).otherwise(
+            bucket_id
+        )
+        label = F.when(
+            F.col("n_tokens") <= edges[i], F.lit(f"{lo + 1}_{edges[i]}")
+        ).otherwise(label)
+    agg = (
+        t.select(bucket_id.cast("long").alias("bucket_id"), label.alias("bucket"), "n_tokens")
+        .groupBy("bucket_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_docs").cast("long").alias("all_docs"),
+        F.sum("total_tokens").cast("long").alias("all_tokens"),
+    )
+    w = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_tokens", F.sum("total_tokens").over(w))
+        .select(
+            "bucket_id",
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            round2_neutral(
+                F.col("n_docs").cast("double") * 100 / F.col("all_docs")
+            ).alias("pct_docs"),
+            round2_neutral(
+                F.col("total_tokens").cast("double") * 100 / F.col("all_tokens")
+            ).alias("pct_tokens"),
+            round2_neutral(
+                F.col("cum_tokens").cast("double") * 100 / F.col("all_tokens")
+            ).alias("cum_pct_tokens"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+def _length_bucket_sql() -> tuple[str, str]:
+    edges = LENGTH_BUCKET_EDGES
+    bid = f"{len(edges)}"
+    lbl = f"'gt_{edges[-1]}'"
+    for i in reversed(range(len(edges))):
+        lo = 0 if i == 0 else edges[i - 1]
+        bid = f"CASE WHEN n_tokens <= {edges[i]} THEN {i} ELSE {bid} END"
+        lbl = f"CASE WHEN n_tokens <= {edges[i]} THEN '{lo + 1}_{edges[i]}' ELSE {lbl} END"
+    return bid, lbl
+
+
+_BID_SQL, _LBL_SQL = _length_bucket_sql()
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, len({tokens_sql()}) AS n_tokens FROM documents),
+b AS (
+  SELECT CAST({_BID_SQL} AS BIGINT) AS bucket_id, {_LBL_SQL} AS bucket, n_tokens
+  FROM t
+),
+agg AS (
+  SELECT bucket_id, bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+    CAST(SUM(total_tokens) AS BIGINT) AS all_tokens
+  FROM agg
+)
+SELECT bucket_id, bucket, n_docs, total_tokens,
+  floor(CAST(n_docs AS DOUBLE) * 100 / all_docs * 100 + 0.5) / 100 AS pct_docs,
+  floor(CAST(total_tokens AS DOUBLE) * 100 / all_tokens * 100 + 0.5) / 100 AS pct_tokens,
+  floor(CAST(SUM(total_tokens) OVER (ORDER BY bucket_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    * 100 / all_tokens * 100 + 0.5) / 100 AS cum_pct_tokens
+FROM agg CROSS JOIN tot
+ORDER BY bucket_id
+"""

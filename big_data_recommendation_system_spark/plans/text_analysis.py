@@ -951,3 +951,256 @@ BPE_LEARN_MERGES_SQL = (
     )
     + "\nORDER BY step"
 )
+
+
+# --- Gopher-style repetition quality rules ----------------------------------
+# Word-level adaptation of the Rae et al. (2021, "Scaling Language Models:
+# Gopher") repetition filters. The reference has no text-quality layer at
+# all; these are part of the §2.13 training-data extension family. The
+# corpus here is single-line synthetic text, so the line-based Gopher rules
+# (duplicate-line fraction, bullet/ellipsis line ratios) are degenerate and
+# the n-gram family carries the signal:
+#   top_unigram_frac      occurrences of the most frequent token / n_tokens
+#   dup_unigram_frac      occurrences of tokens appearing >= 2 times / n_tokens
+#   top_2gram_char_frac   chars covered by the most frequent 2-gram
+#                         (count x gram length) / length(text)
+#   dup_3gram_char_frac   chars covered by 3-grams appearing >= 2 times
+#                         (sum of count x gram length) / length(text)
+# Ties on "most frequent" break deterministically to the alphabetically
+# first gram (count DESC, gram ASC) in both engines.
+
+GOPHER_TOP_UNIGRAM_MAX = 0.30
+GOPHER_TOP_2GRAM_MAX = 0.20
+GOPHER_DUP_3GRAM_MAX = 0.18
+
+
+def _round4(col):
+    """Engine-neutral 4-decimal round-half-up (same IEEE-only construction
+    as functions.pandas_parity.round2_neutral, one more digit — these are
+    small fractions where 2 decimals would collapse the signal)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition diagnostics + pass/fail flags (the Gopher
+    repetition filter family, word-level — see block comment above).
+
+    Scale shape: ONE union of 1/2/3-gram explodes -> one hash agg on
+    (doc_id, n, gram) -> one hash agg back to doc_id (conditional
+    aggregates per gram order, argmax via min-struct so no window over
+    the gram stream) -> broadcast-sized left join back to the documents
+    base. Linear in total gram occurrences; no self-joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars_doc"),
+        tokens(F.col("text")).alias("tok"),
+    )
+    base = t.select(
+        "doc_id", "source", "n_chars_doc", F.size("tok").cast("long").alias("n_tokens")
+    )
+    grams = None
+    for n in (1, 2, 3):
+        g = t.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(ngrams("tok", n)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # argmax-by-(c DESC, gram ASC) without a window: min over
+    # struct(-c, gram) — smallest negated count = largest count, then
+    # the alphabetically first gram among ties
+    sel = F.struct((-F.col("c")).alias("negc"), F.col("gram").alias("gram"))
+    per = counts.groupBy("doc_id").agg(
+        F.min(F.when(F.col("n") == 1, sel)).alias("s1"),
+        F.min(F.when(F.col("n") == 2, sel)).alias("s2"),
+        F.sum(
+            F.when((F.col("n") == 1) & (F.col("c") >= 2), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_tok"),
+        F.sum(
+            F.when(
+                (F.col("n") == 3) & (F.col("c") >= 2),
+                F.col("c") * F.length("gram"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup3_chars"),
+    )
+    j = base.join(per, "doc_id", "left")
+    top1_c = F.coalesce(-F.col("s1.negc"), F.lit(0))
+    top2_chars = F.coalesce(
+        -F.col("s2.negc") * F.length(F.col("s2.gram")), F.lit(0)
+    )
+    dup_tok = F.coalesce("dup_tok", F.lit(0))
+    dup3 = F.coalesce("dup3_chars", F.lit(0))
+    nz = F.col("n_tokens") > 0
+    top_uni = F.when(nz, _round4(top1_c.cast("double") / F.col("n_tokens"))).otherwise(0.0)
+    dup_uni = F.when(nz, _round4(dup_tok.cast("double") / F.col("n_tokens"))).otherwise(0.0)
+    top_2g = _round4(top2_chars.cast("double") / F.col("n_chars_doc"))
+    dup_3g = _round4(dup3.cast("double") / F.col("n_chars_doc"))
+    return j.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        top_uni.alias("top_unigram_frac"),
+        dup_uni.alias("dup_unigram_frac"),
+        top_2g.alias("top_2gram_char_frac"),
+        dup_3g.alias("dup_3gram_char_frac"),
+        (
+            (top_uni <= GOPHER_TOP_UNIGRAM_MAX)
+            & (top_2g <= GOPHER_TOP_2GRAM_MAX)
+            & (dup_3g <= GOPHER_DUP_3GRAM_MAX)
+        ).alias("passes_repetition_rules"),
+    )
+
+
+def _ngram_counts_cte() -> str:
+    return f"""{_DOCS_TOK_CTE}
+, g AS (
+  SELECT doc_id, 1 AS n, unnest(tok) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, 2 AS n, unnest({ngrams_sql("tok", 2)}) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({ngrams_sql("tok", 3)}) AS gram FROM t
+), c AS (
+  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+)"""
+
+
+GOPHER_REPETITION_RULES_SQL = f"""{_ngram_counts_cte()}
+, p1 AS (
+  SELECT doc_id,
+    FIRST(c ORDER BY c DESC, gram ASC) AS top1_c,
+    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tok
+  FROM c WHERE n = 1 GROUP BY doc_id
+), p2 AS (
+  SELECT doc_id,
+    FIRST(c * length(gram) ORDER BY c DESC, gram ASC) AS top2_chars
+  FROM c WHERE n = 2 GROUP BY doc_id
+), p3 AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS BIGINT)
+      AS dup3_chars
+  FROM c WHERE n = 3 GROUP BY doc_id
+), f AS (
+  SELECT t.doc_id, t.source,
+    CAST(len(tok) AS BIGINT) AS n_tokens,
+    CASE WHEN len(tok) > 0
+      THEN {_ROUND4_SQL.format(x="CAST(COALESCE(p1.top1_c, 0) AS DOUBLE) / len(tok)")}
+      ELSE 0.0 END AS top_unigram_frac,
+    CASE WHEN len(tok) > 0
+      THEN {_ROUND4_SQL.format(x="CAST(COALESCE(p1.dup_tok, 0) AS DOUBLE) / len(tok)")}
+      ELSE 0.0 END AS dup_unigram_frac,
+    {_ROUND4_SQL.format(x="CAST(COALESCE(p2.top2_chars, 0) AS DOUBLE) / length(t.text)")}
+      AS top_2gram_char_frac,
+    {_ROUND4_SQL.format(x="CAST(COALESCE(p3.dup3_chars, 0) AS DOUBLE) / length(t.text)")}
+      AS dup_3gram_char_frac
+  FROM t
+  LEFT JOIN p1 ON p1.doc_id = t.doc_id
+  LEFT JOIN p2 ON p2.doc_id = t.doc_id
+  LEFT JOIN p3 ON p3.doc_id = t.doc_id
+)
+SELECT *,
+  top_unigram_frac <= {GOPHER_TOP_UNIGRAM_MAX}
+    AND top_2gram_char_frac <= {GOPHER_TOP_2GRAM_MAX}
+    AND dup_3gram_char_frac <= {GOPHER_DUP_3GRAM_MAX}
+    AS passes_repetition_rules
+FROM f
+"""
+
+
+# --- unigram-LM token rarity ------------------------------------------------
+
+
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token rarity against the corpus unigram distribution —
+    the log-free stand-in for a unigram-LM perplexity quality signal
+    (rare-vocabulary docs score high, boilerplate scores low). Everything
+    stays exact-integer until ONE double division per output column:
+
+      freq_weight     sum over token positions of the corpus count c_t
+      mean_token_freq freq_weight / n_tokens
+      rarity_score    n_tokens * C / freq_weight   (C = corpus positions)
+
+    rarity is the reciprocal of the doc's mean token probability; log/exp
+    are deliberately avoided because libm rounding differs between the
+    JVM and DuckDB, which would break hash parity.
+
+    Scale shape: one explode -> vocab hash agg -> keyed join back on
+    token (vocab is a distinct-keyed dim; hot tokens join against ONE
+    dim row each, so no skew blowup) -> per-doc hash agg; the corpus
+    total rides along as a broadcast 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+    tk = t.select("doc_id", F.explode("tok").alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("corpus_total"))
+    per_doc = (
+        tk.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("freq_weight"),
+        )
+    )
+    base = t.select("doc_id", "source")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("freq_weight", F.lit(0)).cast("long").alias("freq_weight"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                _round4(
+                    F.col("freq_weight").cast("double") / F.col("n_tokens")
+                ),
+            )
+            .otherwise(0.0)
+            .alias("mean_token_freq"),
+            F.when(
+                F.coalesce("freq_weight", F.lit(0)) > 0,
+                _round4(
+                    F.col("n_tokens").cast("double")
+                    * F.col("corpus_total")
+                    / F.col("freq_weight")
+                ),
+            )
+            .otherwise(0.0)
+            .alias("rarity_score"),
+        )
+    )
+
+
+TOKEN_RARITY_SCORE_SQL = f"""{_DOCS_TOK_CTE}
+, tk AS (SELECT doc_id, unnest(tok) AS token FROM t)
+, v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1)
+, tot AS (SELECT CAST(SUM(c) AS BIGINT) AS corpus_total FROM v)
+, pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(c) AS BIGINT) AS freq_weight
+  FROM tk JOIN v USING (token) GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+  COALESCE(pd.n_tokens, 0) AS n_tokens,
+  COALESCE(pd.freq_weight, 0) AS freq_weight,
+  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+    THEN {_ROUND4_SQL.format(x="CAST(pd.freq_weight AS DOUBLE) / pd.n_tokens")}
+    ELSE 0.0 END AS mean_token_freq,
+  CASE WHEN COALESCE(pd.freq_weight, 0) > 0
+    THEN {_ROUND4_SQL.format(x="CAST(pd.n_tokens AS DOUBLE) * tot.corpus_total / pd.freq_weight")}
+    ELSE 0.0 END AS rarity_score
+FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id CROSS JOIN tot
+"""

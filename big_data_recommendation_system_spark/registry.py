@@ -183,6 +183,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "bpe_token_stats": text_analysis.bpe_token_stats,
     "vocab_df_stats": text_analysis.vocab_df_stats,
     "rare_token_quality": text_analysis.rare_token_quality,
+    "gopher_repetition_rules": text_analysis.gopher_repetition_rules,
+    "token_rarity_score": text_analysis.token_rarity_score,
     "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
     "price_quantity_corr": profiling.price_quantity_corr,
@@ -217,8 +219,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "chunk_documents": packing.chunk_documents,
     "span_dedup_stats": packing.span_dedup_stats,
     "filter_funnel_report": packing.filter_funnel_report,
+    "doc_length_histogram": packing.doc_length_histogram,
     "balanced_sample": packing.balanced_sample,
     "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
+    "lsh_band_tuning_report": text_dedup.lsh_band_tuning_report,
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "incremental_near_dup": text_dedup.incremental_near_dup,
     "near_dup_clusters": text_dedup.near_dup_clusters,
@@ -286,6 +290,10 @@ _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
     "user_tenure_salted_join",
     "als_input_matrix",
+    "gopher_repetition_rules",
+    "token_rarity_score",
+    "doc_length_histogram",
+    "lsh_band_tuning_report",
     # code changed this round — re-verify before anything else:
     "srp_lsh_pairs",
     "srp_incremental_pairs",
@@ -334,13 +342,15 @@ _PRIORITY_ORDER = [
     "dup_graph_pagerank",
     "dup_graph_degrees",
     "dedup_retention_plan",
+    # ---- driver window ends here (50) ------------------------------------
+    # r8 rotation queue: the r4/r5-greens displaced by this round's four
+    # new training-data registrations lead, then the remaining
+    # r4/r5-greens (stalest first), then the r6-green block
+    # (driver-verified last round, lowest priority):
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
     "lsh_recall_report",
     "shingle_containment_pairs",
-    # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: remaining r4/r5-greens (stalest first), then the
-    # r6-green block (driver-verified last round, lowest priority):
     "kmeans_step",
     "embedding_covariance",
     "cluster_label_purity",
@@ -531,6 +541,8 @@ ORACLES: dict[str, str] = {
     "bpe_token_stats": text_analysis.BPE_TOKEN_STATS_SQL,
     "vocab_df_stats": text_analysis.VOCAB_DF_STATS_SQL,
     "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
+    "gopher_repetition_rules": text_analysis.GOPHER_REPETITION_RULES_SQL,
+    "token_rarity_score": text_analysis.TOKEN_RARITY_SCORE_SQL,
     "tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "price_quantity_corr": profiling.PRICE_QUANTITY_CORR_SQL,
@@ -568,8 +580,10 @@ ORACLES: dict[str, str] = {
     "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
     "span_dedup_stats": packing.SPAN_DEDUP_STATS_SQL,
     "filter_funnel_report": packing.FILTER_FUNNEL_SQL,
+    "doc_length_histogram": packing.DOC_LENGTH_HISTOGRAM_SQL,
     "balanced_sample": packing.BALANCED_SAMPLE_SQL,
     "ngram_jaccard_pairs": text_dedup.NGRAM_JACCARD_PAIRS_SQL,
+    "lsh_band_tuning_report": text_dedup.LSH_BAND_TUNING_REPORT_SQL,
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "incremental_near_dup": text_dedup.INCREMENTAL_NEAR_DUP_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,
