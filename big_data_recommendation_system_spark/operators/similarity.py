@@ -1426,3 +1426,191 @@ LEFT JOIN na USING (query_id)
 LEFT JOIN nr USING (query_id)
 ORDER BY q.query_id
 """
+
+
+# --- IVF probe sweep --------------------------------------------------------
+
+# nprobe settings to measure: 1 = single-cell (the ann_ivf_topk setting),
+# up to IVF_CENTROIDS = exhaustive (recall 1.0 by construction, the sanity
+# anchor row).
+IVF_PROBE_SET = [1, 2, 4, IVF_CENTROIDS]
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost curve for the IVF index on THIS corpus: for each
+    nprobe (number of closest cells a query searches), the measured
+    candidate volume and recall@k against the exact top-k — the
+    measure-then-choose companion to ``lsh_band_tuning_report`` for the
+    embedding side (pick nprobe from the knee of this curve before a
+    100 TB run).
+
+    The trick that keeps this ONE pass: candidates are ranked by the
+    same cosine in every sweep setting, so the probed top-k is exactly
+    the exact-top-k members whose cell rank <= nprobe — recall needs no
+    per-config window, just a conditional count over (cell_rank,
+    exact_rank). Scale shape: one query x corpus scored-pair frame
+    (bounded by N_QUERIES), one global-per-query window over it, one
+    conditional aggregation; centroid/assignment frames are broadcast.
+
+    Columns: nprobe, n_candidates, mean_candidates, hits,
+    mean_recall_at_k (denominator N_QUERIES*TOP_K)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = _dims(emb, "vid").cache()
+    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
+    # per-query cell ranking (full ranking, not just the argmax cell)
+    cd = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
+    )
+    cn = nrm.filter(F.col("vid") < IVF_CENTROIDS).select(
+        F.col("vid").alias("centroid_id"), F.col("nrm").alias("cnorm")
+    )
+    qd = dims.filter(F.col("vid") < N_QUERIES)
+    qsims = (
+        qd.join(F.broadcast(cd), "pos")
+        .groupBy("vid", "centroid_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
+        .join(F.broadcast(cn), "centroid_id")
+        .join(F.broadcast(nrm.filter(F.col("vid") < N_QUERIES)), "vid")
+        .withColumn("cos_c", F.col("dot") / (F.col("nrm") * F.col("cnorm")))
+    )
+    wq = Window.partitionBy("vid").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    crank = qsims.select(
+        F.col("vid").alias("query_id"),
+        "centroid_id",
+        F.row_number().over(wq).alias("cell_rank"),
+    )
+    assign = _ivf_assignments(emb, dims, nrm)
+    # query x corpus exact cosines (bounded by N_QUERIES)
+    qdd = qd.select(F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx"))
+    ndd = dims.select(F.col("vid").alias("neighbor_id"), "pos", "x")
+    dots = (
+        F.broadcast(qdd)
+        .join(ndd, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("x")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                nrm.filter(F.col("vid") < N_QUERIES)
+                .withColumnRenamed("vid", "query_id")
+                .withColumnRenamed("nrm", "qnorm")
+            ),
+            "query_id",
+        )
+        .join(
+            nrm.withColumnRenamed("vid", "neighbor_id").withColumnRenamed(
+                "nrm", "nnorm"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("nnorm")))
+        .join(
+            F.broadcast(
+                assign.withColumnRenamed("vec_id", "neighbor_id")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(crank), ["query_id", "centroid_id"])
+    )
+    w_all = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    scored = scored.withColumn("exact_rank", F.row_number().over(w_all))
+    sweep = scored.select(
+        "query_id",
+        "cell_rank",
+        "exact_rank",
+        F.explode(F.array(*[F.lit(p) for p in IVF_PROBE_SET])).alias("nprobe"),
+    ).filter(F.col("cell_rank") <= F.col("nprobe"))
+    denom_q = float(N_QUERIES)
+    denom_r = float(N_QUERIES * TOP_K)
+    return (
+        sweep.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum((F.col("exact_rank") <= TOP_K).cast("int"))
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_candidates",
+            (F.floor(F.col("n_candidates") / F.lit(denom_q) * 100 + F.lit(0.5)) / 100).alias(
+                "mean_candidates"
+            ),
+            "hits",
+            (F.floor(F.col("hits") / F.lit(denom_r) * 10000 + F.lit(0.5)) / 10000).alias(
+                "mean_recall_at_k"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+IVF_PROBE_SWEEP_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS centroid_id,
+         CAST(SUM(CAST(v.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims v JOIN dims c ON v.pos = c.pos
+  WHERE c.vec_id < {IVF_CENTROIDS}
+  GROUP BY v.vec_id, c.vec_id
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cd.vec_id, cd.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY cd.vec_id
+        ORDER BY cd.dot / (vn.nrm * cn.nrm) DESC, cd.centroid_id ASC
+      ) AS r
+    FROM cdots cd
+    JOIN norms vn ON vn.vec_id = cd.vec_id
+    JOIN norms cn ON cn.vec_id = cd.centroid_id
+  ) WHERE r = 1
+), crank AS (
+  SELECT cd.vec_id AS query_id, cd.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY cd.vec_id
+      ORDER BY cd.dot / (vn.nrm * cn.nrm) DESC, cd.centroid_id ASC
+    ) AS cell_rank
+  FROM cdots cd
+  JOIN norms vn ON vn.vec_id = cd.vec_id
+  JOIN norms cn ON cn.vec_id = cd.centroid_id
+  WHERE cd.vec_id < {N_QUERIES}
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM dims q JOIN dims c ON q.pos = c.pos
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+    ck.cell_rank,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.query_id
+      ORDER BY d.dot / (qn.nrm * nn.nrm) DESC, d.neighbor_id ASC
+    ) AS exact_rank
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+  JOIN assign a ON a.vec_id = d.neighbor_id
+  JOIN crank ck ON ck.query_id = d.query_id AND ck.centroid_id = a.centroid_id
+), sweep AS (
+  SELECT s.query_id, s.cell_rank, s.exact_rank, p.nprobe
+  FROM scored s CROSS JOIN (VALUES {", ".join(f"({p})" for p in IVF_PROBE_SET)}) p(nprobe)
+  WHERE s.cell_rank <= p.nprobe
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  floor(COUNT(*) / {float(N_QUERIES)} * 100 + 0.5) / 100 AS mean_candidates,
+  CAST(SUM(CASE WHEN exact_rank <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+  floor(SUM(CASE WHEN exact_rank <= {TOP_K} THEN 1 ELSE 0 END) / {float(N_QUERIES * TOP_K)} * 10000 + 0.5) / 10000
+    AS mean_recall_at_k
+FROM sweep GROUP BY nprobe ORDER BY nprobe
+"""

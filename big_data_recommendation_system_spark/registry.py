@@ -232,6 +232,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "cosine_topk_fast": similarity.cosine_topk_fast_query,
     "cosine_topk_agreement": similarity.cosine_topk_agreement,
     "ann_ivf_topk": similarity.ann_ivf_topk,
+    "ivf_probe_sweep": similarity.ivf_probe_sweep,
     "pq_codes": similarity.pq_codes,
     "pq_topk_agreement": similarity.pq_topk_agreement,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
@@ -294,6 +295,7 @@ _PRIORITY_ORDER = [
     "token_rarity_score",
     "doc_length_histogram",
     "lsh_band_tuning_report",
+    "ivf_probe_sweep",
     # code changed this round — re-verify before anything else:
     "srp_lsh_pairs",
     "srp_incremental_pairs",
@@ -341,12 +343,12 @@ _PRIORITY_ORDER = [
     "user_tier_scd2",
     "dup_graph_pagerank",
     "dup_graph_degrees",
-    "dedup_retention_plan",
     # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: the r4/r5-greens displaced by this round's four
+    # r8 rotation queue: the r4/r5-greens displaced by this round's five
     # new training-data registrations lead, then the remaining
     # r4/r5-greens (stalest first), then the r6-green block
     # (driver-verified last round, lowest priority):
+    "dedup_retention_plan",
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
     "lsh_recall_report",
@@ -592,6 +594,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "cosine_topk_agreement": similarity.COSINE_TOPK_AGREEMENT_SQL,
     "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
+    "ivf_probe_sweep": similarity.IVF_PROBE_SWEEP_SQL,
     "pq_codes": similarity.PQ_CODES_SQL,
     "pq_topk_agreement": similarity.PQ_TOPK_AGREEMENT_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
