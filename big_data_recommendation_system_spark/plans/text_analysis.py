@@ -1204,3 +1204,105 @@ SELECT t.doc_id, t.source,
     ELSE 0.0 END AS rarity_score
 FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id CROSS JOIN tot
 """
+
+
+# --- corpus report card -----------------------------------------------------
+
+
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard — the one query an operator
+    reads before deciding mixture weights: volume (docs/tokens), mean
+    heuristic quality, Gopher-repetition pass rate, mean unigram rarity,
+    and the exact-duplicate rate (excess md5 copies within the source).
+    Composes the REGISTERED per-doc signals (text_stats,
+    gopher_repetition_rules, token_rarity_score) so this rollup can
+    never drift from their hash-verified semantics.
+
+    Determinism: double-valued signals are cast to DECIMAL(38,6) before
+    the cross-row SUM (order-independent), with ONE double division at
+    the end; counts stay BIGINT.
+
+    Scale shape: three narrow doc_id-keyed frames joined once against
+    the md5 base (same shape as the assembly funnel), one hash agg to
+    |sources| rows. Each signal is itself linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    ts = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    gr = gopher_repetition_rules(spark, sf_dir).select(
+        "doc_id", "passes_repetition_rules"
+    )
+    rs = token_rarity_score(spark, sf_dir).select("doc_id", "rarity_score")
+    j = h.join(ts, "doc_id").join(gr, "doc_id").join(rs, "doc_id")
+    n = F.count(F.lit(1))
+    dec = "decimal(38,6)"
+    return (
+        j.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.floor(
+                F.sum("n_tokens").cast("double") / n * 100 + F.lit(0.5)
+            ).alias("_mt"),
+            F.floor(
+                F.sum(F.col("quality_score").cast(dec)).cast("double") / n * 100
+                + F.lit(0.5)
+            ).alias("_mq"),
+            F.floor(
+                F.sum(F.col("passes_repetition_rules").cast("int")).cast("double")
+                / n
+                * 10000
+                + F.lit(0.5)
+            ).alias("_pr"),
+            F.floor(
+                F.sum(F.col("rarity_score").cast(dec)).cast("double") / n * 10000
+                + F.lit(0.5)
+            ).alias("_mr"),
+            (n - F.countDistinct("h")).cast("long").alias("n_exact_dup_copies"),
+            F.floor(
+                (n - F.countDistinct("h")) / n.cast("double") * 10000 + F.lit(0.5)
+            ).alias("_dr"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("_mt") / 100).alias("mean_tokens"),
+            (F.col("_mq") / 100).alias("mean_quality"),
+            (F.col("_pr") / 10000).alias("pass_repetition_rate"),
+            (F.col("_mr") / 10000).alias("mean_rarity"),
+            "n_exact_dup_copies",
+            (F.col("_dr") / 10000).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _report_card_sql() -> str:
+    return f"""WITH ts AS (SELECT * FROM ({TEXT_STATS_SQL})),
+gr AS (SELECT * FROM ({GOPHER_REPETITION_RULES_SQL})),
+rs AS (SELECT * FROM ({TOKEN_RARITY_SCORE_SQL})),
+h AS (SELECT doc_id, source, md5(text) AS h FROM documents)
+SELECT h.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ts.n_tokens) AS BIGINT) AS total_tokens,
+  floor(CAST(SUM(ts.n_tokens) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100
+    AS mean_tokens,
+  floor(CAST(SUM(CAST(ts.quality_score AS DECIMAL(38,6))) AS DOUBLE)
+    / COUNT(*) * 100 + 0.5) / 100 AS mean_quality,
+  floor(CAST(SUM(CASE WHEN gr.passes_repetition_rules THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) * 10000 + 0.5) / 10000 AS pass_repetition_rate,
+  floor(CAST(SUM(CAST(rs.rarity_score AS DECIMAL(38,6))) AS DOUBLE)
+    / COUNT(*) * 10000 + 0.5) / 10000 AS mean_rarity,
+  CAST(COUNT(*) - COUNT(DISTINCT h.h) AS BIGINT) AS n_exact_dup_copies,
+  floor((COUNT(*) - COUNT(DISTINCT h.h)) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5)
+    / 10000 AS exact_dup_rate
+FROM h
+JOIN ts ON ts.doc_id = h.doc_id
+JOIN gr ON gr.doc_id = h.doc_id
+JOIN rs ON rs.doc_id = h.doc_id
+GROUP BY h.source
+ORDER BY h.source
+"""
+
+
+CORPUS_REPORT_CARD_SQL = _report_card_sql()

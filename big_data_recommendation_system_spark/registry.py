@@ -185,6 +185,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "rare_token_quality": text_analysis.rare_token_quality,
     "gopher_repetition_rules": text_analysis.gopher_repetition_rules,
     "token_rarity_score": text_analysis.token_rarity_score,
+    "corpus_report_card": text_analysis.corpus_report_card,
     "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
     "price_quantity_corr": profiling.price_quantity_corr,
@@ -296,6 +297,7 @@ _PRIORITY_ORDER = [
     "doc_length_histogram",
     "lsh_band_tuning_report",
     "ivf_probe_sweep",
+    "corpus_report_card",
     # code changed this round — re-verify before anything else:
     "srp_lsh_pairs",
     "srp_incremental_pairs",
@@ -342,12 +344,12 @@ _PRIORITY_ORDER = [
     # backfill to 50 with the stalest r4/r5-greens:
     "user_tier_scd2",
     "dup_graph_pagerank",
-    "dup_graph_degrees",
     # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: the r4/r5-greens displaced by this round's five
+    # r8 rotation queue: the r4/r5-greens displaced by this round's six
     # new training-data registrations lead, then the remaining
     # r4/r5-greens (stalest first), then the r6-green block
     # (driver-verified last round, lowest priority):
+    "dup_graph_degrees",
     "dedup_retention_plan",
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
@@ -545,6 +547,7 @@ ORACLES: dict[str, str] = {
     "rare_token_quality": text_analysis.RARE_TOKEN_QUALITY_SQL,
     "gopher_repetition_rules": text_analysis.GOPHER_REPETITION_RULES_SQL,
     "token_rarity_score": text_analysis.TOKEN_RARITY_SCORE_SQL,
+    "corpus_report_card": text_analysis.CORPUS_REPORT_CARD_SQL,
     "tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "price_quantity_corr": profiling.PRICE_QUANTITY_CORR_SQL,
