@@ -1043,10 +1043,15 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_tok = F.coalesce("dup_tok", F.lit(0))
     dup3 = F.coalesce("dup3_chars", F.lit(0))
     nz = F.col("n_tokens") > 0
+    nzc = F.col("n_chars_doc") > 0  # empty text would divide by zero
     top_uni = F.when(nz, _round4(top1_c.cast("double") / F.col("n_tokens"))).otherwise(0.0)
     dup_uni = F.when(nz, _round4(dup_tok.cast("double") / F.col("n_tokens"))).otherwise(0.0)
-    top_2g = _round4(top2_chars.cast("double") / F.col("n_chars_doc"))
-    dup_3g = _round4(dup3.cast("double") / F.col("n_chars_doc"))
+    top_2g = F.when(
+        nzc, _round4(top2_chars.cast("double") / F.col("n_chars_doc"))
+    ).otherwise(0.0)
+    dup_3g = F.when(
+        nzc, _round4(dup3.cast("double") / F.col("n_chars_doc"))
+    ).otherwise(0.0)
     return j.select(
         "doc_id",
         "source",
@@ -1101,10 +1106,12 @@ GOPHER_REPETITION_RULES_SQL = f"""{_ngram_counts_cte()}
     CASE WHEN len(tok) > 0
       THEN {_ROUND4_SQL.format(x="CAST(COALESCE(p1.dup_tok, 0) AS DOUBLE) / len(tok)")}
       ELSE 0.0 END AS dup_unigram_frac,
-    {_ROUND4_SQL.format(x="CAST(COALESCE(p2.top2_chars, 0) AS DOUBLE) / length(t.text)")}
-      AS top_2gram_char_frac,
-    {_ROUND4_SQL.format(x="CAST(COALESCE(p3.dup3_chars, 0) AS DOUBLE) / length(t.text)")}
-      AS dup_3gram_char_frac
+    CASE WHEN length(t.text) > 0
+      THEN {_ROUND4_SQL.format(x="CAST(COALESCE(p2.top2_chars, 0) AS DOUBLE) / length(t.text)")}
+      ELSE 0.0 END AS top_2gram_char_frac,
+    CASE WHEN length(t.text) > 0
+      THEN {_ROUND4_SQL.format(x="CAST(COALESCE(p3.dup3_chars, 0) AS DOUBLE) / length(t.text)")}
+      ELSE 0.0 END AS dup_3gram_char_frac
   FROM t
   LEFT JOIN p1 ON p1.doc_id = t.doc_id
   LEFT JOIN p2 ON p2.doc_id = t.doc_id

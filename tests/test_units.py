@@ -1586,3 +1586,98 @@ def test_run_pipeline_cli_skew_report(spark, tmp_path):
     want = {key(r): tuple(r) for r in inline.collect()}
     assert got == want and got, (got, want)
     assert {r.key_col for r in written.collect()} == {"user_id", "product_id"}
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a tiny documents table so table-loading queries can be
+    pointed at a synthetic corpus (schema matches the driver testdata)."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_gopher_repetition_tie_break_and_edges(spark, tmp_path):
+    """Pin the defined semantics: argmax ties break to the alphabetically
+    first gram; empty docs emit all-zero fractions and pass; overlapping
+    grams may push char fractions past 1 (count x len is the defined
+    numerator)."""
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        gopher_repetition_rules,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            # all 2-grams count 1 -> top = 'yy xx' (alphabetical), len 5,
+            # text len 8 -> 0.625
+            (1, "zz yy xx", "en", "s1", 8),
+            (2, "", "en", "s1", 0),  # empty doc
+            (3, "aa aa aa", "en", "s1", 8),  # pure repetition
+        ],
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_rules(spark, sf).collect()}
+    assert rows[1].top_2gram_char_frac == 0.625
+    assert rows[1].top_unigram_frac == round(1 / 3, 4)
+    assert rows[2].n_tokens == 0
+    assert rows[2].top_unigram_frac == 0.0
+    assert rows[2].passes_repetition_rules
+    assert rows[3].top_unigram_frac == 1.0
+    assert rows[3].dup_unigram_frac == 1.0
+    # overlapping "aa aa" occurs twice, len 5 -> 10/8 = 1.25 (defined > 1)
+    assert rows[3].top_2gram_char_frac == 1.25
+    assert not rows[3].passes_repetition_rules
+
+
+def test_token_rarity_semantics(spark, tmp_path):
+    """rarity = n * C / freq_weight: a doc of corpus-unique tokens scores
+    high, a doc of the dominant token scores low; empty docs emit 0."""
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        token_rarity_score,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "common common common common", "en", "s", 27),
+            (2, "common common rare", "en", "s", 18),
+            (3, "", "en", "s", 0),
+        ],
+    )
+    rows = {r.doc_id: r for r in token_rarity_score(spark, sf).collect()}
+    # corpus: common x6, rare x1, C = 7
+    assert rows[1].freq_weight == 24 and rows[1].n_tokens == 4
+    assert rows[1].rarity_score == round(4 * 7 / 24, 4)
+    assert rows[2].freq_weight == 13
+    assert rows[2].rarity_score == round(3 * 7 / 13, 4)
+    assert rows[3].n_tokens == 0 and rows[3].rarity_score == 0.0
+    assert rows[2].rarity_score > rows[1].rarity_score
+
+
+def test_doc_length_histogram_right_closed_edges(spark, tmp_path):
+    """Bucket membership is right-closed: n_tokens == 16 lands in the
+    first bucket, 17 in the second; cumulative share ends at 100."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        doc_length_histogram,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(["w"] * 16), "en", "s", 0),
+            (2, " ".join(["w"] * 17), "en", "s", 0),
+            (3, " ".join(["w"] * 200), "en", "s", 0),
+        ],
+    )
+    rows = {r.bucket: r for r in doc_length_histogram(spark, sf).collect()}
+    assert rows["1_16"].n_docs == 1 and rows["1_16"].total_tokens == 16
+    assert rows["17_32"].n_docs == 1 and rows["17_32"].total_tokens == 17
+    assert rows["gt_128"].n_docs == 1 and rows["gt_128"].total_tokens == 200
+    ordered = sorted(rows.values(), key=lambda r: r.bucket_id)
+    assert ordered[-1].cum_pct_tokens == 100.0
