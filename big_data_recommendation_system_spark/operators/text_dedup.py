@@ -275,6 +275,7 @@ SUBSTRATE_CONSUMERS = frozenset(
         "dup_detector_overlap",
         "dedup_token_savings",
         "lsh_band_tuning_report",
+        "cluster_size_histogram",
         # plans/assembly.py's composed funnel reads dup_clusters for its
         # near-dup stage — same shared substrate, same grouping rule
         "corpus_assembly_funnel",
@@ -1454,3 +1455,45 @@ FROM buckets GROUP BY 1, 2 ORDER BY n_bands DESC
 
 
 LSH_BAND_TUNING_REPORT_SQL = _lsh_tuning_sql()
+
+
+# --- cluster-size histogram -------------------------------------------------
+
+
+def cluster_histogram_from(clusters: DataFrame) -> DataFrame:
+    """Frame-level histogram over a (cluster_id, cluster_size) labeling —
+    shared by the registered query and cli/run_dedup.py's report so the
+    two cannot drift."""
+    return (
+        clusters.select("cluster_id", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes (size 1 = unique docs):
+    clusters and docs per size — the shape report that tells an operator
+    whether duplication is a long tail of pairs or a few megaclusters
+    (which changes the retention strategy). Reads the session-persisted
+    cluster substrate; the rollup is one tiny hash agg."""
+    return cluster_histogram_from(dup_clusters(spark, sf_dir))
+
+
+CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM (
+  SELECT DISTINCT cluster_id, cluster_size FROM ({NEAR_DUP_CLUSTERS_SQL})
+)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""

@@ -939,3 +939,80 @@ SELECT bucket_id, bucket, n_docs, total_tokens,
 FROM agg CROSS JOIN tot
 ORDER BY bucket_id
 """
+
+
+# --- quality-weighted mixture -----------------------------------------------
+
+# Token budget the quality-weighted mixture allocates across sources.
+QW_BUDGET = 100_000
+
+
+def mixture_weights_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the measure→decide loop for mixtures: derive per-source
+    sampling weights FROM the corpus report card and turn them into a
+    token allocation. weight_raw = max(mean_quality, 0) x
+    pass_repetition_rate x (1 - exact_dup_rate); share = weight_raw /
+    total; alloc_tokens = floor(QW_BUDGET x share). oversubscribed flags
+    sources whose allocation exceeds the tokens they actually have
+    (epoch_repeat_plan handles those downstream).
+
+    Determinism: weight_raw multiplies three already-rounded doubles
+    (IEEE-identical across engines); the cross-source total goes through
+    DECIMAL(38,12) so summation order cannot perturb it; ONE double
+    division + floor at the end.
+
+    Scale shape: everything downstream of the report card operates on
+    |sources| rows — the report card itself is the linear pass."""
+    from .text_analysis import corpus_report_card
+
+    rc = corpus_report_card(spark, sf_dir)
+    w = (
+        F.greatest(F.col("mean_quality"), F.lit(0.0))
+        * F.col("pass_repetition_rate")
+        * (F.lit(1.0) - F.col("exact_dup_rate"))
+    )
+    dec = "decimal(38,12)"
+    wd = rc.select(
+        "source", "total_tokens", w.cast(dec).alias("w")
+    )
+    tot = wd.agg(F.sum("w").alias("wtot"))
+    share = F.col("w").cast("double") / F.col("wtot").cast("double")
+    return (
+        wd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "total_tokens",
+            (F.floor(share * 10000 + F.lit(0.5)) / 10000).alias("quality_weight"),
+            F.floor(share * QW_BUDGET).cast("long").alias("alloc_tokens"),
+            (F.floor(share * QW_BUDGET) > F.col("total_tokens")).alias(
+                "oversubscribed"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_weights_sql() -> str:
+    from .text_analysis import CORPUS_REPORT_CARD_SQL
+
+    return f"""WITH rc AS (SELECT * FROM ({CORPUS_REPORT_CARD_SQL})),
+wd AS (
+  SELECT source, total_tokens,
+    CAST(GREATEST(mean_quality, 0.0) * pass_repetition_rate
+         * (1.0 - exact_dup_rate) AS DECIMAL(38,12)) AS w
+  FROM rc
+),
+tot AS (SELECT SUM(w) AS wtot FROM wd)
+SELECT source, total_tokens,
+  floor(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) * 10000 + 0.5) / 10000
+    AS quality_weight,
+  CAST(floor(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) * {QW_BUDGET}) AS BIGINT)
+    AS alloc_tokens,
+  floor(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) * {QW_BUDGET}) > total_tokens
+    AS oversubscribed
+FROM wd CROSS JOIN tot
+ORDER BY source
+"""
+
+
+MIXTURE_WEIGHTS_BY_QUALITY_SQL = _mixture_weights_sql()

@@ -213,6 +213,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "pii_scrub": pii.pii_scrub,
     "mixture_sample": packing.mixture_sample,
     "mixture_plan": packing.mixture_plan,
+    "mixture_weights_by_quality": packing.mixture_weights_by_quality,
     "source_vocab_divergence": text_analysis.source_vocab_divergence,
     "epoch_repeat_plan": packing.epoch_repeat_plan,
     "sequence_packing": packing.sequence_packing,
@@ -227,6 +228,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": text_dedup.minhash_lsh_pairs,
     "incremental_near_dup": text_dedup.incremental_near_dup,
     "near_dup_clusters": text_dedup.near_dup_clusters,
+    "cluster_size_histogram": text_dedup.cluster_size_histogram,
     "simhash_fingerprints": text_dedup.simhash_fingerprints,
     "simhash_near_dup_pairs": text_dedup.simhash_near_dup_pairs,
     "ann_cosine_topk": similarity.ann_cosine_topk,
@@ -298,6 +300,8 @@ _PRIORITY_ORDER = [
     "lsh_band_tuning_report",
     "ivf_probe_sweep",
     "corpus_report_card",
+    "cluster_size_histogram",
+    "mixture_weights_by_quality",
     # code changed this round — re-verify before anything else:
     "srp_lsh_pairs",
     "srp_incremental_pairs",
@@ -342,13 +346,13 @@ _PRIORITY_ORDER = [
     "filter_funnel_report",
     "media_features",
     # backfill to 50 with the stalest r4/r5-greens:
-    "user_tier_scd2",
-    "dup_graph_pagerank",
     # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: the r4/r5-greens displaced by this round's six
+    # r8 rotation queue: the r4/r5-greens displaced by this round's eight
     # new training-data registrations lead, then the remaining
     # r4/r5-greens (stalest first), then the r6-green block
     # (driver-verified last round, lowest priority):
+    "user_tier_scd2",
+    "dup_graph_pagerank",
     "dup_graph_degrees",
     "dedup_retention_plan",
     "dedup_rate_by_source",
@@ -578,6 +582,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": pii.PII_SCRUB_SQL,
     "mixture_sample": packing.MIXTURE_SAMPLE_SQL,
     "mixture_plan": packing.MIXTURE_PLAN_SQL,
+    "mixture_weights_by_quality": packing.MIXTURE_WEIGHTS_BY_QUALITY_SQL,
     "source_vocab_divergence": text_analysis.SOURCE_VOCAB_DIVERGENCE_SQL,
     "epoch_repeat_plan": packing.EPOCH_REPEAT_PLAN_SQL,
     "sequence_packing": packing.SEQUENCE_PACKING_SQL,
@@ -592,6 +597,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": text_dedup.MINHASH_LSH_PAIRS_SQL,
     "incremental_near_dup": text_dedup.INCREMENTAL_NEAR_DUP_SQL,
     "near_dup_clusters": text_dedup.NEAR_DUP_CLUSTERS_SQL,
+    "cluster_size_histogram": text_dedup.CLUSTER_SIZE_HISTOGRAM_SQL,
     "simhash_fingerprints": text_dedup.SIMHASH_SQL,
     "simhash_near_dup_pairs": text_dedup.SIMHASH_NEAR_DUP_SQL,
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,

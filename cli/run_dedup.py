@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from big_data_recommendation_system_spark.functions.text import tokens
 from big_data_recommendation_system_spark.operators.text_dedup import (
+    cluster_histogram_from,
     dup_clusters,
     dup_pairs,
     rate_by_source_from,
@@ -92,13 +93,7 @@ def run_report(args: argparse.Namespace) -> None:
                 "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
             ),
         ),
-        "cluster_size_histogram": (
-            clusters.select("cluster_id", "cluster_size")
-            .distinct()
-            .groupBy("cluster_size")
-            .agg(F.count(F.lit(1)).alias("n_clusters"))
-            .orderBy("cluster_size")
-        ),
+        "cluster_size_histogram": cluster_histogram_from(clusters),
     }
     for name, df in reports.items():
         out = os.path.join(args.out_dir, "reports", name)
