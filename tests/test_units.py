@@ -1681,3 +1681,36 @@ def test_doc_length_histogram_right_closed_edges(spark, tmp_path):
     assert rows["gt_128"].n_docs == 1 and rows["gt_128"].total_tokens == 200
     ordered = sorted(rows.values(), key=lambda r: r.bucket_id)
     assert ordered[-1].cum_pct_tokens == 100.0
+
+
+def test_ivf_probe_sweep_invariants(spark, sf_dir):
+    """Recall and candidate volume are non-decreasing in nprobe, and the
+    exhaustive setting (nprobe = IVF_CENTROIDS) recalls everything."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        ivf_probe_sweep,
+    )
+
+    rows = sorted(ivf_probe_sweep(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows][-1] == IVF_CENTROIDS
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.mean_recall_at_k >= a.mean_recall_at_k
+    assert rows[-1].mean_recall_at_k == 1.0
+
+
+def test_mixture_weights_by_quality_invariants(spark, sf_dir):
+    """Weights form a distribution; allocations never exceed the budget
+    and the oversubscription flag matches the allocation arithmetic."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        QW_BUDGET,
+        mixture_weights_by_quality,
+    )
+
+    rows = mixture_weights_by_quality(spark, sf_dir).collect()
+    assert rows, "report must be non-empty"
+    assert abs(sum(r.quality_weight for r in rows) - 1.0) < 1e-2
+    assert sum(r.alloc_tokens for r in rows) <= QW_BUDGET
+    for r in rows:
+        assert 0.0 <= r.quality_weight <= 1.0
+        assert r.oversubscribed == (r.alloc_tokens > r.total_tokens)
