@@ -322,3 +322,71 @@ SELECT l_returnflag, n_items,
 FROM m
 ORDER BY l_returnflag
 """
+
+
+# --- approx percentiles (the 100 TB path) -----------------------------------
+
+APPROX_PCT_ACCURACY = 10000  # rank error <= n / accuracy
+
+
+def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile_approx flip for ``value_percentiles_by_type`` — the
+    sketch every 100 TB run would use (bounded memory per group, no
+    per-group sort buffer). Registered WITHOUT an oracle: the sketch's
+    chosen representative differs across engines, so no hash is
+    possible; instead every row carries its own RANK certificate (the
+    approx_distinct_daily pattern): for each quantile q, the fraction of
+    group values strictly below the returned value must not exceed
+    q + 1%, and the fraction at-or-below must reach q - 1% —
+    rank-correctness verified against the data itself, engine-free.
+    The pytest suite additionally pins every certificate true and the
+    medians against the exact form.
+
+    Scale shape: one sketch aggregation (map-side combinable), then the
+    tiny |types| x quantile frame broadcasts back for ONE certificate
+    counting pass — two linear scans total, no sort."""
+    q = [0.25, 0.5, 0.9]
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ap = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.percentile_approx(
+                "value", q, APPROX_PCT_ACCURACY
+            ).alias("aq"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            *[F.col("aq").getItem(i).alias(f"p{int(qq * 100)}_approx") for i, qq in enumerate(q)],
+        )
+    )
+    j = events.join(F.broadcast(ap), "event_type")
+    certs = j.groupBy("event_type").agg(
+        *[
+            F.sum((F.col("value") < F.col(f"p{int(qq * 100)}_approx")).cast("long")).alias(
+                f"lt{int(qq * 100)}"
+            )
+            for qq in q
+        ],
+        *[
+            F.sum((F.col("value") <= F.col(f"p{int(qq * 100)}_approx")).cast("long")).alias(
+                f"le{int(qq * 100)}"
+            )
+            for qq in q
+        ],
+    )
+    out = ap.join(certs, "event_type")
+    tol = 0.01
+    for qq in q:
+        k = int(qq * 100)
+        out = out.withColumn(
+            f"p{k}_rank_ok",
+            (F.col(f"lt{k}") / F.col("n_values") <= qq + tol)
+            & (F.col(f"le{k}") / F.col("n_values") >= qq - tol),
+        )
+    return out.select(
+        "event_type",
+        "n_values",
+        *[c for qq in q for c in (f"p{int(qq * 100)}_approx", f"p{int(qq * 100)}_rank_ok")],
+    ).orderBy("event_type")

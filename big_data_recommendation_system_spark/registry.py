@@ -188,6 +188,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "corpus_report_card": text_analysis.corpus_report_card,
     "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
+    "approx_percentiles_by_type": profiling.approx_percentiles_by_type,
     "price_quantity_corr": profiling.price_quantity_corr,
     "lang_confusion": text_analysis.lang_confusion,
     "sentence_dedup_stats": packing.sentence_dedup_stats,
@@ -469,6 +470,11 @@ _PRIORITY_ORDER = [
     "approx_distinct_daily",  # each row carries the exact count beside the
     # HLL estimate plus a rel_err_within_5pct certificate (HLL sketches
     # differ across engines, so no hash oracle is possible)
+    "approx_percentiles_by_type",  # the percentile_approx scale path:
+    # sketch representatives differ across engines (no hash oracle), so
+    # every row carries per-quantile RANK certificates computed against
+    # the data itself; pytest additionally pins certificates true and
+    # medians against the hash-verified exact value_percentiles_by_type
     "cosine_topk_fast",  # neighbor-set agreement with the decimal-exact
     # path is the hash-verified cosine_topk_agreement (in this round's
     # checked window)

@@ -184,3 +184,23 @@ def test_mllib_minhash_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, (recall, len(got), len(truth))
     # verification guarantees no false positives above threshold
     assert all(p in got for p in (got & truth))
+
+
+def test_approx_percentiles_certified(spark, sf_dir):
+    """Every rank certificate must hold, and the approx medians must sit
+    close to the exact hash-verified percentiles (rank error 1% of the
+    group translates to a small value gap on this distribution)."""
+    from big_data_recommendation_system_spark.plans.profiling import (
+        approx_percentiles_by_type,
+        value_percentiles_by_type,
+    )
+
+    rows = {r.event_type: r for r in approx_percentiles_by_type(spark, sf_dir).collect()}
+    exact = {r.event_type: r for r in value_percentiles_by_type(spark, sf_dir).collect()}
+    assert rows.keys() == exact.keys() and rows
+    for et, r in rows.items():
+        assert r.p25_rank_ok and r.p50_rank_ok and r.p90_rank_ok, r
+        e = exact[et]
+        # value-space sanity: within 5% relative of the exact quantile
+        for a, b in ((r.p25_approx, e.p25), (r.p50_approx, e.p50), (r.p90_approx, e.p90)):
+            assert abs(a - b) <= 0.05 * max(abs(b), 1.0), (et, a, b)
