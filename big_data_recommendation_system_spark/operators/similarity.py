@@ -35,8 +35,13 @@ _DEC = "decimal(38,12)"
 
 
 def _dims(df: DataFrame, id_alias: str) -> DataFrame:
-    """(id, pos, x:double) position-exploded embedding."""
-    return df.select(
+    """(id, pos, x:double) position-exploded embedding. The input is
+    spread first: the 64x explode and every decimal fold chained onto it
+    would otherwise run on the single-row-group scan's one partition
+    (see sources.tables.spread_small_scan)."""
+    from ..sources.tables import spread_small_scan
+
+    return spread_small_scan(df).select(
         F.col("vec_id").alias(id_alias),
         F.posexplode(F.col("embedding")),
     ).select(id_alias, F.col("pos"), F.col("col").cast("double").alias("x"))

@@ -59,19 +59,15 @@ SRP_WEIGHTS: list[list[int]] = [
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Small-input parallelization guard: a small parquet scan arrives as
-    1-2 partitions, which would run every per-row signature/verification
-    fold on a single core while the rest of the executor idles (the real
-    cost behind the r6 srp_lsh_pairs wall-time regression: the broadcast
-    -join output inherits the stream side's single partition, so the
-    464k-candidate cosine prefilter ran serially). Spread to the
-    session's default parallelism when the scan is under it; no-op at
-    production scale where the file layout already provides the
-    parallelism, so no shuffle is added to the 100 TB plan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Small-input parallelization guard — the real cost behind the r6
+    srp_lsh_pairs wall-time regression: the broadcast-join output
+    inherits the stream side's single partition, so the 464k-candidate
+    cosine prefilter ran serially. Now the shared
+    ``sources.tables.spread_small_scan`` (see its docstring for the
+    pushdown trade-off analysis)."""
+    from ..sources.tables import spread_small_scan
+
+    return spread_small_scan(df)
 
 
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,7 +42,7 @@ from ..config import (
     VALUE_SEGMENT_BINS,
     VALUE_SEGMENT_LABELS,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 from .reference_gold import (
     POPULARITY_TIER_LABELS,
     daily_stats,
@@ -81,7 +81,10 @@ _TIER_LABELS_SQL = ", ".join(f"'{t}'" for t in POPULARITY_TIER_LABELS)
 
 
 def synth_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # spread: the regex/format/when-chain synthesis below is the heavy
+    # per-row work, and downstream clean_* filters act on SYNTHESIZED
+    # columns (nothing pushdown-able is lost) — see spread_small_scan
+    e = spread_small_scan(load_table(spark, sf_dir, "events"))
     pk = F.regexp_extract("props", _PROP_K, 1).try_cast("int")
     user = (
         F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("string"))
@@ -249,7 +252,7 @@ FROM ps2
 
 
 def synth_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = spread_small_scan(load_table(spark, sf_dir, "orders"))
     ts = F.col("o_orderdate") + F.make_interval(
         secs=(F.col("o_orderkey") % 86400).cast("int")
     )
@@ -345,7 +348,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, record_id DESC
 
 
 def synth_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     rid = F.col("l_orderkey") * 10 + F.col("l_linenumber")

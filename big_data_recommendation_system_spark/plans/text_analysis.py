@@ -864,6 +864,14 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reports = []
     for step in range(1, BPE_MERGE_STEPS + 1):
+        # cache the evolving vocabulary between steps: inside one step,
+        # `sy` feeds the pair count, the merge-start detection AND the
+        # rewrite, so an uncached chain re-executes each prior step's
+        # full lineage per consumer (~4x per step, compounding). The
+        # cache is pure materialization — values identical, the oracle
+        # unrolls the same algebra — and is the local analogue of the
+        # vocab table a production trainer persists between iterations.
+        vocab = vocab.cache()
         vocab, rep = _bpe_merge_step(vocab, step)
         reports.append(rep)
     out = reports[0]

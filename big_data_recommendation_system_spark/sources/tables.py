@@ -36,6 +36,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Parallelize heavy per-row compute over an under-parallel scan.
+
+    The test corpus ships each table as ONE parquet file with ONE row
+    group, so the scan cannot be file-split (Spark assigns row groups,
+    not byte ranges, to tasks) and every narrow transformation chained
+    onto it runs on a single core. Operators whose per-row work is
+    expensive (64-dim embedding folds, signature hashing, synthetic-feed
+    regex/format) call this AFTER their pushdown-able filters to spread
+    the rows across the session's parallelism.
+
+    Deliberately NOT applied inside ``load_table``: a blanket
+    repartition would sit between later filters and the scan, blocking
+    predicate pushdown — the wrong trade at production scale. The
+    ``getNumPartitions`` guard makes this a no-op on a real multi-file
+    corpus, so no shuffle is added to the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table stores nanosecond parquet timestamps. Spark's
     TimestampType is microseconds, and how the nanos column surfaces is
