@@ -1714,3 +1714,26 @@ def test_mixture_weights_by_quality_invariants(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.quality_weight <= 1.0
         assert r.oversubscribed == (r.alloc_tokens > r.total_tokens)
+
+
+def test_pinned_queries_survive_hostile_session_tz(spark, sf_dir_small):
+    """The driver builds its OWN session with unknown confs; registry
+    queries pin UTC per call (registry._pinned), so a session that was
+    switched to a different timezone must still produce the same rows as
+    the UTC session — for a timestamp-deriving query (silver hour/date
+    columns) and a date-bucketed aggregate."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    baseline = {
+        name: sorted(map(tuple, QUERIES[name](spark, sf_dir_small).collect()))
+        for name in ("silver_events", "daily_stats")
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name, want in baseline.items():
+            got = sorted(map(tuple, QUERIES[name](spark, sf_dir_small).collect()))
+            assert got == want, name
+        # _pinned must have reset the conf as a side effect of the call
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
