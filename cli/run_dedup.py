@@ -59,6 +59,20 @@ def run_build(args: argparse.Namespace) -> None:
         os.path.join(args.out_dir, "retention_plan")
     )
     n_planned = plan.count()
+    if getattr(args, "tuning_report", False):
+        # Parameter-tuning artifact beside the snapshot: the measured
+        # bucket structure / candidate cost per (bands, rows) choice —
+        # the operator reads this before re-running with different LSH
+        # constants (it reuses the signature substrate this build
+        # already materialized, so the marginal cost is one small agg).
+        from big_data_recommendation_system_spark.operators.text_dedup import (
+            lsh_band_tuning_report,
+        )
+
+        lsh_band_tuning_report(spark, args.sf_dir).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out_dir, "lsh_band_tuning"))
+        print(f"band tuning report -> {args.out_dir}/lsh_band_tuning")
     info = {
         "stage": "dedup_build",
         "sf_dir": os.path.abspath(args.sf_dir),
@@ -112,6 +126,11 @@ def main() -> None:
     b = sub.add_parser("build")
     b.add_argument("--sf-dir", required=True)
     b.add_argument("--out-dir", required=True)
+    b.add_argument(
+        "--tuning-report",
+        action="store_true",
+        help="also write the LSH band-parameter tuning report",
+    )
     b.set_defaults(fn=run_build)
     r = sub.add_parser("report")
     r.add_argument("--sf-dir", required=True)

@@ -1238,9 +1238,19 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
     from big_data_recommendation_system_spark.operators import text_dedup
 
     out = str(tmp_path / "dedup_out")
-    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out)
+    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out, tuning_report=True)
     run_dedup.run_build(ns)
     run_dedup.run_report(ns)
+
+    tuning_written = {
+        (r.n_bands, r.rows_per_band): (r.candidate_pairs, r.stop_buckets)
+        for r in spark.read.parquet(os.path.join(out, "lsh_band_tuning")).collect()
+    }
+    tuning_inline = {
+        (r.n_bands, r.rows_per_band): (r.candidate_pairs, r.stop_buckets)
+        for r in text_dedup.lsh_band_tuning_report(spark, sf_dir_small).collect()
+    }
+    assert tuning_written == tuning_inline and tuning_written
 
     pairs = spark.read.parquet(os.path.join(out, "dup_pairs"))
     want_pairs = {
