@@ -802,3 +802,142 @@ def test_streaming_burst_matches_batch(spark, stream_env, sf_dir_small):
     both_nan = zs.isna() & zb.isna()
     close = np.isclose(zs.astype(float), zb.astype(float), rtol=1e-12, atol=0)
     assert (both_nan | close).all()
+
+
+def test_incremental_srp_vector_index_streaming(spark, stream_env, sf_dir_small):
+    """Continuous-ingestion form of srp_incremental_pairs: incoming
+    vectors arrive across micro-batches; each batch's SRP band keys join
+    the STATIC index band table (stop-bucket stats maintained over the
+    full corpus) and candidates go through the same two-phase cosine
+    verification (double prefilter, exact DECIMAL fold). The union over
+    batches must reproduce the batch operator's dup rows exactly — one
+    semantics, two execution models, embedding-space twin of the
+    incremental near-dup streaming test above."""
+    import json
+
+    from big_data_recommendation_system_spark.operators import srp
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    is_batch = F.col("vec_id") % srp.SRP_BATCH_MOD == srp.SRP_BATCH_REM
+    sig = srp._srp_sig(spark, sf_dir_small).cache()
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
+                    for b in range(srp.SRP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    stop = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > srp.SRP_MAX_BUCKET)
+        .select("band", "key")
+    )
+    fband = bands.join(F.broadcast(stop), ["band", "key"], "left_anti").cache()
+    index_bands = fband.filter(~is_batch).cache()
+    index_bands.count()  # materialize the static index state once
+
+    dacc = "decimal(30,12)"
+    fold = (
+        f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {dacc})), "
+        f"CAST(0 AS {dacc}), (acc, v) -> CAST(acc + v AS {dacc})) AS DOUBLE)"
+    )
+    dfold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    emb = load_table(spark, sf_dir_small, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    emb_n = emb.withColumn("nrm", F.sqrt(F.expr(fold.format(a="e", b="e")))).cache()
+    emb_n.count()
+
+    incoming_ids = sorted(
+        r.vec_id
+        for r in load_table(spark, sf_dir_small, "embeddings")
+        .filter(is_batch)
+        .select("vec_id")
+        .collect()
+    )
+    half = len(incoming_ids) // 2
+    src = os.path.join(stream_env["tmp"], "inc_srp_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, ids in [
+        ("b0.json", incoming_ids[:half]),
+        ("b1.json", incoming_ids[half:]),
+    ]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"vec_id": i}) + "\n")
+
+    found: list[tuple[int, int, float]] = []
+
+    def handle(batch_df, _bid):
+        batch_bands = fband.join(F.broadcast(batch_df.select("vec_id")), "vec_id")
+        cand = (
+            batch_bands.alias("x")
+            .join(
+                index_bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_id"),
+                F.col("y.vec_id").alias("match_id"),
+            )
+            .distinct()
+        )
+        ena = emb_n.select("vec_id", F.col("e").alias("qa"), F.col("nrm").alias("na"))
+        enb = emb_n.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("e").alias("qb"),
+            F.col("nrm").alias("nb"),
+        )
+        rows = (
+            F.broadcast(cand)
+            .join(ena, "vec_id")
+            .join(enb, "match_id")
+            .withColumn(
+                "cos_fast",
+                F.expr(dfold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
+            )
+            .filter(F.col("cos_fast") >= srp.SRP_TAU - 1e-9)
+            .withColumn(
+                "cosine",
+                F.expr(fold.format(a="qa", b="qb")) / (F.col("na") * F.col("nb")),
+            )
+            .filter(F.col("cosine") >= srp.SRP_TAU)
+            .select("vec_id", "match_id", "cosine")
+            .collect()
+        )
+        found.extend((r.vec_id, r.match_id, r.cosine) for r in rows)
+
+    q = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    per_vec: dict[int, list[tuple[int, float]]] = {}
+    for vec, match, cos in found:
+        per_vec.setdefault(vec, []).append((match, cos))
+    got = {}
+    for vec, matches in per_vec.items():
+        best = sorted(matches, key=lambda m: (-m[1], m[0]))[0]
+        got[vec] = (len(matches), best[0], best[1])
+
+    want = {
+        r.vec_id: (r.n_matches, r.best_match_id, r.best_cosine)
+        for r in srp.srp_incremental_pairs(spark, sf_dir_small).collect()
+        if r.is_dup
+    }
+    assert got == want
+    assert want, "sf0.001 embeddings must contain cross-boundary matches"
