@@ -1321,3 +1321,82 @@ ORDER BY h.source
 
 
 CORPUS_REPORT_CARD_SQL = _report_card_sql()
+
+
+# --- pairwise source vocabulary overlap -------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary jaccard between sources — the signal for
+    grouping sources before cross-source dedup and for spotting
+    mirrored/scraped-twice feeds, complementing ``source_vocab_divergence``
+    (each-vs-global chi-square) with each-vs-each overlap.
+
+    Scale shape: one (source, token) DISTINCT (hash agg), pair counts via
+    a keyed self-join on token (a token joins at most |sources| rows per
+    side, so no hot-key blowup), and the |sources|^2 completion frame is
+    a broadcast crossJoin of the tiny per-source sizes. Jaccard =
+    shared / (a + b - shared), exact integers with one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shared = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_tokens"))
+    )
+    allp = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("vocab_b")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    j = allp.join(shared, ["source_a", "source_b"], "left").withColumn(
+        "shared_tokens", F.coalesce("shared_tokens", F.lit(0))
+    )
+    union_n = F.col("vocab_a") + F.col("vocab_b") - F.col("shared_tokens")
+    return j.select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        "shared_tokens",
+        _round4(F.col("shared_tokens").cast("double") / union_n).alias("jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""{_DOCS_TOK_CTE}
+, st AS (SELECT DISTINCT source, unnest(tok) AS token FROM t)
+, sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY source)
+, shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS shared_tokens
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  sa.n AS vocab_a, sb.n AS vocab_b,
+  COALESCE(sh.shared_tokens, 0) AS shared_tokens,
+  {_ROUND4_SQL.format(x="CAST(COALESCE(sh.shared_tokens, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(sh.shared_tokens, 0))")}
+    AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN shared sh ON sh.source_a = sa.source AND sh.source_b = sb.source
+ORDER BY source_a, source_b
+"""

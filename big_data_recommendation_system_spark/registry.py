@@ -186,6 +186,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "gopher_repetition_rules": text_analysis.gopher_repetition_rules,
     "token_rarity_score": text_analysis.token_rarity_score,
     "corpus_report_card": text_analysis.corpus_report_card,
+    "source_vocab_overlap": text_analysis.source_vocab_overlap,
     "tfidf_top_terms": text_analysis.tfidf_top_terms,
     "value_outliers_by_type": profiling.value_outliers_by_type,
     "approx_percentiles_by_type": profiling.approx_percentiles_by_type,
@@ -303,6 +304,7 @@ _PRIORITY_ORDER = [
     "corpus_report_card",
     "cluster_size_histogram",
     "mixture_weights_by_quality",
+    "source_vocab_overlap",
     # code changed this round — re-verify before anything else:
     "srp_lsh_pairs",
     "srp_incremental_pairs",
@@ -345,13 +347,12 @@ _PRIORITY_ORDER = [
     "span_dedup_stats",
     "token_budget_sample",
     "filter_funnel_report",
-    "media_features",
-    # backfill to 50 with the stalest r4/r5-greens:
     # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: the r4/r5-greens displaced by this round's eight
-    # new training-data registrations lead, then the remaining
+    # r8 rotation queue: the r3/r4/r5-greens displaced by this round's
+    # eleven new windowed registrations lead, then the remaining
     # r4/r5-greens (stalest first), then the r6-green block
     # (driver-verified last round, lowest priority):
+    "media_features",
     "user_tier_scd2",
     "dup_graph_pagerank",
     "dup_graph_degrees",
@@ -558,6 +559,7 @@ ORACLES: dict[str, str] = {
     "gopher_repetition_rules": text_analysis.GOPHER_REPETITION_RULES_SQL,
     "token_rarity_score": text_analysis.TOKEN_RARITY_SCORE_SQL,
     "corpus_report_card": text_analysis.CORPUS_REPORT_CARD_SQL,
+    "source_vocab_overlap": text_analysis.SOURCE_VOCAB_OVERLAP_SQL,
     "tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
     "value_outliers_by_type": profiling.VALUE_OUTLIERS_SQL,
     "price_quantity_corr": profiling.PRICE_QUANTITY_CORR_SQL,
