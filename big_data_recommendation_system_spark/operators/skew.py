@@ -30,6 +30,7 @@ def salted_agg(
     keys: Sequence[str],
     partial_aggs: Sequence[Column],
     merge_aggs: Sequence[Column],
+    *,
     salt_src: Sequence[str],
     n_salts: int = 16,
 ) -> DataFrame:

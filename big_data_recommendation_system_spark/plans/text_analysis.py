@@ -735,13 +735,12 @@ def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     merge (count DESC, pair ASC), apply it with canonical greedy
     left-to-right non-overlapping semantics, and emit a one-row report.
 
-    PRECONDITION: the vocabulary must still contain at least one adjacent
-    symbol pair (some word with >= 2 symbols). If every word has fully
-    merged, ``top1`` is empty and the crossJoin empties the vocabulary —
-    callers raising ``BPE_MERGE_STEPS`` far beyond 3 on tiny corpora must
-    check ``rep`` non-empty per step before chaining further (unreachable
-    at the shipped step count on any real corpus: exhausting pairs in 3
-    merges requires every distinct word to be <= 2 symbols long).
+    TOTAL: when the vocabulary has no adjacent symbol pair left (every
+    word fully merged), ``top1`` is empty and the LEFT join below passes
+    every symbol through unchanged — the step returns the vocabulary
+    as-is plus a report row with NULL pair and zero merges, so callers
+    may raise ``BPE_MERGE_STEPS`` past the pair supply without the
+    vocabulary emptying (the r7 crossJoin precondition is gone).
 
     The greedy overlap rule (``aaaa`` + merge ``a a`` -> ``aa aa``, never
     ``a aa a``) is expressed declaratively: merge-start positions that are
@@ -776,8 +775,15 @@ def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
             F.col("n_weighted").cast("long").alias("n_weighted"),
         )
     )
-    j = sy.crossJoin(F.broadcast(top1)).withColumn(
-        "is_start", (F.col("sym") == F.col("pa")) & (F.col("nxt") == F.col("pb"))
+    # LEFT join on TRUE (not crossJoin): an empty top1 yields NULL
+    # pa/pb, is_start coalesces FALSE everywhere, and the vocabulary
+    # regroups unchanged — the step is total (see docstring).
+    j = sy.join(F.broadcast(top1), F.lit(True), "left").withColumn(
+        "is_start",
+        F.coalesce(
+            (F.col("sym") == F.col("pa")) & (F.col("nxt") == F.col("pb")),
+            F.lit(False),
+        ),
     )
     starts = (
         j.filter("is_start")

@@ -85,6 +85,20 @@ def run_gold(args: argparse.Namespace) -> None:
     clickstream = spark.read.parquet(
         os.path.join(args.silver_dir, "clickstream_silver")
     ).cache()  # one read feeds all four gold tables (gold_pipeline.py:361-389)
+    # Validate --skew-keys BEFORE the gold loop: a typo'd key must fail
+    # fast with a readable message, not as an AnalysisException after all
+    # four gold tables have already been written.
+    skew_keys: tuple[str, ...] = ()
+    if getattr(args, "skew_report", False):
+        skew_keys = tuple(k for k in args.skew_keys.split(",") if k)
+        missing = [k for k in skew_keys if k not in clickstream.columns]
+        if not skew_keys or missing:
+            msg = (
+                f"--skew-keys: unknown column(s) {missing}"
+                if missing
+                else "--skew-keys: no key columns given"
+            )
+            sys.exit(f"{msg}; available: {', '.join(clickstream.columns)}")
     for name, builder in GOLD_TABLES.items():
         t0 = time.time()
         df = builder(clickstream)
@@ -99,12 +113,11 @@ def run_gold(args: argparse.Namespace) -> None:
             key_skew_frame,
         )
 
-        keys = tuple(k for k in args.skew_keys.split(",") if k)
         skew_path = os.path.join(args.gold_dir, "_skew_report")
-        key_skew_frame(clickstream, keys).write.mode("overwrite").parquet(
+        key_skew_frame(clickstream, skew_keys).write.mode("overwrite").parquet(
             skew_path
         )
-        print(f"skew report ({','.join(keys)}) -> {skew_path}")
+        print(f"skew report ({','.join(skew_keys)}) -> {skew_path}")
     record_run(spark, os.path.join(args.gold_dir, "_pipeline_runs"), {"stage": "gold"})
 
 

@@ -1747,3 +1747,53 @@ def test_pinned_queries_survive_hostile_session_tz(spark, sf_dir_small):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_bpe_merge_step_total_when_pairs_exhausted(spark):
+    """Running _bpe_merge_step past the pair supply must pass the
+    vocabulary through unchanged and emit a zero-merge report row (the
+    r7 crossJoin precondition is replaced by a LEFT join, making the
+    operator total — safe at any BPE_MERGE_STEPS)."""
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        _bpe_merge_step,
+    )
+
+    vocab = spark.createDataFrame(
+        [("ab", 5, ["ab"]), ("c", 3, ["c"])],
+        "word string, freq long, syms array<string>",
+    )
+    out, rep = _bpe_merge_step(vocab, 4)
+    r = rep.collect()[0]
+    assert r.step == 4
+    assert r.pair is None
+    assert r.n_vocab_merges == 0 and r.n_weighted_merges == 0
+    got = {row.word: (row.freq, row.syms) for row in out.collect()}
+    assert got == {"ab": (5, ["ab"]), "c": (3, ["c"])}
+
+
+def test_salted_agg_rejects_positional_salt_src():
+    """salt_src / n_salts are keyword-only: a stale positional call site
+    must fail with a clear TypeError at the call, not deep inside the
+    column-list comprehension."""
+    import pytest as _pytest
+
+    from big_data_recommendation_system_spark.operators.skew import salted_agg
+
+    with _pytest.raises(TypeError):
+        salted_agg(None, ["k"], [], [], ["id"], 16)  # noqa: PT011
+
+
+def test_spread_small_scan_plan_free_gate(spark, sf_dir_small):
+    """The spread guard must (a) spread a single-file scan across the
+    session's parallelism, (b) leave an already-parallel in-memory plan
+    untouched, and (c) never error on a non-file plan."""
+    from big_data_recommendation_system_spark.sources.tables import (
+        load_table,
+        spread_small_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_small_scan(load_table(spark, sf_dir_small, "documents"))
+    assert spread.rdd.getNumPartitions() == target
+    wide = spark.range(0, 1000, numPartitions=target)
+    assert spread_small_scan(wide) is wide
