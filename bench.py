@@ -22,9 +22,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from big_data_recommendation_system_spark.operators.text_dedup import (  # noqa: E402
-    SUBSTRATE_CONSUMERS,
+from big_data_recommendation_system_spark.operators.emb_substrate import (  # noqa: E402
+    EMB_SUBSTRATE_CONSUMERS,
 )
+from big_data_recommendation_system_spark.operators.text_dedup import (  # noqa: E402
+    SUBSTRATE_CONSUMERS as TEXT_SUBSTRATE_CONSUMERS,
+)
+
+# Both substrate families (text pair/cluster tables; embeddings+norms and
+# the derived IVF/PQ/SRP index structures) group together so a blanket
+# clearCache between queries doesn't evict the frames they share.
+SUBSTRATE_CONSUMERS = TEXT_SUBSTRATE_CONSUMERS | EMB_SUBSTRATE_CONSUMERS
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from .emb_substrate import emb_dims, emb_norms, emb_table, session_frame
 
 TOP_K = 5
 N_QUERIES = 10  # queries = vec_id < 10
@@ -62,13 +62,12 @@ def _norms(df: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors vec_id < 10.
 
-    ONE position-explode of the table is cached and feeds all four
-    consumers (dot query side, dot corpus side, both norm aggregations)
-    — without the cache the explode ran 4×, and at corpus scale the
-    explode is the dominant cost of this oracle-duty baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
-    norms = _norms_from_dims(dims, "vid", "nrm")
+    Reads the session substrates (operators/emb_substrate.py): the
+    persisted position-explode feeds both dot sides and the persisted
+    norms feed both norm joins — shared with the whole similarity
+    family instead of the per-query .cache() of rounds ≤7."""
+    dims = emb_dims(spark, sf_dir)
+    norms = emb_norms(spark, sf_dir)
     qd = dims.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx")
     )
@@ -166,10 +165,9 @@ def cosine_topk_fast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-native plan as the headline brute-force number. Rows-only driver
     check (scores hit double-accumulation-order ulps); neighbor-set
     agreement vs the oracle-exact path is asserted in pytest
-    (test_fast_cosine_matches_exact)."""
-    from ..sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    (test_fast_cosine_matches_exact). Reads the session substrate's raw
+    float arrays, so semantics are byte-identical to a direct scan."""
+    emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
     return cosine_topk_fast(emb, emb.filter(F.col("vec_id") < 10))
 
 
@@ -182,7 +180,7 @@ def cosine_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-pair filter — shows up as a hash mismatch even though the fast
     path's raw cosine doubles (summation-order ulps) can't be hashed
     directly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
     fast = cosine_topk_fast(emb, emb.filter(F.col("vec_id") < N_QUERIES))
     exact = ann_cosine_topk(spark, sf_dir)
     return (
@@ -263,22 +261,36 @@ def _ivf_assignments(
     )
 
 
+def ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the FULL-corpus IVF assignment (vec_id,
+    centroid_id), built once from the persisted dims/norms substrates
+    and shared by every cell-probing query (ann_ivf_topk,
+    knn_label_eval, ivf_probe_sweep, embedding_near_dup_pairs). Each
+    vector's assignment depends only on the vector and the 8
+    deterministic centroids, so audit-slice consumers FILTER this frame
+    rather than re-assigning a sliced table — identical rows by
+    construction. This is the coarse-quantizer index a production
+    deployment materializes beside the corpus."""
+    return session_frame(
+        spark,
+        sf_dir,
+        "ivf_assign",
+        lambda: _ivf_assignments(
+            None, emb_dims(spark, sf_dir), emb_norms(spark, sf_dir)
+        ),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign all vectors to nearest of 8 deterministic
     centroids (vec_id < 8), then exact top-5 within the query's cell only.
 
-    One cached explode + one cached norm rollup feed the assignment
-    pass, both dot sides and both norm joins (previously 4 independent
-    explodes of the table)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
-    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
-    # cache the (tiny) assignment table: it feeds both the query side and
-    # the candidate side of the cell join, and recomputing it would run
-    # the window + norm joins twice. The wide dims⋈assign frame itself is
-    # deliberately NOT cached — materializing 64×N rows costs more than
-    # re-joining against the cached dims and assignment.
-    assign = _ivf_assignments(emb, dims, nrm).cache()
+    The persisted dims/norms/assignment substrates feed the assignment
+    pass, both dot sides and both norm joins (previously per-query
+    caches; before that, 4 independent explodes of the table)."""
+    dims = emb_dims(spark, sf_dir)
+    nrm = emb_norms(spark, sf_dir)
+    assign = ivf_assign_table(spark, sf_dir)
     vd2 = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     qd = vd2.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"),
@@ -392,15 +404,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, not the throughput shape. The production variant is the same
     cell-blocked plan with the array-native fold of cosine_topk_fast
     (identical pairs up to summation-order ulps)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    # per-vector independence: the full-corpus assignment substrate
+    # filtered to the slice equals assigning the sliced table (see
+    # ivf_assign_table docstring)
+    assign = ivf_assign_table(spark, sf_dir).filter(
         F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
     )
-    dims = _dims(emb, "vid").cache()
-    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
-    assign = _ivf_assignments(emb, dims, nrm)
-    # one cached (dims ⋈ assign) subtree feeds both sides of the in-cell
-    # self-join (previously the explode+assign chain ran twice)
-    vd = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid").cache()
+    # both sides of the in-cell self-join re-join the PERSISTED dims and
+    # assignment substrates — cheap rebuilds, no per-query cache
+    vd = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     a = vd.select(
         F.col("vid").alias("vec_a"),
         F.col("centroid_id").alias("cell"),
@@ -495,7 +509,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     nodes = (
-        load_table(spark, sf_dir, "embeddings")
+        emb_table(spark, sf_dir)
         .filter(F.col("vec_id") < NEAR_DUP_MAX_VEC_ID)
         .select(F.col("vec_id").alias("doc_id"))
     )
@@ -559,11 +573,11 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label id; neighbor ranking ties to the lowest vec_id (same
     determinism discipline as the ANN queries, so the DuckDB twin
     hash-matches). Scale shape identical to ann_ivf_topk: the cross
-    product is cell-blocked, one cached explode feeds every consumer."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
-    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
-    assign = _ivf_assignments(emb, dims, nrm)
+    product is cell-blocked, the persisted substrates feed every
+    consumer."""
+    dims = emb_dims(spark, sf_dir)
+    nrm = emb_norms(spark, sf_dir)
+    assign = ivf_assign_table(spark, sf_dir)
     vd2 = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
     qd = vd2.filter(F.col("vid") < KNN_EVAL_QUERIES).select(
         F.col("vid").alias("query_id"),
@@ -605,7 +619,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= KNN_K
     )
-    labels = emb.select(F.col("vec_id"), F.col("label").cast("long").alias("label"))
+    labels = emb_table(spark, sf_dir).select(
+        F.col("vec_id"), F.col("label").cast("long").alias("label")
+    )
     votes = (
         topk.join(
             labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
@@ -737,7 +753,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold whose order is the array order on both engines (bit-identical
     IEEE accumulation); round() ties away from zero in both Spark
     (HALF_UP) and DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(xd, F.abs)) / F.lit(float(QUANT_LEVELS))
     q = F.when(F.col("scale") == 0.0, F.transform(F.col("xd"), lambda x: F.lit(0).cast("long"))).otherwise(
@@ -893,8 +909,7 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is one groupBy(vid, cid) distance aggregation and one
     groupBy(cid, pos) mean — both map-side combined, shuffle keys
     narrow."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
+    dims = emb_dims(spark, sf_dir)
     cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
         F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
     )
@@ -963,8 +978,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is negligible while keeping the plan depth constant). The
     per-step math is the hash-verified kmeans_step; monotone descent is
     additionally pinned in pytest."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
+    dims = emb_dims(spark, sf_dir)
     cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
         F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
     )
@@ -1019,13 +1033,12 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast-centroid distance agg (map-side combined)
     + two narrow rollups on (cid,label)/(cid); nothing wider than the
     assignment shuffle already paid by kmeans_step."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
+    dims = emb_dims(spark, sf_dir)
     cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
         F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
     )
     assign = _kmeans_assign(dims, cdims).select("vid", "cid")
-    lab = emb.select(F.col("vec_id").alias("vid"), "label")
+    lab = emb_table(spark, sf_dir).select(F.col("vec_id").alias("vid"), "label")
     counts = (
         assign.join(lab, "vid")
         .groupBy("cid", "label")
@@ -1103,9 +1116,11 @@ PQ_CENTROIDS = 16
 PQ_SHORTLIST = 50
 
 
-def _pq_sub_dims(emb: DataFrame) -> DataFrame:
-    """(vid, s, pos, x): position-exploded embedding with subspace id."""
-    return _dims(emb, "vid").select(
+def _pq_sub_dims(dims: DataFrame) -> DataFrame:
+    """(vid, s, pos, x): position-exploded embedding with subspace id,
+    derived from a ``(vid, pos, x)`` dims frame (the persisted
+    ``emb_dims`` substrate in the registered queries)."""
+    return dims.select(
         "vid",
         F.floor(F.col("pos") / PQ_SUBDIM).cast("int").alias("s"),
         "pos",
@@ -1113,12 +1128,11 @@ def _pq_sub_dims(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codes_frame(emb: DataFrame) -> DataFrame:
+def _pq_codes_frame(sub: DataFrame) -> DataFrame:
     """(vec_id, s, code): each vector's nearest codebook entry per
     subspace — exact L2 via decimal accumulation, ties to the lowest
     centroid id, so the assignment is order-independent and identical
     in the DuckDB twin."""
-    sub = _pq_sub_dims(emb)
     cent = sub.filter(F.col("vid") < PQ_CENTROIDS).select(
         F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
     )
@@ -1148,6 +1162,19 @@ def _pq_codes_frame(emb: DataFrame) -> DataFrame:
     )
 
 
+def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the (vec_id, s, code, d) PQ code assignment,
+    built once from the persisted dims substrate and shared by the code
+    report and the ADC search — the compressed index a production
+    vector store materializes once per corpus snapshot."""
+    return session_frame(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: _pq_codes_frame(_pq_sub_dims(emb_dims(spark, sf_dir))),
+    )
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ code string (8 comma-joined centroid ids) plus the
     total quantization error — the compressed corpus representation ADC
@@ -1158,8 +1185,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     16x64-value codebook, one (vec, subspace, centroid) partial-agg
     shuffle, one keyed argmin window — all linear in corpus size; the
     output is ~8 bytes/vector where the input was 256."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes_frame(emb)
+    codes = pq_codes_table(spark, sf_dir)
     return (
         codes.groupBy("vec_id")
         .agg(
@@ -1194,9 +1220,9 @@ def pq_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings — PQ's worst case); the re-rank lifts it to the
     shortlist's coverage (~0.7 at sf0.01). What the hash pins is that
     both engines agree on WHICH neighbors at every stage."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_sub_dims(emb)
-    codes = _pq_codes_frame(emb)
+    dims = emb_dims(spark, sf_dir)
+    sub = _pq_sub_dims(dims)
+    codes = pq_codes_table(spark, sf_dir)
 
     qsub = sub.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"), "s", "pos", F.col("x").alias("qx")
@@ -1233,7 +1259,6 @@ def pq_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
 
-    dims = _dims(emb, "vid")
     qd = dims.filter(F.col("vid") < N_QUERIES).select(
         F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx")
     )
@@ -1459,9 +1484,8 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: nprobe, n_candidates, mean_candidates, hits,
     mean_recall_at_k (denominator N_QUERIES*TOP_K)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = _dims(emb, "vid").cache()
-    nrm = _norms_from_dims(dims, "vid", "nrm").cache()
+    dims = emb_dims(spark, sf_dir)
+    nrm = emb_norms(spark, sf_dir)
     # per-query cell ranking (full ranking, not just the argmax cell)
     cd = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
         F.col("vid").alias("centroid_id"), "pos", F.col("x").alias("cx")
@@ -1484,7 +1508,7 @@ def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         F.row_number().over(wq).alias("cell_rank"),
     )
-    assign = _ivf_assignments(emb, dims, nrm)
+    assign = ivf_assign_table(spark, sf_dir)
     # query x corpus exact cosines (bounded by N_QUERIES)
     qdd = qd.select(F.col("vid").alias("query_id"), "pos", F.col("x").alias("qx"))
     ndd = dims.select(F.col("vid").alias("neighbor_id"), "pos", "x")

@@ -31,8 +31,6 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
-
 SRP_PLANES = 16
 SRP_BANDS = 4
 _SRP_R = SRP_PLANES // SRP_BANDS  # 4 bits per band
@@ -58,24 +56,17 @@ SRP_WEIGHTS: list[list[int]] = [
 ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-input parallelization guard — the real cost behind the r6
-    srp_lsh_pairs wall-time regression: the broadcast-join output
-    inherits the stream side's single partition, so the 464k-candidate
-    cosine prefilter ran serially. Now the shared
-    ``sources.tables.spread_small_scan`` (see its docstring for the
-    pushdown trade-off analysis)."""
-    from ..sources.tables import spread_small_scan
-
-    return spread_small_scan(df)
-
-
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
-    return emb.select(
+    """Fixed-point quantized embeddings from the session substrate's
+    double arrays (emb_substrate.emb_table — already spread and
+    persisted; float→double is exact, so round(e*SCALE) is identical to
+    quantizing the raw floats)."""
+    from .emb_substrate import emb_table
+
+    return emb_table(spark, sf_dir).select(
         "vec_id",
         F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT))"
+            f"transform(e, x -> CAST(round(x * {E_SCALE}) AS BIGINT))"
         ).alias("q"),
     )
 
@@ -103,13 +94,27 @@ def _srp_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("vec_id", *band_cols)
 
 
+def srp_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the (vec_id, b0..b{bands-1}) signature table,
+    built once per (session, corpus) and shared by the pairs and
+    incremental pipelines — the persisted index a production vector
+    store keeps beside the corpus (replaces the per-call ``.cache()``s
+    that accumulated persisted frames in long-lived sessions, r7
+    ADVICE)."""
+    from .emb_substrate import session_frame
+
+    return session_frame(
+        spark, sf_dir, "srp_sigs", lambda: _srp_sig(spark, sf_dir)
+    )
+
+
 def srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, b0..b{bands-1}): per-vector SRP band keys. Each plane
     contributes one sign bit (integer dot ≥ 0); each band packs
     ``_SRP_R`` bits into a small integer key. Pure map stage — the
     per-row folds stay in the JVM (interpreted higher-order functions,
     but zero shuffle and zero Python)."""
-    return _srp_sig(spark, sf_dir).orderBy("vec_id")
+    return srp_sig_table(spark, sf_dir).orderBy("vec_id")
 
 
 def _srp_bits_sql() -> str:
@@ -147,6 +152,84 @@ FROM sig ORDER BY vec_id
 """
 
 
+# Exact decimal fold: CAST each elementwise double product to
+# DECIMAL(30,12) and sum in decimal — identical values to the oracle's
+# explode + SUM(CAST(... AS DECIMAL(38,12))) in any order. (30,12):
+# a (30,12)+(30,12) add types as (31,12), under the 38-precision cap,
+# so no scale is ever dropped and every step is exact; |dot| < 100 here
+# so it never overflows. A (38,12) accumulator would widen to (39,12)
+# and get CAPPED to (38,11), silently rounding the 12th digit each merge.
+_DACC = "decimal(30,12)"
+_FOLD = (
+    f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {_DACC})), "
+    f"CAST(0 AS {_DACC}), (acc, v) -> CAST(acc + v AS {_DACC})) AS DOUBLE)"
+)
+# cheap double prefilter fold (see two-phase verification notes below)
+_DFOLD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _srp_fband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, key) band rows from the signature substrate, with
+    over-cap buckets removed. Stop-bucket cap as a broadcast ANTI-join:
+    the set of OVER-cap buckets is tiny by definition (they are the
+    degenerate hubs being dropped), so it broadcasts at any corpus
+    size; the complement ("small") is corpus-scale and must never carry
+    the hint."""
+    sig = srp_sig_table(spark, sf_dir)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("key")
+                    )
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    stop = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SRP_MAX_BUCKET)
+        .select("band", "key")
+    )
+    return bands.join(F.broadcast(stop), ["band", "key"], "left_anti")
+
+
+def _srp_cand_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the distinct symmetric candidate pairs
+    (vec_a < vec_b) from the banded self-join. Persisted because each
+    downstream BROADCAST build re-executes its build side — an
+    unmaterialized cand would replay the band self-join + distinct
+    (3 shuffles) once per verification join. Tiny by construction (the
+    stop-bucket cap bounds it at any corpus size)."""
+    from .emb_substrate import session_frame
+
+    def build() -> DataFrame:
+        fband = _srp_fband(spark, sf_dir)
+        return (
+            fband.alias("x")
+            .join(
+                fband.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+
+    return session_frame(spark, sf_dir, "srp_cand", build)
+
+
 def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide cosine pair detection: SRP band buckets → candidate
     self-join (stop-bucket capped) → exact DECIMAL cosine verification
@@ -171,85 +254,21 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle's explode-and-SUM form. No 64× explode
     of the candidate set, and the expensive decimal arithmetic runs on
     survivors only."""
-    sig = _srp_sig(spark, sf_dir).cache()  # feeds bucket stats + both join sides
-    bands = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"b{b}").alias("key")
-                    )
-                    for b in range(SRP_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Stop-bucket cap as a broadcast ANTI-join: the set of OVER-cap
-    # buckets is tiny by definition (they are the degenerate hubs being
-    # dropped), so it broadcasts at any corpus size; the complement
-    # ("small") is corpus-scale and must never carry the hint.
-    stop = (
-        bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > SRP_MAX_BUCKET)
-        .select("band", "key")
-    )
-    bands = bands.join(F.broadcast(stop), ["band", "key"], "left_anti")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
-        # cache: each downstream BROADCAST build re-executes its build
-        # side, so an uncached cand would replay the band self-join +
-        # distinct (3 shuffles) once per verification join. The frame is
-        # tiny by construction (stop-bucket cap bounds it at any corpus
-        # size), so caching it is the cheap half of the r6 regression fix.
-        .cache()
-    )
-    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-    )
-    # exact decimal fold: CAST each elementwise double product to
-    # DECIMAL(38,12) and sum in decimal — identical values to the
-    # oracle's explode + SUM(CAST(...)) in any order
-    # Accumulate at DECIMAL(30,12): Spark types a (30,12)+(30,12) add as
-    # (31,12), which fits under the 38-precision cap, so no scale is ever
-    # dropped and every step is exact (a (38,12) accumulator would widen
-    # to (39,12) and get CAPPED to (38,11) — silently rounding the 12th
-    # digit each merge). |dot| < 100 here, so (30,12) never overflows and
-    # the result equals the oracle's SUM(CAST(... AS DECIMAL(38,12)))
-    # bit for bit.
-    dacc = "decimal(30,12)"
-    fold = (
-        f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {dacc})), "
-        f"CAST(0 AS {dacc}), (acc, v) -> CAST(acc + v AS {dacc})) AS DOUBLE)"
-    )
-    dfold = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    # ONE embeddings+norms frame, cached, joined once per pair side.
-    # Broadcast hints belong on the CANDIDATE side: `cand` is bounded by
-    # the stop-bucket cap (a few hundred pairs here; still tiny at 100 TB),
-    # while emb_n derives from the full embeddings table — hinting it
-    # would broadcast the corpus. Each broadcast-join stage re-executes
-    # its STREAM side, so without the cache the embeddings scan and the
-    # expensive decimal norm fold would run once per join (the r6
-    # 2.5x wall-time regression); the cache computes them exactly once
-    # and both joins read the in-memory columnar copy.
-    emb_n = emb.withColumn(
-        "nrm", F.sqrt(F.expr(fold.format(a="e", b="e")))
-    ).cache()
+    from .emb_substrate import emb_table
+
+    cand = _srp_cand_table(spark, sf_dir)
+    # ONE embeddings+norms frame — the SESSION substrate (persisted once,
+    # shared with the whole similarity family; its norm fold is the same
+    # decimal accumulation, see emb_substrate.py) — joined once per pair
+    # side. Broadcast hints belong on the CANDIDATE side: `cand` is
+    # bounded by the stop-bucket cap (a few hundred pairs here; still
+    # tiny at 100 TB), while emb_n derives from the full embeddings
+    # table — hinting it would broadcast the corpus. Each broadcast-join
+    # stage re-executes its STREAM side, so without the substrate the
+    # embeddings scan and the expensive decimal norm fold would run once
+    # per join (the r6 2.5x wall-time regression).
+    fold, dfold = _FOLD, _DFOLD
+    emb_n = emb_table(spark, sf_dir).select("vec_id", "e", "nrm")
     ena = emb_n.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("qa"),
@@ -333,64 +352,37 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index side is the PERSISTED signature/band table of prior runs, so
     each batch pays O(batch) signature work + an asymmetric band join
     against the index, never a re-scan of the corpus."""
-    sig = _srp_sig(spark, sf_dir).cache()
-    bands = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
-                    for b in range(SRP_BANDS)
-                ]
+    from .emb_substrate import emb_table, session_frame
+
+    def build_cand() -> DataFrame:
+        # Same stop-bucket discipline as srp_lsh_pairs, asymmetric:
+        # batch side joins the indexed side only.
+        fband = _srp_fband(spark, sf_dir)
+        is_batch = F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM
+        return (
+            fband.filter(is_batch)
+            .alias("x")
+            .join(
+                fband.filter(~is_batch).alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key")),
             )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Same stop-bucket discipline as srp_lsh_pairs: broadcast the tiny
-    # over-cap set and anti-join, never the corpus-scale complement.
-    stop = (
-        bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > SRP_MAX_BUCKET)
-        .select("band", "key")
-    )
-    fband = bands.join(F.broadcast(stop), ["band", "key"], "left_anti")
-    is_batch = F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM
-    cand = (
-        fband.filter(is_batch)
-        .alias("x")
-        .join(
-            fband.filter(~is_batch).alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key")),
+            .select(
+                F.col("x.vec_id").alias("vec_id"),
+                F.col("y.vec_id").alias("match_id"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("x.vec_id").alias("vec_id"), F.col("y.vec_id").alias("match_id")
-        )
-        .distinct()
-        # cap-bounded candidate set — cached for the same reason as in
-        # srp_lsh_pairs (broadcast builds re-execute their build side)
-        .cache()
-    )
-    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-    )
-    dacc = "decimal(30,12)"
-    fold = (
-        f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> CAST(x * y AS {dacc})), "
-        f"CAST(0 AS {dacc}), (acc, v) -> CAST(acc + v AS {dacc})) AS DOUBLE)"
-    )
-    dfold = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    # As in srp_lsh_pairs: ONE cached embeddings+norms frame joined once
-    # per side; the broadcast hint rides the candidate side (bounded by
-    # the band caps), never the embeddings-derived frame, and the cache
-    # keeps the norm fold from re-executing per broadcast stage.
-    emb_n = emb.withColumn(
-        "nrm", F.sqrt(F.expr(fold.format(a="e", b="e")))
-    ).cache()
+
+    # cap-bounded candidate set — a session substrate for the same
+    # reason as _srp_cand_table (broadcast builds re-execute their
+    # build side; per-call .cache() leaked persisted frames, r7 ADVICE)
+    cand = session_frame(spark, sf_dir, "srp_cand_inc", build_cand)
+    fold, dfold = _FOLD, _DFOLD
+    # As in srp_lsh_pairs: the session embeddings+norms substrate joined
+    # once per side; the broadcast hint rides the candidate side (bounded
+    # by the band caps), never the embeddings-derived frame.
+    emb_n = emb_table(spark, sf_dir).select("vec_id", "e", "nrm")
     ena = emb_n.select(
         "vec_id", F.col("e").alias("qa"), F.col("nrm").alias("na")
     )
@@ -434,7 +426,7 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     incoming = (
-        load_table(spark, sf_dir, "embeddings")
+        emb_table(spark, sf_dir)
         .filter(F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM)
         .select("vec_id")
     )

@@ -283,17 +283,10 @@ SUBSTRATE_CONSUMERS = frozenset(
 )
 
 
-def _substrate_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
-    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), what)
-
-
-def _materialized(df: DataFrame) -> DataFrame:
-    """Persist + materialize; re-persists if an external clearCache()
-    evicted a previously-registered frame (storageLevel goes to NONE)."""
-    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
-        df = df.persist()
-        df.count()
-    return df
+# Generic registration plumbing lives in operators/substrate.py (shared
+# with the embedding substrate, import-neutral to avoid cycles).
+from .substrate import materialized as _materialized  # noqa: E402
+from .substrate import substrate_key as _substrate_key  # noqa: E402
 
 
 def shingled_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,11 +196,10 @@ def corpus_assembly_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_rollup(staged_docs(spark, sf_dir))
 
 
-def _assembly_sql() -> str:
-    stage_case = "CASE " + " ".join(
-        f"WHEN drop_reason = '{s}' THEN {i}"
-        for i, s in enumerate(FUNNEL_STAGES)
-    ) + " END"
+def _staged_ctes() -> str:
+    """The WITH chain through ``reason`` (one row per document with its
+    funnel drop_reason) — shared by the funnel rollup and the weighted
+    assembly oracle."""
     # AS MATERIALIZED on the expensive stage CTEs: DuckDB inlines
     # single-reference CTEs by default, which re-evaluates the embedded
     # recursive-CC retention plan and the gate scan wherever the
@@ -209,7 +208,7 @@ def _assembly_sql() -> str:
     # substrate plays the same role there.
     return f"""
 WITH docs0 AS MATERIALIZED (
-  SELECT doc_id, md5(text) AS content_hash,
+  SELECT doc_id, source, md5(text) AS content_hash,
     CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens,
     {_split_label_sql(_split_bucket_sql("doc_id"))} AS split
   FROM documents
@@ -225,7 +224,7 @@ near AS MATERIALIZED (
 ),
 gates AS MATERIALIZED ({_funnel_gates_sql()}),
 staged AS MATERIALIZED (
-  SELECT b.doc_id, b.split, b.n_tokens,
+  SELECT b.doc_id, b.source, b.split, b.n_tokens,
     e.is_exact_dup,
     COALESCE(nd.is_near_dup, FALSE) AS is_near_dup,
     g.gate
@@ -266,7 +265,7 @@ contaminated AS (
     AND COALESCE(hits.n_eval_hits, 0) >= {DECON_TAU} * tr.n_shingles
 ),
 reason AS (
-  SELECT st.n_tokens,
+  SELECT st.doc_id, st.source, st.n_tokens,
     CASE
       WHEN st.is_exact_dup THEN 'exact_dup'
       WHEN st.is_near_dup THEN 'near_dup'
@@ -275,7 +274,15 @@ reason AS (
       ELSE 'kept'
     END AS drop_reason
   FROM staged st LEFT JOIN contaminated c ON st.doc_id = c.doc_id
-)
+)"""
+
+
+def _assembly_sql() -> str:
+    stage_case = "CASE " + " ".join(
+        f"WHEN drop_reason = '{s}' THEN {i}"
+        for i, s in enumerate(FUNNEL_STAGES)
+    ) + " END"
+    return f"""{_staged_ctes()}
 SELECT CAST({stage_case} AS BIGINT) AS stage, drop_reason,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
@@ -284,3 +291,129 @@ FROM reason GROUP BY drop_reason ORDER BY stage
 
 
 CORPUS_ASSEMBLY_FUNNEL_SQL = _assembly_sql()
+
+
+def corpus_assembly_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the measure→decide→ASSEMBLE loop (VERDICT r7 item 4): the
+    funnel's kept documents are drawn per source according to the
+    QUALITY-DERIVED token allocation ``mixture_weights_by_quality``
+    computed (report card → weights → alloc_tokens), instead of a
+    static mixture plan. Per source, documents are taken in
+    deterministic (source, doc_id) order while the source's EXCLUSIVE
+    running token total stays below its allocation — the boundary
+    document is included, the same greedy take-while as sequence
+    packing. One row per source: availability, allocation, and the
+    realized draw with its fill rate.
+
+    Scale shape: the staged funnel and the report card are the linear
+    passes (both already registered queries sharing the session dedup
+    substrate); the draw itself is one global range-partitioned prefix
+    sum (operators/ranking — no single-partition window, no per-source
+    window task) plus broadcast joins of the |sources|-row frames."""
+    from .packing import mixture_weights_by_quality
+
+    staged = staged_docs(spark, sf_dir)
+    kept = staged.filter(F.col("drop_reason") == "kept").select(
+        "doc_id", "source", "n_tokens"
+    )
+    pref = with_global_prefix_sum(kept, ["source", "doc_id"], "n_tokens")
+    base = pref.groupBy("source").agg(F.min(PREFIX_COL).alias("_src_base"))
+    w = mixture_weights_by_quality(spark, sf_dir).select(
+        "source", "quality_weight", "alloc_tokens", "oversubscribed"
+    )
+    off = (F.col(PREFIX_COL) - F.col("_src_base")).cast("long")
+    drawn = (
+        pref.join(F.broadcast(base), "source")
+        .join(F.broadcast(w.select("source", "alloc_tokens")), "source")
+        .withColumn("drawn", off < F.col("alloc_tokens"))
+    )
+    stats = drawn.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_docs"),
+        F.sum("n_tokens").cast("long").alias("n_kept_tokens"),
+        F.sum(F.when(F.col("drawn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_drawn_docs"),
+        F.sum(F.when(F.col("drawn"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_drawn_tokens"),
+    )
+    fill = (
+        F.floor(
+            F.col("n_drawn_tokens").cast("double")
+            / F.col("alloc_tokens")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return (
+        w.join(stats, "source", "left")
+        .select(
+            "source",
+            "quality_weight",
+            F.col("alloc_tokens").cast("long").alias("alloc_tokens"),
+            "oversubscribed",
+            F.coalesce("n_kept_docs", F.lit(0)).cast("long").alias("n_kept_docs"),
+            F.coalesce("n_kept_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_kept_tokens"),
+            F.coalesce("n_drawn_docs", F.lit(0))
+            .cast("long")
+            .alias("n_drawn_docs"),
+            F.coalesce("n_drawn_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_drawn_tokens"),
+            F.when(
+                F.col("alloc_tokens") > 0,
+                F.coalesce(fill, F.lit(0.0)),
+            ).alias("fill_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _assembly_weighted_sql() -> str:
+    from .packing import MIXTURE_WEIGHTS_BY_QUALITY_SQL
+
+    return f"""{_staged_ctes()},
+kept AS (
+  SELECT doc_id, source, n_tokens FROM reason WHERE drop_reason = 'kept'
+),
+pref AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM kept
+),
+wts AS (
+  SELECT source, quality_weight, alloc_tokens, oversubscribed
+  FROM ({MIXTURE_WEIGHTS_BY_QUALITY_SQL})
+),
+stats AS (
+  SELECT p.source,
+    CAST(COUNT(*) AS BIGINT) AS n_kept_docs,
+    CAST(SUM(p.n_tokens) AS BIGINT) AS n_kept_tokens,
+    CAST(SUM(CASE WHEN p.off < w.alloc_tokens THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_drawn_docs,
+    CAST(SUM(CASE WHEN p.off < w.alloc_tokens THEN p.n_tokens ELSE 0 END)
+      AS BIGINT) AS n_drawn_tokens
+  FROM pref p JOIN wts w USING (source)
+  GROUP BY p.source
+)
+SELECT w.source, w.quality_weight,
+  CAST(w.alloc_tokens AS BIGINT) AS alloc_tokens,
+  w.oversubscribed,
+  CAST(COALESCE(s.n_kept_docs, 0) AS BIGINT) AS n_kept_docs,
+  CAST(COALESCE(s.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+  CAST(COALESCE(s.n_drawn_docs, 0) AS BIGINT) AS n_drawn_docs,
+  CAST(COALESCE(s.n_drawn_tokens, 0) AS BIGINT) AS n_drawn_tokens,
+  CASE WHEN w.alloc_tokens > 0 THEN
+    floor(CAST(COALESCE(s.n_drawn_tokens, 0) AS DOUBLE)
+          / w.alloc_tokens * 10000 + 0.5) / 10000
+  END AS fill_rate
+FROM wts w LEFT JOIN stats s USING (source)
+ORDER BY w.source
+"""
+
+
+CORPUS_ASSEMBLY_WEIGHTED_SQL = _assembly_weighted_sql()

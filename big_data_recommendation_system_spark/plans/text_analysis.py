@@ -718,6 +718,16 @@ ORDER BY st.source
 """
 
 
+def _round4(col):
+    """Engine-neutral 4-decimal round-half-up (same IEEE-only construction
+    as functions.pandas_parity.round2_neutral, one more digit — these are
+    small fractions where 2 decimals would collapse the signal)."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
 # --- BPE merge learning (tokenizer training loop) ---------------------------
 
 BPE_MERGE_STEPS = 3
@@ -856,7 +866,19 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     this engine's training-data extension surface (SURVEY.md §2 text
     family), same as bpe_pair_counts.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    _, reports = _bpe_train(load_table(spark, sf_dir, "documents"))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the full ``BPE_MERGE_STEPS`` training loop over a documents
+    frame; returns (final vocabulary with each word's merged symbol
+    list, per-step report frames). Shared by the merge-learning report
+    (``bpe_learn_merges``) and the corpus encoder
+    (``bpe_apply_merges``)."""
     vocab = (
         docs.withColumn("tok", tokens(F.col("text")))
         .select(F.explode("tok").alias("word"))
@@ -880,10 +902,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.cache()
         vocab, rep = _bpe_merge_step(vocab, step)
         reports.append(rep)
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("step")
+    return vocab, reports
 
 
 def _bpe_sql_step(k: int) -> str:
@@ -967,6 +986,96 @@ BPE_LEARN_MERGES_SQL = (
 )
 
 
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the missing half of the tokenizer
+    loop (VERDICT r7 item 3): encode every document with the merges
+    ``bpe_learn_merges`` trained and report, per document, the
+    whitespace token count, the LEARNED-tokenizer token count, and the
+    compression ratio. These are the counts an actual training run
+    budgets with — ``sequence_packing``/``token_budget_sample`` count
+    whitespace tokens; this operator supplies the learned-tokenizer
+    equivalent.
+
+    Application is a lookup, not a re-merge: training ran over the FULL
+    corpus vocabulary, so the trained vocabulary's symbol list for a
+    word IS the result of applying the ordered merge list to that word
+    (greedy left-to-right non-overlapping, per _bpe_merge_step). Words
+    outside the trainer's [a-z0-9] alphabet never vote on or receive
+    merges and fall back to character-level encoding (length(word)
+    symbols), the byte-fallback convention of real BPE tokenizers.
+
+    Scale shape: the trained vocabulary is |distinct alphabet words| —
+    corpus-sublinear; the encode pass is one keyed join of exploded doc
+    tokens against it (AQE broadcasts when it fits) plus one per-doc
+    hash agg. Nothing wider than word/doc_id shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(docs)
+    dtok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    enc = dtok.join(
+        vocab.select("word", F.size("syms").alias("n_syms")), "word", "left"
+    )
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
+        F.sum(F.coalesce("n_syms", F.length("word")))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+    )
+    ratio = F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_ws")
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_tokens_ws", F.lit(0)).cast("long").alias("n_tokens_ws"),
+            F.coalesce("n_tokens_bpe", F.lit(0)).cast("long").alias("n_tokens_bpe"),
+            F.when(F.col("n_tokens_ws") > 0, _round4(ratio)).alias(
+                "compression_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_APPLY_MERGES_SQL = (
+    f"""{_DOCS_TOK_CTE}
+, vocab0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+    list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+  FROM (SELECT unnest(tok) AS word FROM t)
+  WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+  GROUP BY word
+),"""
+    + ",".join(_bpe_sql_step(k) for k in range(1, BPE_MERGE_STEPS + 1))
+    + f""",
+doc_tok AS (
+  SELECT doc_id, unnest(tok) AS word FROM t
+),
+enc AS (
+  SELECT d.doc_id,
+    CASE WHEN v.word IS NOT NULL THEN len(v.syms)
+         ELSE length(d.word) END AS n
+  FROM doc_tok d LEFT JOIN vocab{BPE_MERGE_STEPS} v ON v.word = d.word
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+    CAST(SUM(n) AS BIGINT) AS n_tokens_bpe
+  FROM enc GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+  COALESCE(p.n_tokens_ws, 0) AS n_tokens_ws,
+  COALESCE(p.n_tokens_bpe, 0) AS n_tokens_bpe,
+  CASE WHEN COALESCE(p.n_tokens_ws, 0) > 0 THEN
+    {_ROUND4_SQL.format(x="CAST(p.n_tokens_bpe AS DOUBLE) / p.n_tokens_ws")}
+  END AS compression_ratio
+FROM t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+)
+
+
 # --- Gopher-style repetition quality rules ----------------------------------
 # Word-level adaptation of the Rae et al. (2021, "Scaling Language Models:
 # Gopher") repetition filters. The reference has no text-quality layer at
@@ -986,16 +1095,6 @@ BPE_LEARN_MERGES_SQL = (
 GOPHER_TOP_UNIGRAM_MAX = 0.30
 GOPHER_TOP_2GRAM_MAX = 0.20
 GOPHER_DUP_3GRAM_MAX = 0.18
-
-
-def _round4(col):
-    """Engine-neutral 4-decimal round-half-up (same IEEE-only construction
-    as functions.pandas_parity.round2_neutral, one more digit — these are
-    small fractions where 2 decimals would collapse the signal)."""
-    return F.floor(col * 10000 + F.lit(0.5)) / 10000
-
-
-_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
 
 
 def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

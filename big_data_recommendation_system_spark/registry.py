@@ -208,6 +208,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "decontamination_report": corpus_prep.decontamination_report,
     "train_contamination_scan": corpus_prep.train_contamination_scan,
     "corpus_assembly_funnel": assembly.corpus_assembly_funnel,
+    "corpus_assembly_weighted": assembly.corpus_assembly_weighted,
     "bloom_decon_prefilter": bloom.bloom_decon_prefilter,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
     "curriculum_order": corpus_prep.curriculum_order,
@@ -262,6 +263,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "quality_threshold_sweep": text_analysis.quality_threshold_sweep,
     "bpe_pair_counts": text_analysis.bpe_pair_counts,
     "bpe_learn_merges": text_analysis.bpe_learn_merges,
+    "bpe_apply_merges": text_analysis.bpe_apply_merges,
     "embedding_covariance": linalg.embedding_covariance,
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
@@ -278,42 +280,91 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
-# cosmetics. Priority: (1) queries that have never received a driver
-# correctness row (the LLM-pipeline family registered in round 2),
-# (2) queries whose round-2 rows errored on the since-fixed events loader,
-# chosen to flip the most distinct operator families, (3) queries green in
-# round 2, which need re-verification least. Rotate per round so every
-# query cycles through the checked window.
+# cosmetics (see the r2-r7 rotation history in git). Round-8 rotation
+# (VERDICT r7 items 1-4): (a) the two NEW registrations (the BPE encoder
+# closing the tokenizer loop; the quality-weighted assembly closing the
+# measure->decide->assemble loop), (b) every query whose CODE changed this
+# round — the entire similarity/SRP family now reads the session embedding
+# substrates (operators/emb_substrate.py), bpe_learn_merges gained the
+# total-step guard, and corpus_assembly_funnel's oracle CTEs were
+# restructured for sharing — (c) the nine r3/r5-greens the r7 window
+# displaced (the VERDICT item-1 queue) plus dedup_rate_by_source, then
+# (d) the stalest r4/r5-greens so nothing stays >2 rounds unchecked.
 _PRIORITY_ORDER = [
-    # -- driver-checked window: the driver hash-checks the FIRST 50 entries.
-    # Round-7 rotation (VERDICT r6 items 1, 3, 7): (a) round-7
-    # registrations windowed NOW (user_tenure_salted_join — the
-    # finished-but-dead r6 operator — and als_input_matrix, the new
-    # deterministic ALS anchor), (b) queries whose CODE changed this round
-    # (the SRP cached-frame repair; user_engagement_salted's hash-based
-    # salt), (c) the three r3-greens displaced by the r6 window, then
-    # (d) the stalest r3-greens so nothing stays >2 rounds unchecked.
     # new registrations, never driver-checked:
+    "bpe_apply_merges",
+    "corpus_assembly_weighted",
+    # code changed this round (embedding-substrate refactor; BPE
+    # total-step guard; assembly oracle-CTE restructuring):
+    "srp_lsh_pairs",
+    "srp_incremental_pairs",
+    "srp_signatures",
+    "ann_cosine_topk",
+    "cosine_topk_agreement",
+    "ann_ivf_topk",
+    "ivf_probe_sweep",
+    "embedding_near_dup_pairs",
+    "embedding_clusters",
+    "knn_label_eval",
+    "embedding_quantize",
+    "kmeans_step",
+    "cluster_label_purity",
+    "pq_codes",
+    "pq_topk_agreement",
+    "bpe_learn_merges",
+    "corpus_assembly_funnel",
+    # the r3/r5-greens displaced by the r7 window (VERDICT r7 item 1):
+    "media_features",
+    "user_tier_scd2",
+    "dup_graph_pagerank",
+    "dup_graph_degrees",
+    "dedup_retention_plan",
+    "dedup_rate_by_source",
+    "dedup_token_savings",
+    "cross_source_dup_matrix",
+    "lsh_recall_report",
+    "shingle_containment_pairs",
+    # stalest r4/r5-greens (fill to 50):
+    "embedding_covariance",
+    "user_rfm_segments",
+    "price_quantity_corr",
+    "attribution_delay_stats",
+    "daily_burst_detection",
+    "order_backlog_daily",
+    "epoch_repeat_plan",
+    "media_preprocess_plan",
+    "sentence_dedup_stats",
+    "tfidf_top_terms",
+    "rare_token_quality",
+    "lang_confusion",
+    "frequent_ngrams",
+    "quality_threshold_sweep",
+    "bpe_pair_counts",
+    "session_funnel_paths",
+    "value_outliers_by_type",
+    "daily_event_pivot",
+    "ref_user_summary",
+    "ref_daily_stats",
+    "ref_engagement_metrics",
+    # ---- driver window ends here (50) ------------------------------------
+    # below: r7-green window entries (driver-verified LAST round,
+    # freshest) and earlier greens, in r7 relative order; the
+    # rows-only-by-design block stays last (unchanged justifications,
+    # see the per-name comments in git history / COVERAGE.md):
     "user_tenure_salted_join",
     "als_input_matrix",
     "gopher_repetition_rules",
     "token_rarity_score",
     "doc_length_histogram",
     "lsh_band_tuning_report",
-    "ivf_probe_sweep",
     "corpus_report_card",
     "cluster_size_histogram",
     "mixture_weights_by_quality",
     "source_vocab_overlap",
-    # code changed this round — re-verify before anything else:
-    "srp_lsh_pairs",
-    "srp_incremental_pairs",
     "user_engagement_salted",
-    # r3-greens displaced by the r6 rotation:
     "conversion_funnel",
     "view_purchase_attribution",
     "events_upsert_corrections",
-    # stalest r3-greens (everything here last checked in r3):
     "first_event_per_user_type_day",
     "purchases_with_prior_tier",
     "dq_trend",
@@ -340,54 +391,12 @@ _PRIORITY_ORDER = [
     "incremental_near_dup",
     "near_dup_clusters",
     "simhash_near_dup_pairs",
-    "embedding_near_dup_pairs",
-    "embedding_clusters",
-    "knn_label_eval",
     "corpus_shuffle",
     "span_dedup_stats",
     "token_budget_sample",
     "filter_funnel_report",
-    # ---- driver window ends here (50) ------------------------------------
-    # r8 rotation queue: the r3/r4/r5-greens displaced by this round's
-    # eleven new windowed registrations lead, then the remaining
-    # r4/r5-greens (stalest first), then the r6-green block
-    # (driver-verified last round, lowest priority):
-    "media_features",
-    "user_tier_scd2",
-    "dup_graph_pagerank",
-    "dup_graph_degrees",
-    "dedup_retention_plan",
-    "dedup_rate_by_source",
-    "cross_source_dup_matrix",
-    "lsh_recall_report",
-    "shingle_containment_pairs",
-    "kmeans_step",
-    "embedding_covariance",
-    "cluster_label_purity",
-    "user_rfm_segments",
-    "price_quantity_corr",
-    "attribution_delay_stats",
-    "daily_burst_detection",
-    "order_backlog_daily",
-    "epoch_repeat_plan",
-    "media_preprocess_plan",
-    "sentence_dedup_stats",
-    "embedding_quantize",
-    "tfidf_top_terms",
-    "rare_token_quality",
-    "lang_confusion",
-    "frequent_ngrams",
-    "quality_threshold_sweep",
-    "bpe_pair_counts",
-    "session_funnel_paths",
-    "value_outliers_by_type",
-    "daily_event_pivot",
-    "ref_user_summary",
-    "ref_daily_stats",
-    "ref_engagement_metrics",
     "user_features_batch",
     "product_features_batch",
-    "srp_signatures",
     "top_event_types_per_user",
     "ngram_jaccard_pairs",
     "doc_fingerprints",
@@ -397,17 +406,12 @@ _PRIORITY_ORDER = [
     "events_with_last_signup",
     "orders_with_returns",
     "minhash_lsh_pairs",
-    "ann_cosine_topk",
     "trailing_hour_counts",
     "text_stats",
     "dup_detector_overlap",
-    # r6-green block — driver-verified LAST round, freshest, lowest
-    # re-verification priority (the old r6 window, minus the entries
-    # promoted back into this round's window above):
     "mixture_plan",
     "source_vocab_divergence",
     "curriculum_order",
-    "dedup_token_savings",
     "small_quantity_revenue",
     "orders_priority_rollup",
     "clean_users",
@@ -432,7 +436,6 @@ _PRIORITY_ORDER = [
     "q20_heavy_shippers",
     "q21_sole_return_suppliers",
     "q22_idle_rich_customers",
-    "ann_ivf_topk",
     "silver_events",
     "clean_clickstream",
     "dq_rule_stats",
@@ -445,40 +448,31 @@ _PRIORITY_ORDER = [
     "product_summary",
     "latest_event_per_user",
     "dedup_exact_events",
-    "pq_codes",
-    "pq_topk_agreement",
     "key_skew_report",
     "bloom_decon_prefilter",
-    "corpus_assembly_funnel",
-    "cosine_topk_agreement",
     "train_contamination_scan",
-    "bpe_learn_merges",
-    # rows-only by design (no SQL oracle; driver records rows-only).
-    # Pure rows-only (external invariant, pinned in pytest):
-    "pca_explained_variance",  # driver-side eigensolve of the collected
-    # 64×64 matrix; the data pass is the hash-verified embedding_covariance
-    "als_recommendations",  # iterative MLlib ALS; non-deterministic factor
-    # init — pytest pins hit-rate lift vs the popularity baseline
-    "als_eval_metrics",  # ALS is iterative — rows-only, invariant pinned
-    # by pytest (hit-rate floor vs popularity baseline)
-    "mllib_minhash_pairs",  # MLlib approxSimilarityJoin internals; pytest
-    # pins recall >= 0.9 against the hash-verified minhash_lsh_pairs
-    # Self-evidencing rows-only (the recorded rows carry their own
-    # certificate, so a driver rows check is more than a row count):
-    "kmeans_refine",  # per-iteration descent report: every row carries a
-    # `descended` Lloyd-invariant flag; per-step math is the hash-verified
-    # kmeans_step
-    "approx_distinct_daily",  # each row carries the exact count beside the
-    # HLL estimate plus a rel_err_within_5pct certificate (HLL sketches
-    # differ across engines, so no hash oracle is possible)
-    "approx_percentiles_by_type",  # the percentile_approx scale path:
-    # sketch representatives differ across engines (no hash oracle), so
-    # every row carries per-quantile RANK certificates computed against
-    # the data itself; pytest additionally pins certificates true and
-    # medians against the hash-verified exact value_percentiles_by_type
-    "cosine_topk_fast",  # neighbor-set agreement with the decimal-exact
-    # path is the hash-verified cosine_topk_agreement (in this round's
-    # checked window)
+    # rows-only by design (no SQL oracle; driver records rows-only):
+    # pca: driver-side eigensolve of the collected 64x64 matrix (data
+    #   pass is the hash-verified embedding_covariance);
+    # als_*: iterative MLlib ALS, non-deterministic factor init —
+    #   pytest pins hit-rate lift vs the popularity baseline;
+    # mllib_minhash_pairs: approxSimilarityJoin internals — pytest pins
+    #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs;
+    # kmeans_refine: self-evidencing `descended` Lloyd-invariant flag
+    #   per row; per-step math is the hash-verified kmeans_step;
+    # approx_distinct_daily / approx_percentiles_by_type: sketches
+    #   differ across engines — rows carry exact-count / RANK
+    #   certificates, additionally pytest-pinned vs exact twins;
+    # cosine_topk_fast: summation-order ulps — neighbor-set agreement
+    #   is the hash-verified cosine_topk_agreement.
+    "pca_explained_variance",
+    "als_recommendations",
+    "als_eval_metrics",
+    "mllib_minhash_pairs",
+    "kmeans_refine",
+    "approx_distinct_daily",
+    "approx_percentiles_by_type",
+    "cosine_topk_fast",
 ]
 
 assert set(_PRIORITY_ORDER) == set(_RAW_QUERIES), (
@@ -579,6 +573,7 @@ ORACLES: dict[str, str] = {
     "decontamination_report": corpus_prep.DECONTAMINATION_SQL,
     "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
     "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
+    "corpus_assembly_weighted": assembly.CORPUS_ASSEMBLY_WEIGHTED_SQL,
     "bloom_decon_prefilter": bloom.BLOOM_DECON_PREFILTER_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
     "user_tenure_salted_join": skew.USER_TENURE_SALTED_JOIN_SQL,
@@ -634,6 +629,7 @@ ORACLES: dict[str, str] = {
     "quality_threshold_sweep": text_analysis.QUALITY_THRESHOLD_SWEEP_SQL,
     "bpe_pair_counts": text_analysis.BPE_PAIR_COUNTS_SQL,
     "bpe_learn_merges": text_analysis.BPE_LEARN_MERGES_SQL,
+    "bpe_apply_merges": text_analysis.BPE_APPLY_MERGES_SQL,
     "embedding_covariance": linalg.EMBEDDING_COVARIANCE_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,

@@ -1797,3 +1797,69 @@ def test_spread_small_scan_plan_free_gate(spark, sf_dir_small):
     assert spread.rdd.getNumPartitions() == target
     wide = spark.range(0, 1000, numPartitions=target)
     assert spread_small_scan(wide) is wide
+
+
+def test_bpe_apply_merges_bounds(spark, sf_dir_small):
+    """Encoded token counts are bounded: each word encodes to between 1
+    symbol and its character length, so per doc
+    n_tokens_ws <= n_tokens_bpe <= total token chars; and because the
+    trainer actually applied merges (n_weighted_merges > 0), the corpus
+    total must sit strictly below the char-level baseline."""
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.functions.text import tokens
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    enc = bpe_apply_merges(spark, sf_dir_small)
+    chars = (
+        load_table(spark, sf_dir_small, "documents")
+        .select(
+            "doc_id",
+            F.explode(tokens(F.col("text"))).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).cast("long").alias("n_chars_tok"))
+    )
+    joined = enc.join(chars, "doc_id", "left").collect()
+    assert joined
+    for r in joined:
+        assert r.n_tokens_ws <= r.n_tokens_bpe, r
+        assert r.n_tokens_bpe <= (r.n_chars_tok or 0) or r.n_tokens_ws == 0, r
+    total_bpe = sum(r.n_tokens_bpe for r in joined)
+    total_chars = sum(r.n_chars_tok or 0 for r in joined)
+    merges = bpe_learn_merges(spark, sf_dir_small).collect()
+    if any(m.n_weighted_merges and m.n_weighted_merges > 0 for m in merges):
+        assert total_bpe < total_chars
+
+
+def test_corpus_assembly_weighted_invariants(spark, sf_dir_small):
+    """The weighted draw never exceeds availability; a source whose kept
+    tokens cover its allocation fills it (boundary doc included, so
+    fill_rate >= 1); an undersupplied source draws everything it has.
+    Cross-checked against the funnel rollup's kept totals."""
+    from big_data_recommendation_system_spark.plans.assembly import (
+        corpus_assembly_funnel,
+        corpus_assembly_weighted,
+    )
+
+    rows = corpus_assembly_weighted(spark, sf_dir_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_drawn_docs <= r.n_kept_docs, r
+        assert r.n_drawn_tokens <= r.n_kept_tokens, r
+        if r.n_kept_tokens >= r.alloc_tokens > 0:
+            assert r.n_drawn_tokens >= r.alloc_tokens, r
+            assert r.fill_rate >= 1.0, r
+        elif r.alloc_tokens > 0:
+            assert r.n_drawn_docs == r.n_kept_docs, r
+    funnel = {
+        f.drop_reason: (f.n_docs, f.n_tokens)
+        for f in corpus_assembly_funnel(spark, sf_dir_small).collect()
+    }
+    kept_docs, kept_tokens = funnel.get("kept", (0, 0))
+    assert sum(r.n_kept_docs for r in rows) == kept_docs
+    assert sum(r.n_kept_tokens for r in rows) == kept_tokens
