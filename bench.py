@@ -28,11 +28,17 @@ from big_data_recommendation_system_spark.operators.emb_substrate import (  # no
 from big_data_recommendation_system_spark.operators.text_dedup import (  # noqa: E402
     SUBSTRATE_CONSUMERS as TEXT_SUBSTRATE_CONSUMERS,
 )
+from big_data_recommendation_system_spark.plans.text_analysis import (  # noqa: E402
+    TA_SUBSTRATE_CONSUMERS,
+)
 
-# Both substrate families (text pair/cluster tables; embeddings+norms and
-# the derived IVF/PQ/SRP index structures) group together so a blanket
-# clearCache between queries doesn't evict the frames they share.
-SUBSTRATE_CONSUMERS = TEXT_SUBSTRATE_CONSUMERS | EMB_SUBSTRATE_CONSUMERS
+# All substrate families (text pair/cluster tables; embeddings+norms and
+# the derived IVF/PQ/SRP index structures; the trained BPE artifacts and
+# the per-source report card) group together so a blanket clearCache
+# between queries doesn't evict the frames they share.
+SUBSTRATE_CONSUMERS = (
+    TEXT_SUBSTRATE_CONSUMERS | EMB_SUBSTRATE_CONSUMERS | TA_SUBSTRATE_CONSUMERS
+)
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
 

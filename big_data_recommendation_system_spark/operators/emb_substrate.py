@@ -45,10 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread_small_scan
-from .substrate import materialized as _materialized
-from .substrate import substrate_key as _substrate_key
-
-_EMB_SUB: dict[tuple, DataFrame] = {}
+from .substrate import session_frame as _session_frame
 
 # DECIMAL(30,12) accumulator: exact at every step (see module docstring).
 _DACC = "decimal(30,12)"
@@ -86,15 +83,9 @@ EMB_SUBSTRATE_CONSUMERS = frozenset(
 def session_frame(
     spark: SparkSession, sf_dir: str, what: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Build-once-per-(session, corpus) registration: returns the
-    persisted frame, constructing it on first use and re-persisting it
-    if an external clearCache() evicted a previous registration."""
-    key = _substrate_key(spark, sf_dir, "emb:" + what)
-    df = _EMB_SUB.get(key)
-    if df is None:
-        df = build()
-    _EMB_SUB[key] = df = _materialized(df)
-    return df
+    """Embedding-family registration in the generic session-substrate
+    registry (operators/substrate.py), namespaced 'emb:'."""
+    return _session_frame(spark, sf_dir, "emb:" + what, build)
 
 
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:

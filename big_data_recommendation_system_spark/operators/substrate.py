@@ -8,6 +8,7 @@ form import cycles."""
 from __future__ import annotations
 
 import os
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,4 +23,23 @@ def materialized(df: DataFrame) -> DataFrame:
     if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
         df = df.persist()
         df.count()
+    return df
+
+
+_FRAMES: dict[tuple, DataFrame] = {}
+
+
+def session_frame(
+    spark: SparkSession, sf_dir: str, what: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Build-once-per-(session, corpus) registration: returns the
+    persisted frame, constructing it on first use and re-persisting it
+    if an external clearCache() evicted a previous registration.
+    Namespace ``what`` per family ('emb:…', 'bpe:…', …) so families
+    can't collide."""
+    key = substrate_key(spark, sf_dir, what)
+    df = _FRAMES.get(key)
+    if df is None:
+        df = build()
+    _FRAMES[key] = df = materialized(df)
     return df

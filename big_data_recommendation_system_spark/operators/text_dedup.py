@@ -276,9 +276,11 @@ SUBSTRATE_CONSUMERS = frozenset(
         "dedup_token_savings",
         "lsh_band_tuning_report",
         "cluster_size_histogram",
-        # plans/assembly.py's composed funnel reads dup_clusters for its
-        # near-dup stage — same shared substrate, same grouping rule
+        # plans/assembly.py's composed funnel and its quality-weighted
+        # variant read dup_clusters for their near-dup stage — same
+        # shared substrate, same grouping rule
         "corpus_assembly_funnel",
+        "corpus_assembly_weighted",
     }
 )
 

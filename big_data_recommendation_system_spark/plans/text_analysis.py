@@ -866,11 +866,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     this engine's training-data extension surface (SURVEY.md §2 text
     family), same as bpe_pair_counts.
     """
-    _, reports = _bpe_train(load_table(spark, sf_dir, "documents"))
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("step")
+    _, reports = _bpe_trained(spark, sf_dir)
+    return reports.orderBy("step")
 
 
 def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
@@ -903,6 +900,33 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         vocab, rep = _bpe_merge_step(vocab, step)
         reports.append(rep)
     return vocab, reports
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session substrates for the trained tokenizer: the final
+    vocabulary (word -> merged symbol list) and the per-step merge
+    report, each persisted once per (session, corpus) and shared by the
+    learner report, the corpus encoder, and the fertility rollup — the
+    artifacts a production trainer writes beside the corpus. ONE
+    training run feeds both registrations (the per-step intermediate
+    caches of _bpe_train now happen once per session instead of once
+    per query call)."""
+    from ..operators.substrate import session_frame
+
+    cell: dict[str, DataFrame] = {}
+
+    def train() -> dict[str, DataFrame]:
+        if "vocab" not in cell:
+            vocab, reports = _bpe_train(load_table(spark, sf_dir, "documents"))
+            out = reports[0]
+            for r in reports[1:]:
+                out = out.unionByName(r)
+            cell["vocab"], cell["reports"] = vocab, out
+        return cell
+
+    v = session_frame(spark, sf_dir, "bpe:vocab", lambda: train()["vocab"])
+    rep = session_frame(spark, sf_dir, "bpe:reports", lambda: train()["reports"])
+    return v, rep
 
 
 def _bpe_sql_step(k: int) -> str:
@@ -1008,35 +1032,51 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sublinear; the encode pass is one keyed join of exploded doc
     tokens against it (AQE broadcasts when it fits) plus one per-doc
     hash agg. Nothing wider than word/doc_id shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(docs)
-    dtok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
-    )
-    enc = dtok.join(
-        vocab.select("word", F.size("syms").alias("n_syms")), "word", "left"
-    )
-    per_doc = enc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
-        F.sum(F.coalesce("n_syms", F.length("word")))
-        .cast("long")
-        .alias("n_tokens_bpe"),
-    )
-    ratio = F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_ws")
-    return (
-        docs.select("doc_id", "source")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce("n_tokens_ws", F.lit(0)).cast("long").alias("n_tokens_ws"),
-            F.coalesce("n_tokens_bpe", F.lit(0)).cast("long").alias("n_tokens_bpe"),
-            F.when(F.col("n_tokens_ws") > 0, _round4(ratio)).alias(
-                "compression_ratio"
-            ),
+    return _bpe_encoded_table(spark, sf_dir).orderBy("doc_id")
+
+
+def _bpe_encoded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the per-document encoded-token-count frame
+    (doc_id, source, n_tokens_ws, n_tokens_bpe, compression_ratio),
+    shared by the registered encoder query and the per-source fertility
+    rollup."""
+    from ..operators.substrate import session_frame
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab, _ = _bpe_trained(spark, sf_dir)
+        dtok = docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("word")
         )
-        .orderBy("doc_id")
-    )
+        enc = dtok.join(
+            vocab.select("word", F.size("syms").alias("n_syms")), "word", "left"
+        )
+        per_doc = enc.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
+            F.sum(F.coalesce("n_syms", F.length("word")))
+            .cast("long")
+            .alias("n_tokens_bpe"),
+        )
+        ratio = F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_ws")
+        return (
+            docs.select("doc_id", "source")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.coalesce("n_tokens_ws", F.lit(0))
+                .cast("long")
+                .alias("n_tokens_ws"),
+                F.coalesce("n_tokens_bpe", F.lit(0))
+                .cast("long")
+                .alias("n_tokens_bpe"),
+                F.when(F.col("n_tokens_ws") > 0, _round4(ratio)).alias(
+                    "compression_ratio"
+                ),
+            )
+        )
+
+    return session_frame(spark, sf_dir, "bpe:encoded", build)
 
 
 BPE_APPLY_MERGES_SQL = (
@@ -1074,6 +1114,48 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id
 """
 )
+
+
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source learned-tokenizer cost: the fertility (encoded tokens
+    per whitespace token) a tokenizer owner reads before fixing a
+    mixture — a source with outlier fertility (different script,
+    markup-heavy, OOV-dense) eats training budget disproportionately
+    and is the first candidate for tokenizer retraining or
+    reallocation. Pure rollup of ``bpe_apply_merges``; the division is
+    one IEEE op on exact BIGINT sums (order-independent)."""
+    enc = _bpe_encoded_table(spark, sf_dir)
+    fert = F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_ws")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+            F.sum("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens_ws",
+            "n_tokens_bpe",
+            F.when(F.col("n_tokens_ws") > 0, _round4(fert)).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKENIZER_FERTILITY_BY_SOURCE_SQL = f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens_ws) AS BIGINT) AS n_tokens_ws,
+  CAST(SUM(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+  CASE WHEN SUM(n_tokens_ws) > 0 THEN
+    {_ROUND4_SQL.format(x="CAST(SUM(n_tokens_bpe) AS DOUBLE) / SUM(n_tokens_ws)")}
+  END AS fertility
+FROM ({BPE_APPLY_MERGES_SQL})
+GROUP BY source
+ORDER BY source
+"""
 
 
 # --- Gopher-style repetition quality rules ----------------------------------
@@ -1329,6 +1411,22 @@ FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id CROSS JOIN tot
 # --- corpus report card -----------------------------------------------------
 
 
+# Registered queries reading the text_analysis session substrates (the
+# trained BPE vocabulary/report/encoded frames and the report card) —
+# bench harnesses group these with the other substrate families so a
+# blanket clearCache between queries doesn't evict shared state.
+TA_SUBSTRATE_CONSUMERS = frozenset(
+    {
+        "bpe_learn_merges",
+        "bpe_apply_merges",
+        "tokenizer_fertility_by_source",
+        "corpus_report_card",
+        "mixture_weights_by_quality",
+        "corpus_assembly_weighted",
+    }
+)
+
+
 def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health dashboard — the one query an operator
     reads before deciding mixture weights: volume (docs/tokens), mean
@@ -1344,7 +1442,18 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three narrow doc_id-keyed frames joined once against
     the md5 base (same shape as the assembly funnel), one hash agg to
-    |sources| rows. Each signal is itself linear."""
+    |sources| rows. Each signal is itself linear. Served from a session
+    substrate: the |sources|-row card is persisted once per (session,
+    corpus) and shared with mixture_weights_by_quality and the weighted
+    assembly (the measure->decide->assemble consumers)."""
+    from ..operators.substrate import session_frame
+
+    return session_frame(
+        spark, sf_dir, "rc:card", lambda: _report_card_compute(spark, sf_dir)
+    )
+
+
+def _report_card_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select("doc_id", "source", F.md5("text").alias("h"))
     ts = text_stats(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")

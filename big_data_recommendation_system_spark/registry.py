@@ -264,6 +264,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "bpe_pair_counts": text_analysis.bpe_pair_counts,
     "bpe_learn_merges": text_analysis.bpe_learn_merges,
     "bpe_apply_merges": text_analysis.bpe_apply_merges,
+    "tokenizer_fertility_by_source": text_analysis.tokenizer_fertility_by_source,
     "embedding_covariance": linalg.embedding_covariance,
     "pca_explained_variance": linalg.pca_explained_variance,
     "approx_distinct_daily": skew.approx_distinct_daily,
@@ -281,9 +282,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
 # cosmetics (see the r2-r7 rotation history in git). Round-8 rotation
-# (VERDICT r7 items 1-4): (a) the two NEW registrations (the BPE encoder
-# closing the tokenizer loop; the quality-weighted assembly closing the
-# measure->decide->assemble loop), (b) every query whose CODE changed this
+# (VERDICT r7 items 1-4): (a) the three NEW registrations (the BPE encoder
+# closing the tokenizer loop + its per-source fertility rollup; the
+# quality-weighted assembly closing the measure->decide->assemble loop),
+# (b) every query whose CODE changed this
 # round — the entire similarity/SRP family now reads the session embedding
 # substrates (operators/emb_substrate.py), bpe_learn_merges gained the
 # total-step guard, and corpus_assembly_funnel's oracle CTEs were
@@ -294,6 +296,7 @@ _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
     "bpe_apply_merges",
     "corpus_assembly_weighted",
+    "tokenizer_fertility_by_source",
     # code changed this round (embedding-substrate refactor; BPE
     # total-step guard; assembly oracle-CTE restructuring):
     "srp_lsh_pairs",
@@ -345,8 +348,8 @@ _PRIORITY_ORDER = [
     "daily_event_pivot",
     "ref_user_summary",
     "ref_daily_stats",
-    "ref_engagement_metrics",
     # ---- driver window ends here (50) ------------------------------------
+    "ref_engagement_metrics",
     # below: r7-green window entries (driver-verified LAST round,
     # freshest) and earlier greens, in r7 relative order; the
     # rows-only-by-design block stays last (unchanged justifications,
@@ -630,6 +633,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": text_analysis.BPE_PAIR_COUNTS_SQL,
     "bpe_learn_merges": text_analysis.BPE_LEARN_MERGES_SQL,
     "bpe_apply_merges": text_analysis.BPE_APPLY_MERGES_SQL,
+    "tokenizer_fertility_by_source": text_analysis.TOKENIZER_FERTILITY_BY_SOURCE_SQL,
     "embedding_covariance": linalg.EMBEDDING_COVARIANCE_SQL,
     "users_without_purchase": joins.USERS_WITHOUT_PURCHASE_SQL,
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
