@@ -388,6 +388,25 @@ NEAR_DUP_MAX_VEC_ID = 500  # oracle audit-slice bound (exact explode path)
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query form of the cell-blocked embedding near-dup
+    pairs — served from the session substrate (shared with
+    embedding_clusters and the text-side dup_detector_overlap)."""
+    return emb_near_dup_pairs_table(spark, sf_dir)
+
+
+def emb_near_dup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate over :func:`_embedding_near_dup_compute` —
+    three registered queries read these pairs; computing them once per
+    (session, corpus) mirrors the text side's dup_pairs substrate."""
+    return session_frame(
+        spark,
+        sf_dir,
+        "nd_pairs",
+        lambda: _embedding_near_dup_compute(spark, sf_dir),
+    )
+
+
+def _embedding_near_dup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection as a first-class pair
     query: all pairs (a < b) in the SAME IVF cell with cosine >= tau.
 
@@ -505,7 +524,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_canonical keep/drop flag."""
     from .text_dedup import connected_components
 
-    pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+    pairs = emb_near_dup_pairs_table(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     nodes = (

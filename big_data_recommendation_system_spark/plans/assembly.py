@@ -188,12 +188,25 @@ def funnel_rollup(staged: DataFrame) -> DataFrame:
     )
 
 
+def staged_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the per-document staged funnel decisions
+    (:func:`staged_docs` with the session dedup substrate), persisted
+    once per (session, corpus) and shared by the funnel rollup and the
+    quality-weighted assembly — the same frame ``cli/run_corpus.py``
+    writes once per snapshot in production."""
+    from ..operators.substrate import session_frame
+
+    return session_frame(
+        spark, sf_dir, "asm:staged", lambda: staged_docs(spark, sf_dir)
+    )
+
+
 def corpus_assembly_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents and tokens dropped per assembly stage — the one-line
     health report of the whole corpus pipeline, and the registered
     query whose DuckDB oracle replays every stage (recursive CC
     clustering included) in SQL."""
-    return funnel_rollup(staged_docs(spark, sf_dir))
+    return funnel_rollup(staged_docs_table(spark, sf_dir))
 
 
 def _staged_ctes() -> str:
@@ -312,7 +325,7 @@ def corpus_assembly_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     window task) plus broadcast joins of the |sources|-row frames."""
     from .packing import mixture_weights_by_quality
 
-    staged = staged_docs(spark, sf_dir)
+    staged = staged_docs_table(spark, sf_dir)
     kept = staged.filter(F.col("drop_reason") == "kept").select(
         "doc_id", "source", "n_tokens"
     )
