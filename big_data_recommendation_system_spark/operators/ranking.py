@@ -48,17 +48,25 @@ def with_global_rank(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # persist: the ranged frame feeds BOTH the per-partition-count branch
-    # and the local-rank branch. Without it the subtree (including any
-    # expensive upstream projection) executes once per branch — and,
-    # worse, repartitionByRange re-SAMPLES its bounds per execution, so
-    # the two branches could disagree on _pid assignment under
-    # recomputation. Callers pass a narrow projection, so the cached
-    # footprint is small even at 10^9 rows.
+    # Materialize ONCE (eager localCheckpoint): the ranged frame feeds
+    # BOTH the per-partition-count branch and the local-rank branch.
+    # Unmaterialized, the subtree (including any expensive upstream
+    # projection) executes once per branch — and, worse,
+    # repartitionByRange re-SAMPLES its bounds per execution, so the two
+    # branches could disagree on _pid assignment under recomputation.
+    # localCheckpoint instead of persist(): a per-call persist stays
+    # registered in the CacheManager until an explicit unpersist, so
+    # library callers in long-lived sessions accumulate frames (the
+    # r7-ADVICE leak class); checkpoint blocks are reclaimed by the
+    # ContextCleaner once the caller drops the frame. Same values, same
+    # single execution; at production scale an executor loss re-runs the
+    # query (reliable checkpoint() is the hardening lever there).
+    # Callers pass a narrow projection, so the materialized footprint is
+    # small even at 10^9 rows.
     ranged = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ≤ `parts` rows: triangular self-join beats an
@@ -106,13 +114,14 @@ def with_global_prefix_sum(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # persist for the same two reasons as with_global_rank: single
-    # execution of the (possibly expensive) upstream subtree, and a
-    # consistent sampled range partitioning across both consumer branches
+    # eager localCheckpoint for the same reasons as with_global_rank:
+    # single execution of the (possibly expensive) upstream subtree, a
+    # consistent sampled range partitioning across both consumer
+    # branches, and no CacheManager registration to leak per call
     ranged = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     totals = ranged.groupBy("_pid").agg(
         F.sum(value_col).cast("long").alias("_psum")

@@ -1863,3 +1863,73 @@ def test_corpus_assembly_weighted_invariants(spark, sf_dir_small):
     kept_docs, kept_tokens = funnel.get("kept", (0, 0))
     assert sum(r.n_kept_docs for r in rows) == kept_docs
     assert sum(r.n_kept_tokens for r in rows) == kept_tokens
+
+
+def test_run_index_cli_end_to_end(spark, sf_dir_small, tmp_path):
+    """cli/run_index.py: build writes the vector-index artifacts
+    (embeddings+norms, IVF assignment, PQ codes, SRP signatures) as
+    Parquet twins of the session substrates, and report's written
+    diagnostics must equal the same rollups computed inline over the
+    substrates — the on-disk snapshot is faithful, not a divergent
+    copy."""
+    import argparse
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "cli"))
+    run_index = importlib.import_module("run_index")
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.operators.emb_substrate import (
+        emb_norms,
+    )
+    from big_data_recommendation_system_spark.operators.similarity import (
+        ivf_assign_table,
+        pq_codes_table,
+    )
+    from big_data_recommendation_system_spark.operators.srp import srp_sig_table
+
+    out = str(tmp_path / "index_out")
+    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out)
+    run_index.run_build(ns)
+    run_index.run_report(ns)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(spark.read.parquet(_os.path.join(out, "emb_norms"))) == rows(
+        emb_norms(spark, sf_dir_small).withColumnRenamed("vid", "vec_id")
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "ivf_assign"))) == rows(
+        ivf_assign_table(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "pq_codes"))) == rows(
+        pq_codes_table(spark, sf_dir_small)
+    )
+    assert rows(
+        spark.read.parquet(_os.path.join(out, "srp_signatures"))
+    ) == rows(srp_sig_table(spark, sf_dir_small))
+
+    # report diagnostics equal inline rollups over the substrates
+    cell = spark.read.parquet(_os.path.join(out, "reports", "ivf_cell_sizes"))
+    want_cell = (
+        ivf_assign_table(spark, sf_dir_small)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    assert rows(cell) == rows(want_cell)
+    assert (
+        cell.agg(F.sum("n_vectors")).first()[0]
+        == emb_norms(spark, sf_dir_small).count()
+    )
+    usage = spark.read.parquet(_os.path.join(out, "reports", "pq_code_usage"))
+    assert usage.agg(F.sum("n_vectors")).first()[0] == 8 * emb_norms(
+        spark, sf_dir_small
+    ).count()
+    bstats = spark.read.parquet(
+        _os.path.join(out, "reports", "srp_bucket_stats")
+    ).collect()
+    assert {r.band for r in bstats} == set(range(4))
+    for r in bstats:
+        assert r.max_bucket >= 1 and r.candidate_pairs >= 0
