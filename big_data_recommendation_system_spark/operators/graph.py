@@ -30,12 +30,21 @@ _FP = 10**12
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    """Undirected edge list over the dup-pairs substrate — itself a
+    session substrate (shared by pagerank and the degree report, and
+    reused across repeat calls instead of re-registering a per-call
+    cache)."""
+    from .substrate import session_frame
+
+    def build() -> DataFrame:
+        pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        return pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+
+    return session_frame(spark, sf_dir, "graph:edges", build)
 
 
 def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,10 +59,22 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum keyed on dst, map-side combined. Rank state is two narrow
     columns; lineage is truncated per round with localCheckpoint like
     the connected-components loop."""
-    edges = _edges(spark, sf_dir).cache()
+    from .substrate import session_frame
+
+    edges = _edges(spark, sf_dir)  # session substrate, already persisted
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = edges.join(deg, "src").cache()  # (src, dst, out_deg), reused per round
-    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    # (src, dst, out_deg) reused per round; nodes feeds teleport + the
+    # final join — both session substrates (repeat calls reuse ONE
+    # persisted copy instead of re-registering per-call caches)
+    ed = session_frame(
+        spark, sf_dir, "graph:edges_deg", lambda: edges.join(deg, "src")
+    )
+    nodes = session_frame(
+        spark,
+        sf_dir,
+        "graph:nodes",
+        lambda: edges.select(F.col("src").alias("node")).distinct(),
+    )
     # n as a broadcast 1-row frame (exactly the SQL's CROSS JOIN n), NOT a
     # driver-side count(): a .count() action here would execute the whole
     # LSH pipeline once extra just to fetch a scalar.
