@@ -1933,3 +1933,28 @@ def test_run_index_cli_end_to_end(spark, sf_dir_small, tmp_path):
     assert {r.band for r in bstats} == set(range(4))
     for r in bstats:
         assert r.max_bucket >= 1 and r.candidate_pairs >= 0
+
+
+def test_substrates_survive_external_clearcache(spark, sf_dir_small):
+    """The driver owns its session and may clearCache() between queries:
+    every substrate-backed query must re-materialize transparently
+    (substrate.materialized re-persists when the storage level is gone)
+    and return identical rows before and after the eviction."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    names = [
+        "minhash_lsh_pairs",      # text pair substrate
+        "ann_cosine_topk",        # emb dims/norms substrates
+        "srp_lsh_pairs",          # srp sig/cand substrates
+        "bpe_apply_merges",       # trained-tokenizer substrates
+        "corpus_report_card",     # report-card substrate
+        "dup_graph_degrees",      # graph edge substrate
+    ]
+    before = {
+        n: sorted(map(tuple, QUERIES[n](spark, sf_dir_small).collect()))
+        for n in names
+    }
+    spark.catalog.clearCache()
+    for n in names:
+        after = sorted(map(tuple, QUERIES[n](spark, sf_dir_small).collect()))
+        assert after == before[n], n
