@@ -281,6 +281,9 @@ SUBSTRATE_CONSUMERS = frozenset(
         # shared substrate, same grouping rule
         "corpus_assembly_funnel",
         "corpus_assembly_weighted",
+        # union-detector clustering reads BOTH the text dup_pairs and the
+        # embedding near-dup pair substrates
+        "cross_detector_dup_clusters",
     }
 )
 
@@ -1265,6 +1268,157 @@ from .similarity import (  # noqa: E402  (no cycle: similarity imports nothing f
     EMBEDDING_NEAR_DUP_SQL as _EMB_ND_SQL,
     NEAR_DUP_MAX_VEC_ID as _EMB_ND_MAX,
 )
+
+
+def cross_detector_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-detector near-dup clustering — the pass a production dedup
+    pipeline actually executes when it runs BOTH detectors: a document
+    pair is an edge if the text path (MinHash/LSH, verified jaccard) OR
+    the embedding path (IVF-cell-blocked cosine) flagged it, and
+    connected components run over the union graph, so a paraphrase
+    chain (embedding-only edges) and a template chain (text-only edges)
+    sharing one document merge into ONE cluster — the case either
+    detector alone splits in two. Per document: the union cluster
+    label/size/canonical flag plus the cluster's edge provenance
+    (text-only / embedding-only / both pair counts — the redundancy
+    diagnostic of dup_detector_overlap at cluster grain).
+
+    Audit slice: doc/vec ids < NEAR_DUP_MAX_VEC_ID, the embedding
+    path's oracle bound (the whole table at sf<=0.01). Scale shape:
+    both pair sets come from their session substrates (bounded, never
+    all-pairs); the union graph is sparse, the CC loop is the shared
+    min-label-propagation operator; provenance is one keyed rollup of
+    the pair set."""
+    from .similarity import emb_near_dup_pairs_table
+
+    tp = (
+        dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < _EMB_ND_MAX) & (F.col("doc_b") < _EMB_ND_MAX)
+        )
+        .withColumn("t", F.lit(1))
+    )
+    ep = (
+        emb_near_dup_pairs_table(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .withColumn("e", F.lit(1))
+    )
+    up = tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EMB_ND_MAX)
+        .select("doc_id")
+    )
+    cc = connected_components(nodes, up.select("doc_a", "doc_b"))
+    prov = (
+        up.join(
+            cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("e").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_text_only_pairs"),
+            F.sum(
+                F.when(F.col("e").isNotNull() & F.col("t").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_emb_only_pairs"),
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_both_pairs"),
+        )
+    )
+    return (
+        cc.join(prov, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            F.coalesce("n_text_only_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_text_only_pairs"),
+            F.coalesce("n_emb_only_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_emb_only_pairs"),
+            F.coalesce("n_both_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_both_pairs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cross_detector_clusters_sql() -> str:
+    base = minhash_pairs_cte()
+    recursive_base = base.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        recursive_base
+        + f"""
+, tp AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE doc_a < {_EMB_ND_MAX} AND doc_b < {_EMB_ND_MAX}
+)
+, ep AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({_EMB_ND_SQL})
+)
+, up AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep)
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM up
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM up
+)
+, reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+, labels AS (
+  SELECT dd.doc_id,
+    LEAST(dd.doc_id, COALESCE(MIN(r.v), dd.doc_id)) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {_EMB_ND_MAX}) dd
+  LEFT JOIN reach r ON r.u = dd.doc_id
+  GROUP BY dd.doc_id
+)
+, sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+, prov AS (
+  SELECT l.cluster_id,
+    CAST(SUM(CASE WHEN t.doc_a IS NOT NULL AND e2.doc_a IS NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only_pairs,
+    CAST(SUM(CASE WHEN e2.doc_a IS NOT NULL AND t.doc_a IS NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_only_pairs,
+    CAST(SUM(CASE WHEN t.doc_a IS NOT NULL AND e2.doc_a IS NOT NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pairs
+  FROM up p
+  LEFT JOIN tp t ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+  LEFT JOIN ep e2 ON e2.doc_a = p.doc_a AND e2.doc_b = p.doc_b
+  JOIN labels l ON l.doc_id = p.doc_a
+  GROUP BY l.cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+  l.doc_id = l.cluster_id AS is_canonical,
+  COALESCE(pv.n_text_only_pairs, 0) AS n_text_only_pairs,
+  COALESCE(pv.n_emb_only_pairs, 0) AS n_emb_only_pairs,
+  COALESCE(pv.n_both_pairs, 0) AS n_both_pairs
+FROM labels l
+JOIN sizes s ON l.cluster_id = s.cluster_id
+LEFT JOIN prov pv ON pv.cluster_id = l.cluster_id
+ORDER BY l.doc_id
+"""
+    )
+
+
+CROSS_DETECTOR_DUP_CLUSTERS_SQL = _cross_detector_clusters_sql()
 
 DUP_DETECTOR_OVERLAP_SQL = f"""
 WITH tp AS (

@@ -209,6 +209,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "train_contamination_scan": corpus_prep.train_contamination_scan,
     "corpus_assembly_funnel": assembly.corpus_assembly_funnel,
     "corpus_assembly_weighted": assembly.corpus_assembly_weighted,
+    "cross_detector_dup_clusters": text_dedup.cross_detector_dup_clusters,
     "bloom_decon_prefilter": bloom.bloom_decon_prefilter,
     "corpus_shuffle": corpus_prep.corpus_shuffle,
     "curriculum_order": corpus_prep.curriculum_order,
@@ -282,9 +283,10 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
 # cosmetics (see the r2-r7 rotation history in git). Round-8 rotation
-# (VERDICT r7 items 1-4): (a) the three NEW registrations (the BPE encoder
+# (VERDICT r7 items 1-4): (a) the four NEW registrations (the BPE encoder
 # closing the tokenizer loop + its per-source fertility rollup; the
-# quality-weighted assembly closing the measure->decide->assemble loop),
+# quality-weighted assembly closing the measure->decide->assemble loop;
+# the union-detector dup clustering over text ∪ embedding edges),
 # (b) every query whose CODE changed this
 # round — the entire similarity/SRP family now reads the session embedding
 # substrates (operators/emb_substrate.py), bpe_learn_merges gained the
@@ -297,6 +299,7 @@ _PRIORITY_ORDER = [
     "bpe_apply_merges",
     "corpus_assembly_weighted",
     "tokenizer_fertility_by_source",
+    "cross_detector_dup_clusters",
     # code changed this round (embedding-substrate refactor; BPE
     # total-step guard; assembly oracle-CTE restructuring):
     "srp_lsh_pairs",
@@ -347,8 +350,8 @@ _PRIORITY_ORDER = [
     "value_outliers_by_type",
     "daily_event_pivot",
     "ref_user_summary",
-    "ref_daily_stats",
     # ---- driver window ends here (50) ------------------------------------
+    "ref_daily_stats",
     "ref_engagement_metrics",
     # below: r7-green window entries (driver-verified LAST round,
     # freshest) and earlier greens, in r7 relative order; the
@@ -577,6 +580,7 @@ ORACLES: dict[str, str] = {
     "train_contamination_scan": corpus_prep.TRAIN_CONTAMINATION_SQL,
     "corpus_assembly_funnel": assembly.CORPUS_ASSEMBLY_FUNNEL_SQL,
     "corpus_assembly_weighted": assembly.CORPUS_ASSEMBLY_WEIGHTED_SQL,
+    "cross_detector_dup_clusters": text_dedup.CROSS_DETECTOR_DUP_CLUSTERS_SQL,
     "bloom_decon_prefilter": bloom.BLOOM_DECON_PREFILTER_SQL,
     "user_engagement_salted": skew.USER_ENGAGEMENT_SALTED_SQL,
     "user_tenure_salted_join": skew.USER_TENURE_SALTED_JOIN_SQL,
