@@ -34,10 +34,14 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate bench wall time."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = (
-        _shingled_docs(spark, sf_dir)
-        .filter(F.col("doc_id") < EXACT_PAIRS_MAX_DOC_ID)
-        .cache()
+    from ..operators.substrate import scoped_materialized
+
+    # scoped materialization (MinHashLSH fit + both approxSimilarityJoin
+    # sides read it) — no per-call CacheManager leak
+    d = scoped_materialized(
+        _shingled_docs(spark, sf_dir).filter(
+            F.col("doc_id") < EXACT_PAIRS_MAX_DOC_ID
+        )
     )
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True

@@ -82,7 +82,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = _quantized(spark, sf_dir).mapInPandas(
         _gram_partials, schema="n bigint, s array<bigint>, ss array<bigint>"
     )
-    partials = partials.cache()  # three tiny consumers, one data pass
+    # scoped materialization (no per-call CacheManager leak): three tiny
+    # consumers, one data pass
+    from .substrate import scoped_materialized
+
+    partials = scoped_materialized(partials)
     n_tot = partials.agg(F.sum("n").alias("n_rows"))
     s_tot = (
         partials.select(F.posexplode("s").alias("i", "v"))

@@ -32,6 +32,44 @@ from pyspark.sql.window import Window
 RANK_COL = "_global_rank"
 TOTAL_COL = "_global_n"
 
+# How the ranged frame is materialized (it feeds BOTH the
+# per-partition-count branch and the local-rank branch; unmaterialized,
+# the upstream subtree executes once per branch AND repartitionByRange
+# re-SAMPLES its bounds per execution, so the branches could disagree on
+# _pid assignment). Selected via spark.conf "spark.bdrs.rank.materialize":
+#
+# - "localCheckpoint" (default): truncates lineage, blocks stored
+#   NON-REPLICATED on executors and GC-reclaimed once the caller drops
+#   the frame (no CacheManager registration to leak per call — the r7
+#   ADVICE class). The trade (r8 ADVICE): an executor loss makes the
+#   job FAIL (blocks are unrecoverable — callers must retry the query),
+#   and it is unsafe with dynamic allocation (executors holding blocks
+#   can be decommissioned). eager=True also means merely BUILDING a
+#   plan executes the upstream subtree once.
+# - "checkpoint": reliable checkpoint to spark.sparkContext's checkpoint
+#   dir — survives executor loss; requires setCheckpointDir. The
+#   hardening lever for deployments with executor churn / dynamic
+#   allocation.
+# - "persist": plain persist() — recomputable on executor loss, but the
+#   CacheManager entry lives until an explicit unpersist, so long-lived
+#   library sessions accumulate frames across calls.
+_MATERIALIZE_CONF = "spark.bdrs.rank.materialize"
+
+
+def _materialize_ranged(df: DataFrame) -> DataFrame:
+    mode = "localCheckpoint"
+    try:
+        mode = df.sparkSession.conf.get(_MATERIALIZE_CONF, mode)
+    except Exception:  # pragma: no cover - conf access never fails in practice
+        pass
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    if mode == "persist":
+        df = df.persist()
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
 
 def with_global_rank(
     df: DataFrame,
@@ -48,25 +86,16 @@ def with_global_rank(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # Materialize ONCE (eager localCheckpoint): the ranged frame feeds
-    # BOTH the per-partition-count branch and the local-rank branch.
-    # Unmaterialized, the subtree (including any expensive upstream
-    # projection) executes once per branch — and, worse,
-    # repartitionByRange re-SAMPLES its bounds per execution, so the two
-    # branches could disagree on _pid assignment under recomputation.
-    # localCheckpoint instead of persist(): a per-call persist stays
-    # registered in the CacheManager until an explicit unpersist, so
-    # library callers in long-lived sessions accumulate frames (the
-    # r7-ADVICE leak class); checkpoint blocks are reclaimed by the
-    # ContextCleaner once the caller drops the frame. Same values, same
-    # single execution; at production scale an executor loss re-runs the
-    # query (reliable checkpoint() is the hardening lever there).
-    # Callers pass a narrow projection, so the materialized footprint is
-    # small even at 10^9 rows.
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Materialize ONCE — see _materialize_ranged for the mode trade-offs
+    # (default localCheckpoint: no CacheManager leak, but an executor
+    # loss FAILS the job and callers must retry; set
+    # spark.bdrs.rank.materialize=checkpoint for executor-churn
+    # deployments). Callers pass a narrow projection, so the
+    # materialized footprint is small even at 10^9 rows.
+    ranged = _materialize_ranged(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ≤ `parts` rows: triangular self-join beats an
@@ -114,14 +143,14 @@ def with_global_prefix_sum(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # eager localCheckpoint for the same reasons as with_global_rank:
-    # single execution of the (possibly expensive) upstream subtree, a
-    # consistent sampled range partitioning across both consumer
-    # branches, and no CacheManager registration to leak per call
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # materialized for the same reasons as with_global_rank: single
+    # execution of the upstream subtree and a consistent sampled range
+    # partitioning across both consumer branches (mode trade-offs in
+    # _materialize_ranged)
+    ranged = _materialize_ranged(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     totals = ranged.groupBy("_pid").agg(
         F.sum(value_col).cast("long").alias("_psum")

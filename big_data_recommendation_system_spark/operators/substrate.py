@@ -8,6 +8,7 @@ form import cycles."""
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,14 +20,53 @@ def substrate_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
 
 def materialized(df: DataFrame) -> DataFrame:
     """Persist + materialize; re-persists if an external clearCache()
-    evicted a previously-registered frame (storageLevel goes to NONE)."""
+    evicted a previously-registered frame (storageLevel goes to NONE).
+    Materialization is a noop-sink write, not count(): count() lets
+    Catalyst plan an aggregate over the InMemoryRelation and, more
+    importantly, states the intent wrong — the substrate is persisted
+    column-for-column, which the noop write expresses exactly (the same
+    rationale as bench.py's full-materialization harness)."""
     if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
         df = df.persist()
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
     return df
 
 
+def scoped_materialized(df: DataFrame) -> DataFrame:
+    """Materialize a PER-CALL intermediate that feeds several branches of
+    one returned plan, without registering it in the CacheManager: eager
+    localCheckpoint. The blocks are GC-reclaimed by the ContextCleaner
+    once the caller drops the frame — no unpersist bookkeeping, so
+    repeated library calls cannot accumulate persisted frames (the
+    r7/r8-ADVICE leak class that a bare ``.cache()`` creates).
+
+    Trade-offs (same as operators/ranking.py's ranged-frame default):
+    blocks are non-replicated, so an executor loss FAILS the job
+    (callers retry) and it is unsafe with dynamic allocation; eager
+    materialization runs a Spark job at plan-construction time. Use
+    :func:`session_frame` instead when the frame is deterministic per
+    (session, corpus) and reused ACROSS queries."""
+    return df.localCheckpoint(eager=True)
+
+
+# Registry of persisted substrate frames, keyed by
+# (applicationId, corpus dir, name). Entries belonging to STOPPED
+# sessions are dropped on every registration (their applicationId no
+# longer matches any live session's), so a long-lived driver that
+# cycles SparkSessions doesn't pin dead DataFrame/session references
+# for the process lifetime (r8 ADVICE). The lock makes first-build
+# registration race-free: without it two concurrent first calls could
+# each build and persist the frame.
 _FRAMES: dict[tuple, DataFrame] = {}
+# RLock: builders routinely register their own upstream substrates
+# (emb_dims' build calls emb_table), so registration must be reentrant
+# on the owning thread.
+_LOCK = threading.RLock()
+
+
+def _evict_stale(app_id: str) -> None:
+    for key in [k for k in _FRAMES if k[0] != app_id]:
+        del _FRAMES[key]
 
 
 def session_frame(
@@ -38,8 +78,10 @@ def session_frame(
     Namespace ``what`` per family ('emb:…', 'bpe:…', …) so families
     can't collide."""
     key = substrate_key(spark, sf_dir, what)
-    df = _FRAMES.get(key)
-    if df is None:
-        df = build()
-    _FRAMES[key] = df = materialized(df)
+    with _LOCK:
+        _evict_stale(key[0])
+        df = _FRAMES.get(key)
+        if df is None:
+            df = build()
+        _FRAMES[key] = df = materialized(df)
     return df

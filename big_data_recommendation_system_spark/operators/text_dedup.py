@@ -74,10 +74,15 @@ def _shingled_docs(
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs jaccard ≥ threshold on word-2-gram sets, over the
     bounded audit slice (see module docstring)."""
-    d = (
-        _shingled_docs(spark, sf_dir, max_doc_id=EXACT_PAIRS_MAX_DOC_ID)
-        .withColumn("n", F.size("sh"))
-        .cache()  # feeds both sides of the self-join
+    # session-registered (feeds both sides of the self-join; a bare
+    # per-call cache leaked a CacheManager entry per invocation)
+    d = _text_frame(
+        spark,
+        sf_dir,
+        "ngram_slice",
+        lambda: _shingled_docs(
+            spark, sf_dir, max_doc_id=EXACT_PAIRS_MAX_DOC_ID
+        ).withColumn("n", F.size("sh")),
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
@@ -188,13 +193,14 @@ def _minhash_lsh_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of survivors (the one-shot pipeline; consumers go
     through the ``dup_pairs`` provider so the substrate is computed once
     per corpus snapshot, not once per report)."""
-    # the shingled frame comes from the shared substrate (it also feeds
-    # the containment index and the incremental batch path); signatures
-    # and bands are cached here because each feeds 2-3 consumers inside
-    # this pipeline — without caching, each reuse recomputes the chain.
+    # the shingled/signature/band frames all come from the shared
+    # session substrates (they also feed the containment index, the
+    # incremental batch path and the band-tuning report) — each feeds
+    # 2-3 consumers inside this pipeline, and substrate registration
+    # materializes them once per corpus with no per-call leak.
     d = shingled_docs_table(spark, sf_dir)
     sigs = minhash_sig_table(spark, sf_dir)
-    bands = lsh_band_keys(sigs).cache()
+    bands = lsh_bands_table(spark, sf_dir)
     small_buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bsize"))
@@ -255,8 +261,6 @@ def _minhash_lsh_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the standalone inline pipelines, so parity still checks the full
 # computation, not a cache.
 
-_SUBSTRATE: dict[tuple[str, str, str], DataFrame] = {}
-
 # Registered queries that read the shared pair/cluster substrate — bench
 # harnesses group these so a blanket clearCache between queries doesn't
 # evict the substrate they deliberately share.
@@ -284,26 +288,33 @@ SUBSTRATE_CONSUMERS = frozenset(
         # union-detector clustering reads BOTH the text dup_pairs and the
         # embedding near-dup pair substrates
         "cross_detector_dup_clusters",
+        # r9 cache hygiene: the exact-jaccard audit slice and the simhash
+        # band table moved from per-call .cache() to session registration
+        "ngram_jaccard_pairs",
+        "simhash_near_dup_pairs",
     }
 )
 
 
 # Generic registration plumbing lives in operators/substrate.py (shared
-# with the embedding substrate, import-neutral to avoid cycles).
-from .substrate import materialized as _materialized  # noqa: E402
-from .substrate import substrate_key as _substrate_key  # noqa: E402
+# with the embedding substrate, import-neutral to avoid cycles). All
+# text-family frames register through the shared session registry
+# (namespaced "text:"), which also handles stale-session eviction and
+# concurrent first-build races.
+from .substrate import session_frame as _session_frame  # noqa: E402
+
+
+def _text_frame(spark, sf_dir, what, build):
+    return _session_frame(spark, sf_dir, "text:" + what, build)
 
 
 def shingled_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-corpus shingled-docs frame (doc_id, sh), persisted once
     per session+corpus — the first stage every shingle consumer (LSH
     signatures, containment index, incremental batch) shares."""
-    key = _substrate_key(spark, sf_dir, "shingles")
-    df = _SUBSTRATE.get(key)
-    if df is None:
-        df = _shingled_docs(spark, sf_dir)
-    _SUBSTRATE[key] = df = _materialized(df)
-    return df
+    return _text_frame(
+        spark, sf_dir, "shingles", lambda: _shingled_docs(spark, sf_dir)
+    )
 
 
 def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,38 +322,47 @@ def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     session+corpus — shared by the pairs pipeline and the band-tuning
     report (the production shape persists signatures beside the corpus
     snapshot precisely so parameter sweeps never re-hash the text)."""
-    key = _substrate_key(spark, sf_dir, "minhash_sigs")
-    df = _SUBSTRATE.get(key)
-    if df is None:
-        df = minhash_signatures(shingled_docs_table(spark, sf_dir))
-    _SUBSTRATE[key] = df = _materialized(df)
-    return df
+    return _text_frame(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: minhash_signatures(shingled_docs_table(spark, sf_dir)),
+    )
+
+
+def lsh_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded LSH band-key frame (doc_id, band, band_key),
+    persisted once per session+corpus — shared by the symmetric pairs
+    pipeline and the asymmetric incremental path (each previously
+    re-built and per-call-cached it, the r8-ADVICE leak class)."""
+    return _text_frame(
+        spark,
+        sf_dir,
+        "bands",
+        lambda: lsh_band_keys(minhash_sig_table(spark, sf_dir)),
+    )
 
 
 def dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a, doc_b, jaccard), persisted once per
     session+corpus. If the session's cache is cleared the frame is
     re-persisted on next use — correctness never depends on the cache."""
-    key = _substrate_key(spark, sf_dir, "pairs")
-    df = _SUBSTRATE.get(key)
-    if df is None:
-        df = _minhash_lsh_pairs_compute(spark, sf_dir)
-    _SUBSTRATE[key] = df = _materialized(df)
-    return df
+    return _text_frame(
+        spark, sf_dir, "pairs", lambda: _minhash_lsh_pairs_compute(spark, sf_dir)
+    )
 
 
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component clusters over ``dup_pairs``, persisted once per
     session+corpus (the iterative CC loop is the expensive half)."""
-    key = _substrate_key(spark, sf_dir, "clusters")
-    df = _SUBSTRATE.get(key)
-    if df is None:
+
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        df = connected_components(
+        return connected_components(
             docs, dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
         )
-    _SUBSTRATE[key] = df = _materialized(df)
-    return df
+
+    return _text_frame(spark, sf_dir, "clusters", build)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,25 +536,28 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair work is two integer ops, so the verify stage is free compared
     to the jaccard verify of the MinHash path. One shuffle for the band
     join, one for the distinct — no all-pairs stage at any scale."""
-    fp = simhash_fingerprints(spark, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
-            .alias("band_key"),
+    def build_bands() -> DataFrame:
+        fp = simhash_fingerprints(spark, sf_dir)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+                .alias("band_key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+        return fp.select(
+            "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+        ).select(
+            "doc_id",
+            "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
         )
-        for b in range(SIMHASH_BANDS)
-    ]
-    bands = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-    )
-    bands = bands.cache()  # feeds both the bucket-size agg and the join
+
+    # session-registered: feeds both the bucket-size agg and the join
+    bands = _text_frame(spark, sf_dir, "simhash_bands", build_bands)
     small = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -688,6 +711,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
+    # the loop's per-round actions were the edge frame's only consumers
+    # (labels are localCheckpointed, so nothing downstream re-reads the
+    # edge lineage) — release the per-call cache instead of leaking a
+    # CacheManager entry per invocation
+    edges.unpersist()
     # paired docs carry their propagated label; the rest are singletons
     full = nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
@@ -941,7 +969,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same CTE chain and filter pairs to the cross-boundary orientation)."""
     d = shingled_docs_table(spark, sf_dir)
     sigs = minhash_sig_table(spark, sf_dir)
-    bands = lsh_band_keys(sigs).cache()
+    bands = lsh_bands_table(spark, sf_dir)
     small_buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bsize"))
@@ -1083,18 +1111,20 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Complements minhash_lsh_pairs: run both at corpus scale —
     LSH for symmetric near-dups, this for asymmetric inclusion. The
     shingled frame comes from the shared substrate."""
-    d = shingled_docs_table(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", F.md5("shingle").alias("h"))
-    capped = (
-        d.join(
+    def build_capped() -> DataFrame:
+        d = shingled_docs_table(spark, sf_dir).select(
+            "doc_id", F.explode("sh").alias("shingle")
+        ).select("doc_id", F.md5("shingle").alias("h"))
+        return d.join(
             d.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= CONTAINMENT_SHINGLE_MAX_DF)
             .select("h"),
             "h",
         )
-    ).cache()  # feeds both self-join sides and the size rollup
+
+    # session-registered: feeds both self-join sides and the size rollup
+    capped = _text_frame(spark, sf_dir, "containment_capped", build_capped)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
         capped.select(F.col("doc_id").alias("doc_a"), "h")

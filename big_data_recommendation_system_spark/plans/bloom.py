@@ -118,21 +118,24 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is FPR-bounded and carries no hint (AQE picks the strategy).
     No corpus-sized broadcast anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    labeled = (
-        docs.select(
+    from ..operators.substrate import session_frame
+
+    def build_labeled() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
             "doc_id",
             "source",
             split_label(split_bucket(F.col("doc_id"))).alias("split"),
             tokens(F.col("text")).alias("tok"),
-        )
-        .select(
+        ).select(
             "source",
             "split",
             F.explode(shingles("tok", DECON_NGRAM)).alias("s"),
         )
-        .cache()  # tokenize+shingle once; four branches read it
-    )
+
+    # session-registered: tokenize+shingle once; four branches read it
+    # (a bare per-call cache leaked a CacheManager entry per invocation)
+    labeled = session_frame(spark, sf_dir, "bloom:shingled", build_labeled)
 
     eval_s = labeled.filter(F.col("split") != "train").select("s").distinct()
     bitmap = bloom_bitmap(eval_s, "s")

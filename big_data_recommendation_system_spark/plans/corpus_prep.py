@@ -309,16 +309,23 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle rows narrow (same collision behavior as the MinHash
     machinery, functions/text.py).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        split_label(split_bucket(F.col("doc_id"))).alias("split"),
-        tokens(F.col("text")).alias("tok"),
-    )
-    # cached: the shingled frame feeds BOTH the train-side distinct and
-    # the eval side — without it the tokenize+shingle scan runs twice
-    shingled = docs.select(
-        "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
-    ).cache()
+    from ..operators.substrate import session_frame
+
+    def build_shingled() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            split_label(split_bucket(F.col("doc_id"))).alias("split"),
+            tokens(F.col("text")).alias("tok"),
+        )
+        return docs.select(
+            "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
+        )
+
+    # session-registered: the shingled frame feeds BOTH the train-side
+    # distinct and the eval side — without materialization the
+    # tokenize+shingle scan runs twice; a bare per-call cache leaked a
+    # CacheManager entry per invocation
+    shingled = session_frame(spark, sf_dir, "decon:shingled", build_shingled)
     train_sh = (
         shingled.filter(F.col("split") == "train")
         .select(F.explode("sh").alias("s"))
@@ -432,12 +439,19 @@ def train_eval_hits_from(docs: DataFrame) -> DataFrame:
     :func:`train_contamination_scan` (raw corpus) and
     ``cli/run_corpus.py`` (which applies it to the post-filter corpus —
     the documents that actually ship to training)."""
+    from ..operators.substrate import scoped_materialized
+
     toked = docs.select(
         "doc_id", "split", tokens(F.col("text")).alias("tok")
     )
-    shingled = toked.select(
-        "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
-    ).cache()
+    # scoped (eager localCheckpoint, GC-reclaimed — no per-call cache
+    # leak): ``docs`` is caller-supplied, so there is no stable
+    # (session, corpus) key to register a shared substrate under
+    shingled = scoped_materialized(
+        toked.select(
+            "doc_id", "split", shingles("tok", DECON_NGRAM).alias("sh")
+        )
+    )
     eval_sh = (
         shingled.filter(F.col("split") != "train")
         .select(F.explode("sh").alias("s"))

@@ -870,12 +870,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.orderBy("step")
 
 
-def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+def _bpe_train(
+    docs: DataFrame,
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
     """Run the full ``BPE_MERGE_STEPS`` training loop over a documents
     frame; returns (final vocabulary with each word's merged symbol
-    list, per-step report frames). Shared by the merge-learning report
-    (``bpe_learn_merges``) and the corpus encoder
-    (``bpe_apply_merges``)."""
+    list, per-step report frames, per-step intermediate caches — the
+    caller unpersists these once the finals are materialized). Shared
+    by the merge-learning report (``bpe_learn_merges``) and the corpus
+    encoder (``bpe_apply_merges``)."""
     vocab = (
         docs.withColumn("tok", tokens(F.col("text")))
         .select(F.explode("tok").alias("word"))
@@ -888,6 +891,7 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         )
     )
     reports = []
+    intermediates = []
     for step in range(1, BPE_MERGE_STEPS + 1):
         # cache the evolving vocabulary between steps: inside one step,
         # `sy` feeds the pair count, the merge-start detection AND the
@@ -896,10 +900,13 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         # cache is pure materialization — values identical, the oracle
         # unrolls the same algebra — and is the local analogue of the
         # vocab table a production trainer persists between iterations.
+        # The caller unpersists these once the final artifacts are
+        # materialized (r8 ADVICE: per-call caches must not accumulate).
         vocab = vocab.cache()
+        intermediates.append(vocab)
         vocab, rep = _bpe_merge_step(vocab, step)
         reports.append(rep)
-    return vocab, reports
+    return vocab, reports, intermediates
 
 
 def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -911,17 +918,25 @@ def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     training run feeds both registrations (the per-step intermediate
     caches of _bpe_train now happen once per session instead of once
     per query call)."""
-    from ..operators.substrate import session_frame
+    from ..operators.substrate import materialized, session_frame
 
     cell: dict[str, DataFrame] = {}
 
     def train() -> dict[str, DataFrame]:
         if "vocab" not in cell:
-            vocab, reports = _bpe_train(load_table(spark, sf_dir, "documents"))
+            vocab, reports, inter = _bpe_train(
+                load_table(spark, sf_dir, "documents")
+            )
             out = reports[0]
             for r in reports[1:]:
                 out = out.unionByName(r)
-            cell["vocab"], cell["reports"] = vocab, out
+            # materialize BOTH finals before releasing the per-step
+            # training caches (the finals' lineage runs through them);
+            # session_frame then sees already-persisted frames (no-op)
+            cell["vocab"] = materialized(vocab)
+            cell["reports"] = materialized(out)
+            for f in inter:
+                f.unpersist()
         return cell
 
     v = session_frame(spark, sf_dir, "bpe:vocab", lambda: train()["vocab"])

@@ -44,11 +44,16 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), F.to_date("ts").alias("day"), F.col("value")
     )
     # one full-data pass; bounds and the type list derive from the tiny
-    # rolled-up frame (persisted — three consumers), never a re-scan
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        decimal_avg(F.col("value")).alias("avg_value"),
-    ).persist()
+    # rolled-up frame (scoped materialization, three consumers, no
+    # per-call CacheManager leak), never a re-scan
+    from ..operators.substrate import scoped_materialized
+
+    daily = scoped_materialized(
+        ev.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_avg(F.col("value")).alias("avg_value"),
+        )
+    )
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

@@ -43,11 +43,15 @@ def read_bronze(spark: SparkSession, topic: str, paths: str | list[str]) -> Data
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): bad = rows whose line failed JSON parsing.
 
-    Caches the scan: Spark disallows queries referencing only the corrupt
-    column over a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
-    both halves re-read the batch anyway — same one-read-two-uses shape
-    as the reference pipeline."""
-    df = df.cache()
+    Materializes the scan (eager localCheckpoint — no per-call
+    CacheManager entry to leak): Spark disallows queries referencing only
+    the corrupt column over a raw JSON scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the materialized full-row copy
+    satisfies that — and both halves re-read the batch anyway; same
+    one-read-two-uses shape as the reference pipeline."""
+    from ..operators.substrate import scoped_materialized
+
+    df = scoped_materialized(df)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return good, bad

@@ -118,6 +118,9 @@ def run_gold(args: argparse.Namespace) -> None:
             skew_path
         )
         print(f"skew report ({','.join(skew_keys)}) -> {skew_path}")
+    # release the silver cache: the CLI may run several stages in one
+    # session (library path), so even one-shot caches get unpersisted
+    clickstream.unpersist()
     record_run(spark, os.path.join(args.gold_dir, "_pipeline_runs"), {"stage": "gold"})
 
 

@@ -1958,3 +1958,46 @@ def test_substrates_survive_external_clearcache(spark, sf_dir_small):
     for n in names:
         after = sorted(map(tuple, QUERIES[n](spark, sf_dir_small).collect()))
         assert after == before[n], n
+
+
+def test_repeat_query_calls_do_not_grow_cache_manager(spark, sf_dir_small):
+    """r8 ADVICE / r9 hygiene gate: library-path repeat invocations must
+    not accumulate CacheManager entries. Session substrates register
+    once per (session, corpus); per-call intermediates either unpersist
+    after use (CC edge frame, BPE training steps) or use scoped
+    localCheckpoint materialization (never registered in the
+    CacheManager at all). A second full round over the cache-heavy
+    query families must leave the CacheManager entry count exactly
+    where the first round left it."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    names = [
+        "ngram_jaccard_pairs",        # text: ngram audit slice substrate
+        "simhash_near_dup_pairs",     # text: simhash band substrate
+        "minhash_lsh_pairs",          # text: shingle/sig/band/pair chain
+        "near_dup_clusters",          # CC loop: edge cache must unpersist
+        "shingle_containment_pairs",  # text: containment index substrate
+        "incremental_near_dup",       # shared band substrate (asymmetric)
+        "decontamination_report",     # decon shingle substrate
+        "bloom_decon_prefilter",      # bloom shingle substrate
+        "train_contamination_scan",   # scoped localCheckpoint helper
+        "bpe_learn_merges",           # per-step caches must unpersist
+        "embedding_covariance",       # scoped gram partials
+        "order_backlog_daily",        # scoped daily rollup
+        "mllib_minhash_pairs",        # scoped audit slice
+        "corpus_split",               # global ranker materialization
+    ]
+
+    def run_all() -> None:
+        for n in names:
+            QUERIES[n](spark, sf_dir_small).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    def n_cached() -> int:
+        return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+    run_all()
+    baseline = n_cached()
+    run_all()
+    assert n_cached() == baseline
