@@ -251,6 +251,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "als_eval_metrics": recommend.als_eval_metrics,
     "media_features": multimodal.media_features,
     "media_preprocess_plan": multimodal.media_preprocess_plan,
+    "media_decoded_features": multimodal.media_decoded_features,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dup_detector_overlap": text_dedup.dup_detector_overlap,
     "dedup_token_savings": text_dedup.dedup_token_savings,
@@ -296,6 +297,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # (d) the stalest r4/r5-greens so nothing stays >2 rounds unchecked.
 _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
+    "media_decoded_features",
     "bpe_apply_merges",
     "corpus_assembly_weighted",
     "tokenizer_fertility_by_source",
@@ -623,6 +625,7 @@ ORACLES: dict[str, str] = {
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "media_preprocess_plan": multimodal.MEDIA_PREPROCESS_PLAN_SQL,
+    "media_decoded_features": multimodal.MEDIA_DECODED_FEATURES_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dup_detector_overlap": text_dedup.DUP_DETECTOR_OVERLAP_SQL,
     "dedup_token_savings": text_dedup.DEDUP_TOKEN_SAVINGS_SQL,

@@ -2001,3 +2001,57 @@ def test_repeat_query_calls_do_not_grow_cache_manager(spark, sf_dir_small):
     baseline = n_cached()
     run_all()
     assert n_cached() == baseline
+
+
+def test_media_payload_roundtrip_and_stdlib_wave_parity():
+    """The REAL BMP/WAV codec pair: synthesized container bytes must (a)
+    decode back to the generator's closed form, (b) parse with the
+    STDLIB ``wave`` reader (independent spec check of the WAV bytes),
+    (c) reject corrupt payloads, and (d) honor BMP's negative-height
+    top-down orientation (the top-row feature must flip)."""
+    import io
+    import struct
+    import wave
+
+    from big_data_recommendation_system_spark.plans.multimodal import (
+        _bmp_params,
+        _wav_params,
+        decode_media_payload,
+        synthesize_media_payload,
+    )
+
+    for doc_id in list(range(24)) + [399, 4998, 4999, 123456, 123457]:
+        p = synthesize_media_payload(doc_id)
+        f = decode_media_payload(p)
+        if doc_id % 2 == 0:
+            w, h, base = _bmp_params(doc_id)
+            assert (f["codec"], f["width"], f["height"]) == ("bmp", w, h)
+            assert f["mean_signal"] == (h * base + (h * (h - 1)) // 2) / h
+            assert f["top_row_luma"] == float(base + h - 1)
+            assert len(p) == 54 + ((3 * w + 3) // 4) * 4 * h
+            assert f["n_frames"] == 1
+        else:
+            n, base = _wav_params(doc_id)
+            assert (f["codec"], f["n_frames"], f["sample_rate"]) == ("wav", n, 8000)
+            assert f["mean_signal"] == (n * base + n // 2) / n
+            assert len(p) == 56 + n + n % 2
+            wf = wave.open(io.BytesIO(p))
+            assert (
+                wf.getnchannels(),
+                wf.getframerate(),
+                wf.getsampwidth(),
+                wf.getnframes(),
+            ) == (1, 8000, 1, n)
+            assert wf.readframes(n) == bytes(base + (i % 2) for i in range(n))
+
+    import pytest as _pytest
+
+    for bad in [b"", b"XX123", b"BM" + b"\x00" * 10, b"RIFF\x00\x00\x00\x00WAVE"]:
+        with _pytest.raises(ValueError):
+            decode_media_payload(bad)
+
+    # top-down BMP: negative height flips which file row is the image top
+    p = bytearray(synthesize_media_payload(2))
+    w, h, base = _bmp_params(2)
+    struct.pack_into("<i", p, 22, -h)
+    assert decode_media_payload(bytes(p))["top_row_luma"] == float(base)
