@@ -42,6 +42,46 @@ SUBSTRATE_CONSUMERS = (
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
 
+# Multi-consumer session substrates, in dependency order. Built (and
+# timed) explicitly at the start of the substrate-consumer group so the
+# bench JSON attributes build cost to the substrate, not to whichever
+# consumer happens to run first alphabetically (r8 VERDICT: the 8.2 s
+# recorded for cross_detector_dup_clusters was ~mostly first-touch
+# absorption of the embedding pair substrate). Single-consumer
+# substrates stay first-touch inside their one query — already honest.
+from big_data_recommendation_system_spark.operators import (  # noqa: E402
+    emb_substrate as _emb,
+    similarity as _sim,
+    srp as _srp,
+    text_dedup as _td,
+)
+from big_data_recommendation_system_spark.plans import (  # noqa: E402
+    assembly as _asm,
+    text_analysis as _ta,
+)
+
+SUBSTRATE_BUILDERS = [
+    ("emb:table", _emb.emb_table),
+    ("emb:dims", _emb.emb_dims),
+    ("emb:ivf_assign", _sim.ivf_assign_table),
+    ("emb:nd_pairs", _sim.emb_near_dup_pairs_table),
+    ("emb:nd_clusters", _sim.emb_clusters_table),
+    ("emb:pq_codes", _sim.pq_codes_table),
+    ("emb:srp_sigs", _srp.srp_sig_table),
+    ("emb:srp_cand", _srp._srp_cand_table),
+    ("text:shingles", _td.shingled_docs_table),
+    ("text:minhash_sigs", _td.minhash_sig_table),
+    ("text:bands", _td.lsh_bands_table),
+    ("text:pairs", _td.dup_pairs),
+    ("text:clusters", _td.dup_clusters),
+    ("text:union_pairs", _td._union_pairs_table),
+    ("text:union_clusters", _td._union_clusters_table),
+    ("bpe:trained", lambda spark, sf: _ta._bpe_trained(spark, sf)[0]),
+    ("bpe:encoded", _ta._bpe_encoded_table),
+    ("rc:card", _ta.corpus_report_card),
+    ("asm:staged", _asm.staged_docs_table),
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,9 +117,21 @@ def main() -> None:
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+    sub_timings: dict[str, float] = {}
     for _ in range(passes):
         spark.catalog.clearCache()  # each pass starts cold
+        built = False
         for name in ordered:
+            if not built and name in SUBSTRATE_CONSUMERS:
+                # the substrate-consumer group starts here: build every
+                # shared substrate with its OWN timing so consumer
+                # numbers are pure consume (see SUBSTRATE_BUILDERS)
+                for sname, fn in SUBSTRATE_BUILDERS:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir)
+                    el = round(time.perf_counter() - t0, 3)
+                    sub_timings[sname] = min(sub_timings.get(sname, el), el)
+                built = True
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -100,8 +152,15 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                # shared-substrate build cost, split out per substrate
+                # (consumer timings above are consume-only as of r9;
+                # "value" still includes builds, so totals stay
+                # comparable across rounds)
+                "substrates": sub_timings,
                 "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
+                "value": round(
+                    sum(timings.values()) + sum(sub_timings.values()), 3
+                ),
                 "unit": "sec",
                 # the registry grows every round — normalize before
                 # comparing totals across rounds
@@ -109,6 +168,7 @@ def main() -> None:
                 "avg_query_sec": round(
                     sum(timings.values()) / max(len(timings), 1), 3
                 ),
+                "substrate_build_sec": round(sum(sub_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
             }

@@ -521,23 +521,39 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable min-label-propagation loop as the text LSH clusters) on the
     IVF-cell-blocked cosine pairs. Every vector in the audit slice gets
     cluster_id = min reachable vec_id, cluster_size, and the
-    is_canonical keep/drop flag."""
-    from .text_dedup import connected_components
+    is_canonical keep/drop flag. Served from the session substrate —
+    the union-detector clustering also seeds its CC from these labels."""
+    return emb_clusters_table(spark, sf_dir)
 
-    pairs = emb_near_dup_pairs_table(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    nodes = (
-        emb_table(spark, sf_dir)
-        .filter(F.col("vec_id") < NEAR_DUP_MAX_VEC_ID)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
-    return connected_components(nodes, pairs).select(
-        F.col("doc_id").alias("vec_id"),
-        "cluster_id",
-        "cluster_size",
-        "is_canonical",
-    )
+
+def emb_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: CC labels over the embedding near-dup pairs,
+    computed once per (session, corpus) — shared by the registered
+    cluster query and ``cross_detector_dup_clusters`` (which seeds the
+    union-graph CC with these labels: each is the min vec_id of an
+    embedding component, a subset of the union component, so min-label
+    monotonicity is preserved and union convergence only has to merge
+    ACROSS detectors)."""
+
+    def build() -> DataFrame:
+        from .text_dedup import connected_components
+
+        pairs = emb_near_dup_pairs_table(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        nodes = (
+            emb_table(spark, sf_dir)
+            .filter(F.col("vec_id") < NEAR_DUP_MAX_VEC_ID)
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        return connected_components(nodes, pairs).select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+        )
+
+    return session_frame(spark, sf_dir, "nd_clusters", build)
 
 
 EMBEDDING_CLUSTERS_SQL = (

@@ -624,11 +624,25 @@ WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
 _MAX_CC_ITERS = 50
 
 
-def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    init_labels: DataFrame | None = None,
+) -> DataFrame:
     """Distributed connected components by iterative min-label
     propagation. ``nodes`` is (doc_id); ``pairs`` is undirected edges as
     (doc_a, doc_b). Returns (doc_id, cluster_id, cluster_size,
     is_canonical) with cluster_id = min doc_id reachable through edges.
+
+    ``init_labels`` (doc_id, cluster_id) optionally seeds the loop with
+    VALID initial labels — each seed must satisfy cluster_id <= doc_id
+    and cluster_id reachable from doc_id through ``pairs`` (labels from
+    a CC over any SUBSET of the edges qualify, e.g. a per-detector
+    cluster table when ``pairs`` is a union of detectors). Seeding
+    preserves the min-label fixpoint (operations are all mins over
+    in-component values) while cutting convergence to the rounds needed
+    to merge across the un-seeded edges; seeds for nodes outside the
+    paired subgraph are ignored (singletons never enter the loop).
 
     Only documents that appear in at least one pair enter the loop —
     everything else is trivially its own singleton cluster (at 100 TB
@@ -652,12 +666,21 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
+    paired = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    if init_labels is None:
+        labels = paired.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    else:
+        labels = paired.join(
+            init_labels.select("doc_id", F.col("cluster_id").alias("_seed")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce("_seed", F.col("doc_id"))
+            ).alias("cluster_id"),
+        )
+    labels = labels.localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for _ in range(_MAX_CC_ITERS):
@@ -1300,6 +1323,65 @@ from .similarity import (  # noqa: E402  (no cycle: similarity imports nothing f
 )
 
 
+def _union_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the text ∪ embedding pair table
+    (doc_a, doc_b, t, e) over the shared audit slice — t/e mark which
+    detector(s) emitted the pair (full-outer on the pair key). Feeds
+    the union CC and the cluster-grain provenance rollup."""
+
+    def build() -> DataFrame:
+        from .similarity import emb_near_dup_pairs_table
+
+        tp = (
+            dup_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .filter(
+                (F.col("doc_a") < _EMB_ND_MAX) & (F.col("doc_b") < _EMB_ND_MAX)
+            )
+            .withColumn("t", F.lit(1))
+        )
+        ep = (
+            emb_near_dup_pairs_table(spark, sf_dir)
+            .select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+            .withColumn("e", F.lit(1))
+        )
+        return tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+
+    return _text_frame(spark, sf_dir, "union_pairs", build)
+
+
+def _union_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: CC labels over the union pair graph, SEEDED
+    with the embedding-detector cluster labels (each is the min vec_id
+    of an embedding component — a subset of its union component, so the
+    seed is a valid initial label and the loop starts with every
+    embedding chain already collapsed). Text labels are NOT used as
+    seeds: the text substrate is clustered over the FULL corpus, and a
+    full-corpus label can be reachable only through a path that leaves
+    the audit slice — invalid for the bounded union graph."""
+
+    def build() -> DataFrame:
+        from .similarity import emb_clusters_table
+
+        nodes = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _EMB_ND_MAX)
+            .select("doc_id")
+        )
+        seeds = emb_clusters_table(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "cluster_id"
+        )
+        return connected_components(
+            nodes,
+            _union_pairs_table(spark, sf_dir).select("doc_a", "doc_b"),
+            init_labels=seeds,
+        )
+
+    return _text_frame(spark, sf_dir, "union_clusters", build)
+
+
 def cross_detector_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION-detector near-dup clustering — the pass a production dedup
     pipeline actually executes when it runs BOTH detectors: a document
@@ -1316,31 +1398,15 @@ def cross_detector_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Audit slice: doc/vec ids < NEAR_DUP_MAX_VEC_ID, the embedding
     path's oracle bound (the whole table at sf<=0.01). Scale shape:
     both pair sets come from their session substrates (bounded, never
-    all-pairs); the union graph is sparse, the CC loop is the shared
-    min-label-propagation operator; provenance is one keyed rollup of
-    the pair set."""
-    from .similarity import emb_near_dup_pairs_table
-
-    tp = (
-        dup_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .filter(
-            (F.col("doc_a") < _EMB_ND_MAX) & (F.col("doc_b") < _EMB_ND_MAX)
-        )
-        .withColumn("t", F.lit(1))
-    )
-    ep = (
-        emb_near_dup_pairs_table(spark, sf_dir)
-        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-        .withColumn("e", F.lit(1))
-    )
-    up = tp.join(ep, ["doc_a", "doc_b"], "full_outer")
-    nodes = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _EMB_ND_MAX)
-        .select("doc_id")
-    )
-    cc = connected_components(nodes, up.select("doc_a", "doc_b"))
+    all-pairs); the union pair table AND the union CC labels are
+    THEMSELVES session substrates (r8 VERDICT perf-watch: repeat calls
+    previously re-ran the union CC from scratch), with the CC seeded by
+    the per-detector embedding cluster labels already materialized
+    beside the corpus — valid initial labels, so the loop only has to
+    merge across detectors; provenance is one keyed rollup of the pair
+    set."""
+    up = _union_pairs_table(spark, sf_dir)
+    cc = _union_clusters_table(spark, sf_dir)
     prov = (
         up.join(
             cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"

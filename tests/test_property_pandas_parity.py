@@ -395,3 +395,62 @@ def test_srp_signature_bits_match_numpy(spark, vecs):
         dots = W @ xq
         for p in range(len(SRP_WEIGHTS)):
             assert got[i][f"bit{p}"] == (1 if dots[p] >= 0 else 0), (i, p)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_nodes=st.integers(2, 30),
+    subset_mod=st.integers(2, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_seeded_equals_unseeded(
+    spark, edges, n_nodes, subset_mod
+):
+    """Seeding the CC loop with labels computed over an arbitrary edge
+    SUBSET (the valid-seed class: cluster_id <= doc_id, reachable in
+    the full graph) must not change the fixpoint — the exact contract
+    cross_detector_dup_clusters relies on when it seeds the union graph
+    with the embedding detector's labels."""
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes]
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 1)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("doc_a != doc_a")
+    # seeds = CC over a deterministic subset of the edges (every
+    # subset_mod-th edge) — labels from a sub-detector
+    sub = [e for i, e in enumerate(edges) if i % subset_mod == 0]
+    sub_df = spark.createDataFrame(sub or [(0, 1)], "doc_a long, doc_b long")
+    if not sub:
+        sub_df = sub_df.filter("doc_a != doc_a")
+    seeds = connected_components(nodes_df, sub_df).select(
+        "doc_id", "cluster_id"
+    )
+    unseeded = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in connected_components(nodes_df, pairs_df).collect()
+    }
+    seeded = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in connected_components(
+            nodes_df, pairs_df, init_labels=seeds
+        ).collect()
+    }
+    assert seeded == unseeded
