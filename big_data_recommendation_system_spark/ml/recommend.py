@@ -253,3 +253,97 @@ WHERE prop_k IS NOT NULL
 GROUP BY 1, 2
 ORDER BY user_id, item_id
 """)
+
+
+# --- serving-path agreement anchor (driver-hashable despite ALS) -------------
+
+ALS_AGREE_K = 5
+# Margin absorbs float32-vs-float64 summation-order ulps at the top-k
+# boundary: every MLlib top-5 item must appear in the explicit top-8.
+ALS_AGREE_MARGIN = 3
+
+
+def als_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable correctness row for the ALS SERVING path (the
+    cosine_topk_agreement trick, operators/similarity.py): train once,
+    then compare MLlib's ``recommendForAllUsers(k)`` against an explicit
+    factor-matrix top-(k+margin) computed in DataFrame algebra from the
+    SAME trained factors. When the serving path is correct every user's
+    intersection is exactly k, so the output row
+
+        (n_users, min_common, max_common) = (|users|, k, k)
+
+    is a CONSTANT despite the nondeterministic factorization — n_users
+    is SQL-expressible from the ratings matrix, making this family's
+    serving path value-hashable (the factors themselves stay covered by
+    the pytest lift pin). A transposed factor join, wrong dot fold, or
+    broken explode drives min_common toward 0 and fails the hash.
+
+    Scale shape: the explicit check is user x item with the item-factor
+    frame broadcast — the same O(U x I) class as recommendForAllUsers
+    itself; at production scale both run over a sampled user set."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql.window import Window
+
+    ratings = user_item_matrix(silver_events(spark, sf_dir))
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        implicitPrefs=True,
+        alpha=1.0,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(ALS_AGREE_K).select(
+        "user_id", F.explode("recommendations.item_id").alias("item_id")
+    )
+    uf = model.userFactors.select(
+        F.col("id").alias("user_id"), F.col("features").alias("u_f")
+    )
+    itf = model.itemFactors.select(
+        F.col("id").alias("item_id"), F.col("features").alias("i_f")
+    )
+    scored = uf.join(F.broadcast(itf), F.lit(True)).withColumn(
+        "score",
+        F.expr(
+            "aggregate(zip_with(u_f, i_f, (x, y) -> CAST(x AS DOUBLE) * y),"
+            " 0D, (acc, v) -> acc + v)"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    explicit = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ALS_AGREE_K + ALS_AGREE_MARGIN)
+        .select("user_id", "item_id")
+    )
+    common = (
+        recs.join(explicit, ["user_id", "item_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # left join from the recommended users so a fully-broken path yields
+    # min_common = 0, not a silently shrunken row set
+    per_user = (
+        recs.select("user_id")
+        .distinct()
+        .join(common, "user_id", "left")
+        .select(F.coalesce("n_common", F.lit(0)).alias("n_common"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("n_common").cast("long").alias("min_common"),
+        F.max("n_common").cast("long").alias("max_common"),
+    )
+
+
+ALS_TOPK_AGREEMENT_SQL = silver_cte(f"""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST({ALS_AGREE_K} AS BIGINT) AS min_common,
+       CAST({ALS_AGREE_K} AS BIGINT) AS max_common
+FROM silver WHERE prop_k IS NOT NULL
+""")

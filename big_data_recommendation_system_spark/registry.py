@@ -249,6 +249,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "item_cooccurrence": recommend.item_cooccurrence,
     "als_recommendations": recommend.als_recommendations,
     "als_eval_metrics": recommend.als_eval_metrics,
+    "als_topk_agreement": recommend.als_topk_agreement,
     "media_features": multimodal.media_features,
     "media_preprocess_plan": multimodal.media_preprocess_plan,
     "media_decoded_features": multimodal.media_decoded_features,
@@ -298,6 +299,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
     "media_decoded_features",
+    "als_topk_agreement",
     "bpe_apply_merges",
     "corpus_assembly_weighted",
     "tokenizer_fertility_by_source",
@@ -588,6 +590,12 @@ ORACLES: dict[str, str] = {
     "user_tenure_salted_join": skew.USER_TENURE_SALTED_JOIN_SQL,
     "key_skew_report": skew.KEY_SKEW_REPORT_SQL,
     "als_input_matrix": recommend.ALS_INPUT_MATRIX_SQL,
+    # als_topk_agreement: the OUTPUT is a deterministic constant row
+    # (n_users from the ratings matrix; k, k) whenever MLlib's serving
+    # path agrees with the explicit factor-algebra top-k computed from
+    # the same trained factors — the cosine_topk_agreement trick applied
+    # to ALS, converting a rows-only family into a value-hashed row.
+    "als_topk_agreement": recommend.ALS_TOPK_AGREEMENT_SQL,
     "corpus_shuffle": corpus_prep.CORPUS_SHUFFLE_SQL,
     "curriculum_order": corpus_prep.CURRICULUM_ORDER_SQL,
     "token_budget_sample": corpus_prep.TOKEN_BUDGET_SAMPLE_SQL,
