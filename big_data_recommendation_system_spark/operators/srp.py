@@ -72,7 +72,15 @@ def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = _quantized_emb(spark, sf_dir)
+    return srp_sig_frame(_quantized_emb(spark, sf_dir))
+
+
+def srp_sig_frame(q: DataFrame) -> DataFrame:
+    """(vec_id, b0..b{bands-1}) from any quantized ``(vec_id, q)`` frame
+    — the frame-level form `cli/run_index.py update` applies to an
+    incoming vector batch (the planes are data-independent md5
+    constants, so batch signatures are bit-identical to a full
+    rebuild's)."""
     bits = []
     for p in range(SRP_PLANES):
         warr = ", ".join(str(w) for w in SRP_WEIGHTS[p])

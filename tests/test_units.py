@@ -2055,3 +2055,69 @@ def test_media_payload_roundtrip_and_stdlib_wave_parity():
     w, h, base = _bmp_params(2)
     struct.pack_into("<i", p, 22, -h)
     assert decode_media_payload(bytes(p))["top_row_luma"] == float(base)
+
+
+def test_run_index_update_equals_full_rebuild(spark, sf_dir_small, tmp_path):
+    """cli/run_index.py update: appending a vector batch to an index
+    built over the prefix corpus must reproduce the full-corpus build
+    frame-for-frame on EVERY artifact (norms, IVF assignment, PQ codes,
+    SRP signatures) — the continuous-ingestion contract, at O(batch)
+    cost. Also pins the double-append guard."""
+    import argparse
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    import pytest as _pytest
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "cli"))
+    run_index = importlib.import_module("run_index")
+    from pyspark.sql import functions as F
+
+    batch_min = 400  # suffix = the last 100 of 500 vectors
+
+    # prefix corpus dir: embeddings with vec_id < batch_min
+    prefix_dir = str(tmp_path / "prefix_sf")
+    _os.makedirs(prefix_dir)
+    full_emb = spark.read.parquet(
+        _os.path.join(sf_dir_small, "embeddings.parquet")
+    )
+    full_emb.filter(F.col("vec_id") < batch_min).coalesce(1).write.parquet(
+        _os.path.join(prefix_dir, "embeddings.parquet")
+    )
+
+    out_inc = str(tmp_path / "idx_inc")
+    out_full = str(tmp_path / "idx_full")
+    ns = lambda **kw: argparse.Namespace(**kw)  # noqa: E731
+    run_index.run_build(ns(sf_dir=prefix_dir, out_dir=out_inc))
+    run_index.run_update(
+        ns(sf_dir=sf_dir_small, out_dir=out_inc, batch_min_vec_id=batch_min)
+    )
+    run_index.run_build(ns(sf_dir=sf_dir_small, out_dir=out_full))
+
+    for name in run_index.ARTIFACTS:
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(_os.path.join(out_inc, name)).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(_os.path.join(out_full, name)).collect(),
+            )
+        )
+        assert got == want, f"{name}: incremental != full rebuild"
+
+    # reports were re-emitted against the post-update index
+    cells = spark.read.parquet(
+        _os.path.join(out_inc, "reports", "ivf_cell_sizes")
+    )
+    assert cells.agg(F.sum("n_vectors")).first()[0] == full_emb.count()
+
+    # double-append guard: a second update with the same batch must exit
+    with _pytest.raises(SystemExit):
+        run_index.run_update(
+            ns(sf_dir=sf_dir_small, out_dir=out_inc, batch_min_vec_id=batch_min)
+        )
