@@ -284,63 +284,97 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
-# cosmetics (see the r2-r7 rotation history in git). Round-8 rotation
-# (VERDICT r7 items 1-4): (a) the four NEW registrations (the BPE encoder
-# closing the tokenizer loop + its per-source fertility rollup; the
-# quality-weighted assembly closing the measure->decide->assemble loop;
-# the union-detector dup clustering over text ∪ embedding edges),
-# (b) every query whose CODE changed this
-# round — the entire similarity/SRP family now reads the session embedding
-# substrates (operators/emb_substrate.py), bpe_learn_merges gained the
-# total-step guard, and corpus_assembly_funnel's oracle CTEs were
-# restructured for sharing — (c) the nine r3/r5-greens the r7 window
-# displaced (the VERDICT item-1 queue) plus dedup_rate_by_source, then
-# (d) the stalest r4/r5-greens so nothing stays >2 rounds unchecked.
+# cosmetics (see the r2-r8 rotation history in git). Round-9 rotation
+# (VERDICT r8 items 1-5 + ADVICE): (a) the two NEW registrations (real
+# BMP/WAV decode; the ALS serving-path agreement anchor), (b) every query
+# whose CODE changed this round (cache-hygiene substrate moves, the
+# seeded union CC, the srp frame refactor, scoped materialization, the
+# ranker materialization switch), (c) the two r8 bench-regression watch
+# items, then (d) the 16 r5-stale greens the r8 VERDICT queued.
 _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
     "media_decoded_features",
     "als_topk_agreement",
-    "bpe_apply_merges",
-    "corpus_assembly_weighted",
-    "tokenizer_fertility_by_source",
+    # code changed this round: connected_components gained seeded
+    # init_labels + the edge-cache unpersist; the union pair/CC frames
+    # and embedding clusters became session substrates — every CC
+    # consumer re-verifies:
     "cross_detector_dup_clusters",
-    # code changed this round (embedding-substrate refactor; BPE
-    # total-step guard; assembly oracle-CTE restructuring):
+    "embedding_clusters",
+    "near_dup_clusters",
+    "cluster_size_histogram",
+    # code changed: cache hygiene moved the text-dedup chain (shingle/
+    # sig/band tables, containment index, simhash bands, ngram slice)
+    # and the decon/bloom shingle frames to session substrates:
+    "minhash_lsh_pairs",
+    "incremental_near_dup",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "shingle_containment_pairs",
+    "dedup_retention_plan",
+    "dedup_rate_by_source",
+    "dedup_token_savings",
+    "cross_source_dup_matrix",
+    "lsh_recall_report",
+    "dup_detector_overlap",
+    "dup_graph_pagerank",
+    "dup_graph_degrees",
+    "lsh_band_tuning_report",
+    "decontamination_report",
+    "bloom_decon_prefilter",
+    "train_contamination_scan",
+    # code changed: BPE per-step training caches now release after
+    # the artifacts materialize:
+    "bpe_learn_merges",
+    "bpe_apply_merges",
+    "tokenizer_fertility_by_source",
+    # code changed: srp_sig_frame refactor (frame-level signatures
+    # for the incremental index CLI):
+    "srp_signatures",
     "srp_lsh_pairs",
     "srp_incremental_pairs",
-    "srp_signatures",
+    # code changed: scoped materialization (gram partials, timeseries
+    # daily rollup) and the global-ranker materialization mode switch:
+    "embedding_covariance",
+    "order_backlog_daily",
+    "corpus_split",
+    "sequence_packing",
+    "corpus_assembly_weighted",
+    "corpus_assembly_funnel",
+    "user_rfm_segments",
+    # r8 bench-regression watch items (plans unchanged; re-verify):
+    "token_budget_sample",
+    "text_stats",
+    # stalest greens (r5) — the r8 VERDICT item-2 queue:
+    "ref_daily_stats",
+    "ref_engagement_metrics",
+    "user_features_batch",
+    "product_features_batch",
+    "top_event_types_per_user",
+    "doc_fingerprints",
+    "lang_id",
+    "simhash_fingerprints",
+    "item_cooccurrence",
+    "events_with_last_signup",
+    "orders_with_returns",
+    "trailing_hour_counts",
+    # ---- driver window ends here (50) ------------------------------------
     "ann_cosine_topk",
     "cosine_topk_agreement",
     "ann_ivf_topk",
     "ivf_probe_sweep",
     "embedding_near_dup_pairs",
-    "embedding_clusters",
     "knn_label_eval",
     "embedding_quantize",
     "kmeans_step",
     "cluster_label_purity",
     "pq_codes",
     "pq_topk_agreement",
-    "bpe_learn_merges",
-    "corpus_assembly_funnel",
-    # the r3/r5-greens displaced by the r7 window (VERDICT r7 item 1):
     "media_features",
     "user_tier_scd2",
-    "dup_graph_pagerank",
-    "dup_graph_degrees",
-    "dedup_retention_plan",
-    "dedup_rate_by_source",
-    "dedup_token_savings",
-    "cross_source_dup_matrix",
-    "lsh_recall_report",
-    "shingle_containment_pairs",
-    # stalest r4/r5-greens (fill to 50):
-    "embedding_covariance",
-    "user_rfm_segments",
     "price_quantity_corr",
     "attribution_delay_stats",
     "daily_burst_detection",
-    "order_backlog_daily",
     "epoch_repeat_plan",
     "media_preprocess_plan",
     "sentence_dedup_stats",
@@ -354,21 +388,12 @@ _PRIORITY_ORDER = [
     "value_outliers_by_type",
     "daily_event_pivot",
     "ref_user_summary",
-    # ---- driver window ends here (50) ------------------------------------
-    "ref_daily_stats",
-    "ref_engagement_metrics",
-    # below: r7-green window entries (driver-verified LAST round,
-    # freshest) and earlier greens, in r7 relative order; the
-    # rows-only-by-design block stays last (unchanged justifications,
-    # see the per-name comments in git history / COVERAGE.md):
     "user_tenure_salted_join",
     "als_input_matrix",
     "gopher_repetition_rules",
     "token_rarity_score",
     "doc_length_histogram",
-    "lsh_band_tuning_report",
     "corpus_report_card",
-    "cluster_size_histogram",
     "mixture_weights_by_quality",
     "source_vocab_overlap",
     "user_engagement_salted",
@@ -388,37 +413,16 @@ _PRIORITY_ORDER = [
     "daily_gapfill",
     "profile_events",
     "value_percentiles_by_type",
-    "corpus_split",
     "doc_repetition_stats",
     "corpus_prep_summary",
-    "decontamination_report",
     "pii_scrub",
     "mixture_sample",
-    "sequence_packing",
     "packing_summary",
     "chunk_documents",
     "balanced_sample",
-    "incremental_near_dup",
-    "near_dup_clusters",
-    "simhash_near_dup_pairs",
     "corpus_shuffle",
     "span_dedup_stats",
-    "token_budget_sample",
     "filter_funnel_report",
-    "user_features_batch",
-    "product_features_batch",
-    "top_event_types_per_user",
-    "ngram_jaccard_pairs",
-    "doc_fingerprints",
-    "lang_id",
-    "simhash_fingerprints",
-    "item_cooccurrence",
-    "events_with_last_signup",
-    "orders_with_returns",
-    "minhash_lsh_pairs",
-    "trailing_hour_counts",
-    "text_stats",
-    "dup_detector_overlap",
     "mixture_plan",
     "source_vocab_divergence",
     "curriculum_order",
@@ -459,13 +463,13 @@ _PRIORITY_ORDER = [
     "latest_event_per_user",
     "dedup_exact_events",
     "key_skew_report",
-    "bloom_decon_prefilter",
-    "train_contamination_scan",
     # rows-only by design (no SQL oracle; driver records rows-only):
     # pca: driver-side eigensolve of the collected 64x64 matrix (data
     #   pass is the hash-verified embedding_covariance);
-    # als_*: iterative MLlib ALS, non-deterministic factor init —
-    #   pytest pins hit-rate lift vs the popularity baseline;
+    # als_recommendations / als_eval_metrics: iterative MLlib ALS,
+    #   non-deterministic factor init — pytest pins hit-rate lift vs the
+    #   popularity baseline; the SERVING path is now hash-anchored by
+    #   als_topk_agreement (oracled, in this round's window);
     # mllib_minhash_pairs: approxSimilarityJoin internals — pytest pins
     #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs;
     # kmeans_refine: self-evidencing `descended` Lloyd-invariant flag
