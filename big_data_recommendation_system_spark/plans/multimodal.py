@@ -286,12 +286,18 @@ def decode_media_payload(payload: bytes) -> dict:
     if payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("BMP: truncated header")
-        _, size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        _, file_size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
         bi_size, w, h, planes, bpp, compression = struct.unpack_from(
             "<IiiHHI", payload, 14
         )
         if bi_size < 40 or planes != 1 or compression != 0:
             raise ValueError("BMP: unsupported header")
+        if file_size != len(payload):
+            raise ValueError(
+                f"BMP: header file size {file_size} != payload {len(payload)}"
+            )
+        if w <= 0 or h == 0:
+            raise ValueError(f"BMP: invalid dimensions {w}x{h}")
         if bpp != 24:
             raise ValueError(f"BMP: unsupported bit depth {bpp}")
         top_down = h < 0
@@ -464,4 +470,61 @@ SELECT doc_id,
   END AS mean_signal,
   CASE WHEN is_img THEN CAST(base + h - 1 AS DOUBLE) END AS top_row_luma
 FROM m
+"""
+
+
+def media_decoded_preprocess_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preprocessing plan over the REAL decoded features — the same
+    contract as ``media_preprocess_plan`` (aspect-preserving resize to a
+    224 longest edge; evenly-strided ≤4-frame sample) but driven by
+    byte-parsed dimensions and frame counts instead of the stub
+    decoder's: images resize and emit their single frame, audio emits 4
+    strided sample offsets (resize columns NULL — no pixel geometry).
+    Integer-only arithmetic, so the plan is bit-identical across
+    engines; NULL width/height propagates through DIV on both sides."""
+    feats = media_decoded_features(spark, sf_dir).filter(F.col("n_frames") > 0)
+    k = F.least(F.col("n_frames"), F.lit(MAX_SAMPLED_FRAMES))
+    plan = feats.select(
+        "doc_id",
+        "media_type",
+        "n_frames",
+        F.expr(f"CAST(width * {TARGET_EDGE} AS BIGINT) DIV greatest(width, height)")
+        .cast("int")
+        .alias("out_w"),
+        F.expr(f"CAST(height * {TARGET_EDGE} AS BIGINT) DIV greatest(width, height)")
+        .cast("int")
+        .alias("out_h"),
+        k.alias("k"),
+        F.explode(
+            F.expr(f"sequence(0, least(n_frames, {MAX_SAMPLED_FRAMES}) - 1)")
+        ).alias("i"),
+    )
+    return (
+        plan.select(
+            "doc_id",
+            "media_type",
+            "out_w",
+            "out_h",
+            F.expr("CAST(i * n_frames AS BIGINT) DIV k").cast("int").alias(
+                "frame_idx"
+            ),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MEDIA_DECODED_PREPROCESS_SQL = f"""
+WITH feats AS ({MEDIA_DECODED_FEATURES_SQL}),
+plan AS (
+  SELECT doc_id, media_type, n_frames,
+    CAST((width * {TARGET_EDGE}) // greatest(width, height) AS INT) AS out_w,
+    CAST((height * {TARGET_EDGE}) // greatest(width, height) AS INT) AS out_h,
+    least(n_frames, {MAX_SAMPLED_FRAMES}) AS k
+  FROM feats WHERE n_frames > 0
+)
+SELECT doc_id, media_type, out_w, out_h,
+  CAST((i * n_frames) // k AS INT) AS frame_idx
+FROM plan CROSS JOIN range(0, {MAX_SAMPLED_FRAMES}) t(i)
+WHERE i < k
+ORDER BY doc_id, frame_idx
 """

@@ -253,6 +253,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "media_features": multimodal.media_features,
     "media_preprocess_plan": multimodal.media_preprocess_plan,
     "media_decoded_features": multimodal.media_decoded_features,
+    "media_decoded_preprocess_plan": multimodal.media_decoded_preprocess_plan,
     "dedup_retention_plan": text_dedup.dedup_retention_plan,
     "dup_detector_overlap": text_dedup.dup_detector_overlap,
     "dedup_token_savings": text_dedup.dedup_token_savings,
@@ -294,6 +295,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 _PRIORITY_ORDER = [
     # new registrations, never driver-checked:
     "media_decoded_features",
+    "media_decoded_preprocess_plan",
     "als_topk_agreement",
     # code changed this round: connected_components gained seeded
     # init_labels + the edge-cache unpersist; the union pair/CC frames
@@ -357,8 +359,10 @@ _PRIORITY_ORDER = [
     "item_cooccurrence",
     "events_with_last_signup",
     "orders_with_returns",
-    "trailing_hour_counts",
     # ---- driver window ends here (50) ------------------------------------
+    # trailing_hour_counts slipped to position 51 (r10 queue) to make
+    # room for the decoded-preprocess registration:
+    "trailing_hour_counts",
     "ann_cosine_topk",
     "cosine_topk_agreement",
     "ann_ivf_topk",
@@ -638,6 +642,7 @@ ORACLES: dict[str, str] = {
     "media_features": multimodal.MEDIA_FEATURES_SQL,
     "media_preprocess_plan": multimodal.MEDIA_PREPROCESS_PLAN_SQL,
     "media_decoded_features": multimodal.MEDIA_DECODED_FEATURES_SQL,
+    "media_decoded_preprocess_plan": multimodal.MEDIA_DECODED_PREPROCESS_SQL,
     "dedup_retention_plan": text_dedup.DEDUP_RETENTION_PLAN_SQL,
     "dup_detector_overlap": text_dedup.DUP_DETECTOR_OVERLAP_SQL,
     "dedup_token_savings": text_dedup.DEDUP_TOKEN_SAVINGS_SQL,
