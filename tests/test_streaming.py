@@ -1007,3 +1007,48 @@ def test_incremental_srp_vector_index_streaming(spark, stream_env, sf_dir_small)
     }
     assert got == want
     assert want, "sf0.001 embeddings must contain cross-boundary matches"
+
+
+def test_streaming_media_decode_matches_batch(spark, stream_env, sf_dir_small):
+    """Multimodal plumbing under Structured Streaming: real BMP/WAV
+    payloads (binary column) ingested as file micro-batches and decoded
+    with the SAME Arrow mapInPandas worker as the batch pipeline must
+    reproduce media_decoded_features row-for-row — the continuous-
+    ingestion shape of a production media feed (decode is a stateless
+    map stage, so it composes with readStream unchanged)."""
+    from big_data_recommendation_system_spark.plans.multimodal import (
+        MEDIA_DECODED_SCHEMA,
+        _MEDIA_BINARY_SCHEMA,
+        decode_real_media_batch,
+        media_decoded_features,
+        synthesize_media_batch,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    src = os.path.join(stream_env["tmp"], "media_src")
+    docs = load_table(spark, sf_dir_small, "documents").select("doc_id")
+    docs.mapInPandas(synthesize_media_batch, _MEDIA_BINARY_SCHEMA).repartition(
+        3
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(_MEDIA_BINARY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.mapInPandas(decode_real_media_batch, MEDIA_DECODED_SCHEMA)
+        .writeStream.format("memory")
+        .queryName("media_decoded_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM media_decoded_stream").collect())
+    )
+    want = sorted(
+        map(tuple, media_decoded_features(spark, sf_dir_small).collect())
+    )
+    assert got == want
