@@ -36,8 +36,15 @@ from big_data_recommendation_system_spark.plans.text_analysis import (  # noqa: 
 # the derived IVF/PQ/SRP index structures; the trained BPE artifacts and
 # the per-source report card) group together so a blanket clearCache
 # between queries doesn't evict the frames they share.
+from big_data_recommendation_system_spark.ml.recommend import (  # noqa: E402
+    ALS_CONSUMERS,
+)
+
 SUBSTRATE_CONSUMERS = (
-    TEXT_SUBSTRATE_CONSUMERS | EMB_SUBSTRATE_CONSUMERS | TA_SUBSTRATE_CONSUMERS
+    TEXT_SUBSTRATE_CONSUMERS
+    | EMB_SUBSTRATE_CONSUMERS
+    | TA_SUBSTRATE_CONSUMERS
+    | ALS_CONSUMERS
 )
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
@@ -60,7 +67,10 @@ from big_data_recommendation_system_spark.plans import (  # noqa: E402
     text_analysis as _ta,
 )
 
+from big_data_recommendation_system_spark.ml import recommend as _rec  # noqa: E402
+
 SUBSTRATE_BUILDERS = [
+    ("als:model", _rec.als_model),
     ("emb:table", _emb.emb_table),
     ("emb:dims", _emb.emb_dims),
     ("emb:ivf_assign", _sim.ivf_assign_table),

@@ -69,6 +69,28 @@ def _evict_stale(app_id: str) -> None:
         del _FRAMES[key]
 
 
+_OBJECTS: dict[tuple, object] = {}
+
+
+def session_object(
+    spark: SparkSession, sf_dir: str, what: str, build: Callable[[], object]
+) -> object:
+    """Like :func:`session_frame` but for non-DataFrame artifacts (e.g.
+    a fitted MLlib model): built once per (session, corpus), evicted
+    with dead sessions, no materialization step (the object owns its
+    own resources). The production analogue: a model is trained once
+    per corpus snapshot and SERVED by every downstream query, not
+    re-fit per report."""
+    key = substrate_key(spark, sf_dir, what)
+    with _LOCK:
+        for k in [k for k in _OBJECTS if k[0] != key[0]]:
+            del _OBJECTS[k]
+        obj = _OBJECTS.get(key)
+        if obj is None:
+            _OBJECTS[key] = obj = build()
+    return obj
+
+
 def session_frame(
     spark: SparkSession, sf_dir: str, what: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
