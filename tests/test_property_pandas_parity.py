@@ -454,3 +454,84 @@ def test_connected_components_seeded_equals_unseeded(
         ).collect()
     }
     assert seeded == unseeded
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 15),
+    seed=st.integers(0, 2**31 - 1),
+    top_down=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_decoder_on_independently_built_files(w, h, seed, top_down):
+    """decode_media_payload vs a BMP built INDEPENDENTLY in the test
+    (random dims incl. every 4-byte row-padding phase, random pixel
+    bytes, both row orders) — the parser's mean/top-row math must match
+    a direct computation over the pixels we packed."""
+    import random
+    import struct
+
+    from big_data_recommendation_system_spark.plans.multimodal import (
+        decode_media_payload,
+    )
+
+    rng = random.Random(seed)
+    row_size = ((3 * w + 3) // 4) * 4
+    rows = [[rng.randrange(256) for _ in range(3 * w)] for _ in range(h)]
+    pixel = bytearray()
+    for r in rows:
+        pixel += bytes(r) + b"\xaa" * (row_size - 3 * w)  # junk padding
+    size = 54 + len(pixel)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if top_down else h), 1, 24, 0,
+            len(pixel), 2835, 2835, 0, 0,
+        )
+        + bytes(pixel)
+    )
+    f = decode_media_payload(payload)
+    assert (f["codec"], f["width"], f["height"]) == ("bmp", w, h)
+    all_px = [v for r in rows for v in r]
+    assert f["mean_signal"] == sum(all_px) / len(all_px)
+    # image top row: file row 0 when top-down, file row h-1 when bottom-up
+    top = rows[0] if top_down else rows[h - 1]
+    assert f["top_row_luma"] == sum(top) / len(top)
+
+
+@given(
+    n=st.integers(1, 300),
+    seed=st.integers(0, 2**31 - 1),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    junk_chunks=st.integers(0, 3),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_decoder_on_independently_built_files(n, seed, rate, junk_chunks):
+    """decode_media_payload vs a RIFF/WAVE built INDEPENDENTLY in the
+    test: random sample counts (both word-alignment phases), random
+    rates, and 0-3 unknown chunks (odd-sized, so the word-aligned skip
+    is exercised) scattered before the data chunk."""
+    import random
+    import struct
+
+    from big_data_recommendation_system_spark.plans.multimodal import (
+        decode_media_payload,
+    )
+
+    rng = random.Random(seed)
+    data = bytes(rng.randrange(256) for _ in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    chunks = struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+    for j in range(junk_chunks):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 8)))
+        chunks += (
+            struct.pack("<4sI", f"jk{j:02d}".encode(), len(body))
+            + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+    chunks += struct.pack("<4sI", b"data", n) + data + (b"\x00" if n % 2 else b"")
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+    f = decode_media_payload(payload)
+    assert (f["codec"], f["sample_rate"], f["n_frames"]) == ("wav", rate, n)
+    assert f["mean_signal"] == sum(data) / n
