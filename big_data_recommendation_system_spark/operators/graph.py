@@ -75,28 +75,38 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "graph:nodes",
         lambda: edges.select(F.col("src").alias("node")).distinct(),
     )
-    # n as a broadcast 1-row frame (exactly the SQL's CROSS JOIN n), NOT a
-    # driver-side count(): a .count() action here would execute the whole
-    # LSH pipeline once extra just to fetch a scalar.
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    teleport_fp = F.round(
-        F.lit(0.15) * F.lit(float(_FP)) / F.col("n_nodes")
-    ).cast("long")
+    # The node count is one cheap action on the PERSISTED nodes substrate
+    # (before the substrate existed this had to stay a broadcast 1-row
+    # frame — a driver-side count would have re-executed the whole LSH
+    # pipeline). The two fixed-point scalars are then computed by a
+    # 1-row SPARK query so the rounding semantics are exactly the
+    # engine's own round() — the same expression the DuckDB oracle
+    # evaluates — and every iteration drops its crossJoin+broadcast
+    # scaffolding (4 fewer stages per bench run on a tiny rank frame;
+    # at scale, one fewer broadcast per round).
+    n_nodes = nodes.count()
+    consts = (
+        spark.range(1)
+        .select(
+            F.round(F.lit(0.15) * F.lit(float(_FP)) / F.lit(n_nodes))
+            .cast("long")
+            .alias("t"),
+            F.round(F.lit(float(_FP)) / F.lit(n_nodes)).cast("long").alias("r0"),
+        )
+        .first()
+        if n_nodes
+        else None
+    )
+    teleport_fp = F.lit(consts.t if consts else 0)
+    init_fp = F.lit(consts.r0 if consts else 0)
     # lazy localCheckpoints: lineage/attribute-id isolation per round
     # without an eager materialization job each — the iteration count is
     # FIXED (no convergence action), so the whole 3-round DAG executes
     # as one job at the final action. The convergence-checked CC loop
     # can't do this (it needs a result per round); a fixed-round message
     # pass can.
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select(
-            "node",
-            F.round(F.lit(float(_FP)) / F.col("n_nodes"))
-            .cast("long")
-            .alias("fp"),
-        )
-        .localCheckpoint(eager=False)
+    ranks = nodes.select("node", init_fp.alias("fp")).localCheckpoint(
+        eager=False
     )
     for _ in range(PAGERANK_ITERS):
         contribs = (
@@ -107,7 +117,6 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
                 (
