@@ -135,12 +135,18 @@ def main() -> None:
             if not built and name in SUBSTRATE_CONSUMERS:
                 # the substrate-consumer group starts here: build every
                 # shared substrate with its OWN timing so consumer
-                # numbers are pure consume (see SUBSTRATE_BUILDERS)
+                # numbers are pure consume (see SUBSTRATE_BUILDERS).
+                # FIRST-pass timings only: that is the cold
+                # build-once-per-snapshot cost. Later passes re-persist
+                # frames the harness's clearCache evicted (a harness
+                # artifact) or find session objects still registered
+                # (the ALS model survives clearCache), so a min over
+                # passes would under-report the real build.
                 for sname, fn in SUBSTRATE_BUILDERS:
                     t0 = time.perf_counter()
                     fn(spark, sf_dir)
                     el = round(time.perf_counter() - t0, 3)
-                    sub_timings[sname] = min(sub_timings.get(sname, el), el)
+                    sub_timings.setdefault(sname, el)
                 built = True
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
