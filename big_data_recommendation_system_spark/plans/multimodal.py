@@ -416,8 +416,11 @@ def decode_real_media_batch(
                 {"doc_id": doc_id, "media_type": media_type,
                  "n_bytes": len(payload), **feats}
             )
-        out = pd.DataFrame(rows)
-        yield out[[f.name for f in MEDIA_DECODED_SCHEMA.fields]]
+        cols = [f.name for f in MEDIA_DECODED_SCHEMA.fields]
+        # empty Arrow batches produce a column-less frame — reindex so
+        # the projection below cannot KeyError
+        out = pd.DataFrame(rows, columns=cols if not rows else None)
+        yield out[cols]
 
 
 def media_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
