@@ -999,20 +999,84 @@ ORDER BY cluster_id, pos
 """
 
 
+def _kmeans_refine_sql() -> str:
+    """Unrolled KMEANS_ITERS-iteration Lloyd twin (the pagerank-unroll
+    trick): every iteration's assignment/means reuse the exact
+    fixed-point algebra of KMEANS_STEP_SQL, chained through CTEs, so
+    the per-iteration descent report hash-matches the Spark loop."""
+    parts = [
+        f"""WITH dims AS (
+  SELECT vec_id AS vid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(64) r(i)
+), c0 AS (
+  SELECT vid AS cid, pos, x AS cx FROM dims WHERE vid < {IVF_CENTROIDS}
+)"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""", dist{i} AS (
+  SELECT d.vid, c.cid,
+    SUM(CAST(round((d.x - c.cx) * (d.x - c.cx) * 1e12) AS BIGINT)) AS dist_fp
+  FROM dims d JOIN c{i - 1} c ON d.pos = c.pos
+  GROUP BY d.vid, c.cid
+), assign{i} AS (
+  SELECT vid, cid, dist_fp FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vid ORDER BY dist_fp ASC, cid ASC
+    ) AS _r FROM dist{i}
+  ) WHERE _r = 1
+), rep{i} AS (
+  SELECT CAST({i} AS BIGINT) AS iteration,
+    CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters,
+    CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(CAST(dist_fp AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+      AS total_objective
+  FROM assign{i}
+), c{i} AS (
+  SELECT a.cid, d.pos,
+    CAST(SUM(CAST(round(d.x * 1e12) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e12
+      AS cx
+  FROM assign{i} a JOIN dims d ON d.vid = a.vid
+  GROUP BY a.cid, d.pos
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM rep{i}" for i in range(1, KMEANS_ITERS + 1)
+    )
+    return (
+        "".join(parts)
+        + f""", reps AS ({union})
+SELECT iteration, n_clusters, n_members, total_objective,
+  COALESCE(
+    total_objective
+      <= LAG(total_objective) OVER (ORDER BY iteration) + 1e-9,
+    TRUE
+  ) AS descended
+FROM reps
+ORDER BY iteration
+"""
+    )
+
+
+KMEANS_REFINE_SQL = _kmeans_refine_sql()
+
+
 def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMEANS_ITERS Lloyd iterations from the IVF seed centroids; returns
-    a SELF-EVIDENCING descent report: one row per iteration with the
-    total squared-L2 objective, member count, and a ``descended`` flag
-    (objective <= previous iteration's, Lloyd's invariant) so the
-    rows-only driver check still certifies the iteration math — any
-    broken step shows up as descended=false in the recorded rows, not
-    just in pytest (VERDICT r5 item 4). Iterative like
-    connected_components/ALS: the loop is a fixed small number of
-    rounds, each round localCheckpoints the K x dims centroid frame to
-    truncate lineage (the frame is tiny — K*64 rows — so the checkpoint
-    cost is negligible while keeping the plan depth constant). The
-    per-step math is the hash-verified kmeans_step; monotone descent is
-    additionally pinned in pytest."""
+    a descent report: one row per iteration with the total squared-L2
+    objective, member count, and a ``descended`` flag (objective <=
+    previous iteration's, Lloyd's invariant). FULLY hash-oracled as of
+    r9 (previously rows-only): the total objective is the DECIMAL-exact
+    sum of the fixed-point assignment distances divided ONCE (no
+    cross-row double sum anywhere), and every iteration's centroid
+    means are exact-integer-sum/count divisions — so the unrolled
+    3-iteration DuckDB twin (KMEANS_REFINE_SQL) reproduces the report
+    bit for bit. Iterative like connected_components/ALS: the loop is a
+    fixed small number of rounds, each round localCheckpoints the
+    K x dims centroid frame to truncate lineage (the frame is tiny —
+    K*64 rows — so the checkpoint cost is negligible while keeping the
+    plan depth constant). Monotone descent additionally pinned in
+    pytest."""
     dims = emb_dims(spark, sf_dir)
     cdims = dims.filter(F.col("vid") < IVF_CENTROIDS).select(
         F.col("vid").alias("cid"), "pos", F.col("x").alias("cx")
@@ -1025,14 +1089,17 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # earlier iterations' assignments
         assign = _kmeans_assign(dims, cdims).persist()
         iter_reports.append(
-            _kmeans_stats(assign)
-            .agg(
+            assign.agg(
                 F.lit(i + 1).cast("long").alias("iteration"),
-                F.count(F.lit(1)).cast("long").alias("n_clusters"),
-                F.sum("n_members").cast("long").alias("n_members"),
-                F.sum("objective").alias("total_objective"),
-            )
-            .localCheckpoint(eager=True)
+                F.countDistinct("cid").cast("long").alias("n_clusters"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                (
+                    F.sum(F.col("dist_fp").cast("decimal(38,0)")).cast(
+                        "double"
+                    )
+                    / F.lit(1e12)
+                ).alias("total_objective"),
+            ).localCheckpoint(eager=True)
         )
         cdims = _kmeans_new_centroids(assign, dims).localCheckpoint(eager=True)
         assign.unpersist()

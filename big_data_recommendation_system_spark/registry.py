@@ -297,6 +297,7 @@ _PRIORITY_ORDER = [
     "media_decoded_features",
     "media_decoded_preprocess_plan",
     "als_topk_agreement",
+    "kmeans_refine",
     # code changed this round: connected_components gained seeded
     # init_labels + the edge-cache unpersist; the union pair/CC frames
     # and embedding clusters became session substrates — every CC
@@ -358,10 +359,11 @@ _PRIORITY_ORDER = [
     "simhash_fingerprints",
     "item_cooccurrence",
     "events_with_last_signup",
-    "orders_with_returns",
     # ---- driver window ends here (50) ------------------------------------
-    # trailing_hour_counts slipped to position 51 (r10 queue) to make
-    # room for the decoded-preprocess registration:
+    # orders_with_returns / trailing_hour_counts slipped to 51-52
+    # (r10 queue) to make room for the decoded-preprocess and
+    # kmeans_refine-oracle registrations:
+    "orders_with_returns",
     "trailing_hour_counts",
     "ann_cosine_topk",
     "cosine_topk_agreement",
@@ -476,8 +478,6 @@ _PRIORITY_ORDER = [
     #   als_topk_agreement (oracled, in this round's window);
     # mllib_minhash_pairs: approxSimilarityJoin internals — pytest pins
     #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs;
-    # kmeans_refine: self-evidencing `descended` Lloyd-invariant flag
-    #   per row; per-step math is the hash-verified kmeans_step;
     # approx_distinct_daily / approx_percentiles_by_type: sketches
     #   differ across engines — rows carry exact-count / RANK
     #   certificates, additionally pytest-pinned vs exact twins;
@@ -487,7 +487,6 @@ _PRIORITY_ORDER = [
     "als_recommendations",
     "als_eval_metrics",
     "mllib_minhash_pairs",
-    "kmeans_refine",
     "approx_distinct_daily",
     "approx_percentiles_by_type",
     "cosine_topk_fast",
@@ -580,6 +579,11 @@ ORACLES: dict[str, str] = {
     "shingle_containment_pairs": text_dedup.SHINGLE_CONTAINMENT_SQL,
     "embedding_quantize": similarity.EMBEDDING_QUANTIZE_SQL,
     "kmeans_step": similarity.KMEANS_STEP_SQL,
+    # kmeans_refine graduated from rows-only in r9: the total
+    # objective is now the DECIMAL-exact fixed-point sum divided once
+    # (no cross-row double sum), so the unrolled 3-iteration Lloyd
+    # twin hash-matches.
+    "kmeans_refine": similarity.KMEANS_REFINE_SQL,
     "daily_gapfill": timeseries.DAILY_GAPFILL_SQL,
     "daily_burst_detection": timeseries.DAILY_BURST_DETECTION_SQL,
     "order_backlog_daily": timeseries.ORDER_BACKLOG_DAILY_SQL,
