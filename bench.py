@@ -31,6 +31,9 @@ from big_data_recommendation_system_spark.operators.text_dedup import (  # noqa:
 from big_data_recommendation_system_spark.plans.text_analysis import (  # noqa: E402
     TA_SUBSTRATE_CONSUMERS,
 )
+from big_data_recommendation_system_spark.plans.quality_models import (  # noqa: E402
+    QM_SUBSTRATE_CONSUMERS,
+)
 
 # All substrate families (text pair/cluster tables; embeddings+norms and
 # the derived IVF/PQ/SRP index structures; the trained BPE artifacts and
@@ -45,6 +48,7 @@ SUBSTRATE_CONSUMERS = (
     | EMB_SUBSTRATE_CONSUMERS
     | TA_SUBSTRATE_CONSUMERS
     | ALS_CONSUMERS
+    | QM_SUBSTRATE_CONSUMERS
 )
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
@@ -64,6 +68,7 @@ from big_data_recommendation_system_spark.operators import (  # noqa: E402
 )
 from big_data_recommendation_system_spark.plans import (  # noqa: E402
     assembly as _asm,
+    quality_models as _qm,
     text_analysis as _ta,
 )
 
@@ -90,6 +95,11 @@ SUBSTRATE_BUILDERS = [
     ("bpe:encoded", _ta._bpe_encoded_table),
     ("rc:card", _ta.corpus_report_card),
     ("asm:staged", _asm.staged_docs_table),
+    ("qm:labeled", _qm.labeled_docs_table),
+    ("qm:nb_model", _qm.nb_model_table),
+    ("qm:lm_uni", _qm.lm_unigram_table),
+    ("qm:lm_bi", _qm.lm_bigram_table),
+    ("qm:dsir_ratios", _qm.dsir_ratio_table),
 ]
 
 

@@ -73,6 +73,16 @@ def punct_ratio(text: Column) -> Column:
     return F.length(stripped).cast("double") / F.length(text)
 
 
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic 0..n_buckets-1 bucket from the first four md5 hex
+    digits parsed as a uniform 0..65535 integer — the same construction
+    as plans/corpus_prep.split_bucket, parameterized on the modulus.
+    Power-of-two bucket counts divide 65536 exactly, so there is ZERO
+    residual mod bias (prefer them for feature hashing)."""
+    h = F.md5(col.cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_buckets
+
+
 def md5_str(col: Column) -> Column:
     return F.md5(col.cast("string"))
 
@@ -132,3 +142,17 @@ def punct_ratio_sql(text: str = "text") -> str:
         f"CAST(length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
         f" / length({text})"
     )
+
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def hash_bucket_sql(col: str, n_buckets: int) -> str:
+    """DuckDB mirror of :func:`hash_bucket` — no conv(), so the 4 hex
+    digits are parsed positionally (exact same 0..65535 integer)."""
+    h = f"md5(CAST({col} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{_HEX_DIGITS}', substr({h},{i + 1},1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) % {n_buckets})"

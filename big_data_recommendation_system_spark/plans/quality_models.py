@@ -1,0 +1,671 @@
+"""Model-based quality filtering and importance resampling over the
+``documents`` table — the three *trained* data-curation passes a
+large-scale LLM pipeline runs after the heuristic filters:
+
+1. **Naive-Bayes quality classifier** (the CCNet / fastText "quality
+   classifier" stage, Wenzek et al. 2020): pseudo-label documents from
+   the engine's own deterministic quality score, train token class
+   counts on the hash-split train partition, and score EVERY document —
+   a closed measure→train→score loop with a held-out confusion rollup.
+2. **Stupid-backoff n-gram LM scoring** (Brants et al. 2007, the
+   KenLM-style fluency filter): train bigram/unigram counts on the
+   train split and score every document's bigram stream with
+   ``S(w2|w1) = c(w1 w2)/c(w1)`` backing off to ``0.4 · c(w2)/N``.
+3. **DSIR importance resampling** (Xie et al. 2023): hashed n-gram
+   features, per-bucket target/raw likelihood ratios (target = the
+   quality-seed-positive documents), per-document importance weights
+   and a top-share sampling plan through the scalable exact ranker.
+
+Engine-neutral float discipline (the repo-wide rule — see
+plans/text_analysis.py vocab_df_stats): ``ln()`` is not bit-stable
+across math libraries, so NOTHING here emits a log. Where the published
+technique scores in log space, the engine uses the equivalent *rational*
+form with a fixed expression tree — every emitted double is produced by
+a short, explicitly-ordered chain of IEEE-exact casts/multiplies/divides
+that both engines round identically, and every *aggregated* score is a
+fixed-point BIGINT (``floor(p · scale)`` of a bit-identical double — the
+same trick as the graph PageRank's fixed-point ranks), so sums are exact
+integer arithmetic regardless of aggregation order. The NB "log-odds
+weight" becomes the sign vote of the Laplace-smoothed odds comparison
+(Bernoulli-NB-with-binarized-weights — the comparison
+``(c_hi+1)(T_lo+V) vs (c_lo+1)(T_hi+V)`` is two fixed-order products of
+exactly-cast integers); the LM "mean log-prob" becomes the fixed-point
+mean probability (ln is monotone per token but the *sum* differs — the
+probability-space statistics n_hits/n_backoff/n_oov/mean-prob are the
+filterable signal, and a consumer that wants perplexity applies ln
+downstream of the hash-compared columns); DSIR's log-likelihood-ratio
+sum becomes a fixed-point ratio sum (rank-equivalent for near-constant
+feature counts, and a deterministic engine-defined sampling score
+regardless).
+
+Scale shape (100 TB): every stage is explode → hash-aggregate on a
+token/pair/bucket key with map-side combine; model frames are
+vocabulary-bounded (NOT corpus-bounded) session substrates built once
+per corpus snapshot; scoring is one keyed hash join from per-doc
+(token, occ) counts to the model (AQE broadcasts it when the vocab head
+is small, shuffle-hash otherwise); the DSIR bucket-ratio table is
+exactly ``DSIR_BUCKETS`` rows (broadcast); the only global ordering (the
+DSIR sample rank) goes through operators/ranking.with_global_rank — no
+single-partition window anywhere.
+
+Reference parity: the reference is a clickstream pipeline with no
+model-based curation stage; these are §"beyond the reference"
+LLM-pipeline operators (same charter as plans/corpus_prep.py), built on
+the shared tokenizer (functions/text.py:tokens) and the hash-split /
+quality-score substrate the rest of the engine already verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    hash_bucket,
+    hash_bucket_sql,
+    ngrams,
+    ngrams_sql,
+    tokens,
+    tokens_sql,
+)
+from ..operators.substrate import session_frame
+from ..sources.tables import load_table
+from .corpus_prep import TRAIN_UPPER, _split_bucket_sql, split_bucket
+from .text_analysis import TEXT_STATS_SQL, text_stats
+
+# Pseudo-label threshold on the deterministic quality score (text_stats):
+# ~64% of the synthetic corpus lands "hi" at 85.0, so both classes are
+# well-populated at every sf. A production run replaces this with human
+# or LM labels; the training algebra is identical.
+NB_SEED_THRESHOLD = 85.0
+NB_TOP_K = 100
+
+LM_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+LM_FP_SCALE = 1_000_000_000_000.0  # probability fixed-point: floor(p * 1e12)
+
+DSIR_BUCKETS = 1024  # power of two: zero mod bias from the 16-bit hash
+DSIR_FP_SCALE = 1_000_000.0  # ratio fixed-point: floor(r * 1e6)
+DSIR_KEEP_SHARE = 0.25
+
+# Queries sharing the qm:* session substrates (bench.py groups them so a
+# blanket clearCache between queries doesn't evict the shared frames).
+QM_SUBSTRATE_CONSUMERS = {
+    "nb_quality_model",
+    "nb_classifier_scores",
+    "nb_classifier_eval",
+    "ngram_lm_scores",
+    "dsir_importance_sample",
+}
+
+
+# --- shared labeled-corpus substrate -----------------------------------------
+
+
+def labeled_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, tok, n_tokens, quality_score, seed_hi, is_train):
+    the tokenized corpus with the quality pseudo-label and the
+    deterministic md5 train-split flag (same bucket function as
+    corpus_split, so "train" means the same documents everywhere in the
+    engine). Built once per (session, corpus) — one linear pass."""
+
+    def build() -> DataFrame:
+        stats = text_stats(spark, sf_dir).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", tokens(F.col("text")).alias("tok")
+        )
+        return docs.join(stats, "doc_id").select(
+            "doc_id",
+            "source",
+            "tok",
+            "n_tokens",
+            "quality_score",
+            (F.col("quality_score") >= F.lit(NB_SEED_THRESHOLD)).alias("seed_hi"),
+            (split_bucket(F.col("doc_id")) < TRAIN_UPPER).alias("is_train"),
+        )
+
+    return session_frame(spark, sf_dir, "qm:labeled", build)
+
+
+# The SQL twin of the substrate, shared by every oracle below.
+_LAB_CTE = f"""WITH stats AS ({TEXT_STATS_SQL}),
+toks AS (SELECT doc_id, source, {tokens_sql()} AS tok FROM documents),
+lab AS (
+  SELECT t.doc_id, t.source, t.tok, s.n_tokens, s.quality_score,
+         s.quality_score >= {NB_SEED_THRESHOLD} AS seed_hi,
+         ({_split_bucket_sql("t.doc_id")}) < {TRAIN_UPPER} AS is_train
+  FROM toks t JOIN stats s ON t.doc_id = s.doc_id
+)"""
+
+
+# --- 1. Naive-Bayes quality classifier ---------------------------------------
+
+
+def nb_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained classifier = per-token class counts over the TRAIN split
+    plus the derived vote/odds columns. Vocabulary-bounded (one row per
+    distinct train token); the class-total/vocab scalars ride the plan
+    as a broadcast 1-row aggregate — no driver-side count.
+
+    Exactness: ``hi_mass = double(cnt_hi+1) · double(tot_lo+V)`` and
+    ``lo_mass`` are each ONE int-exact addition, ONE correctly-rounded
+    int→double cast pair and ONE IEEE multiply — bit-identical in Spark
+    and DuckDB — so the sign vote, the odds ratio (one division) and the
+    discriminativeness (one division, branch chosen by an exact
+    comparison) are all hash-stable."""
+
+    def build() -> DataFrame:
+        lab = labeled_docs_table(spark, sf_dir)
+        tok = lab.filter(F.col("is_train")).select(
+            "seed_hi", F.explode("tok").alias("token")
+        )
+        counts = tok.groupBy("token").agg(
+            F.sum(F.when(F.col("seed_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_hi"),
+            F.sum(F.when(F.col("seed_hi"), 0).otherwise(1))
+            .cast("long")
+            .alias("cnt_lo"),
+        )
+        tot = counts.agg(
+            F.sum("cnt_hi").cast("long").alias("tot_hi"),
+            F.sum("cnt_lo").cast("long").alias("tot_lo"),
+            F.count(F.lit(1)).alias("vocab_n"),
+        )
+        m = counts.crossJoin(F.broadcast(tot))
+        hi_mass = (F.col("cnt_hi") + 1).cast("double") * (
+            F.col("tot_lo") + F.col("vocab_n")
+        ).cast("double")
+        lo_mass = (F.col("cnt_lo") + 1).cast("double") * (
+            F.col("tot_hi") + F.col("vocab_n")
+        ).cast("double")
+        return m.select(
+            "token",
+            "cnt_hi",
+            "cnt_lo",
+            F.when(hi_mass > lo_mass, 1)
+            .when(hi_mass < lo_mass, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("vote"),
+            (hi_mass / lo_mass).alias("odds"),
+            F.when(hi_mass >= lo_mass, hi_mass / lo_mass)
+            .otherwise(lo_mass / hi_mass)
+            .alias("disc"),
+        )
+
+    return session_frame(spark, sf_dir, "qm:nb_model", build)
+
+
+_NB_MODEL_CTE = """
+, tr_tok AS (SELECT seed_hi, unnest(tok) AS token FROM lab WHERE is_train),
+nb_counts AS (
+  SELECT token,
+    CAST(SUM(CASE WHEN seed_hi THEN 1 ELSE 0 END) AS BIGINT) AS cnt_hi,
+    CAST(SUM(CASE WHEN seed_hi THEN 0 ELSE 1 END) AS BIGINT) AS cnt_lo
+  FROM tr_tok GROUP BY token
+),
+nb_tot AS (
+  SELECT SUM(cnt_hi) AS tot_hi, SUM(cnt_lo) AS tot_lo, COUNT(*) AS vocab_n
+  FROM nb_counts
+),
+nb_mass AS (
+  SELECT token, cnt_hi, cnt_lo,
+    CAST(cnt_hi + 1 AS DOUBLE) * CAST(tot_lo + vocab_n AS DOUBLE) AS hi_mass,
+    CAST(cnt_lo + 1 AS DOUBLE) * CAST(tot_hi + vocab_n AS DOUBLE) AS lo_mass
+  FROM nb_counts CROSS JOIN nb_tot
+),
+nb_model AS (
+  SELECT token, cnt_hi, cnt_lo,
+    CAST(CASE WHEN hi_mass > lo_mass THEN 1
+              WHEN hi_mass < lo_mass THEN -1 ELSE 0 END AS BIGINT) AS vote,
+    hi_mass / lo_mass AS odds,
+    CASE WHEN hi_mass >= lo_mass THEN hi_mass / lo_mass
+         ELSE lo_mass / hi_mass END AS disc
+  FROM nb_mass
+)"""
+
+
+def nb_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's head: the NB_TOP_K most discriminative tokens
+    (largest odds ratio in either direction, Laplace-smoothed), with
+    class counts, sign vote and exact rational odds. This is the
+    inspectable model artifact a curation team reviews before enabling
+    the filter. Top-k = TakeOrdered over the vocab-bounded model frame
+    (never corpus-sized); ties break on token text."""
+    m = nb_model_table(spark, sf_dir)
+    return m.orderBy(F.desc("disc"), F.asc("token")).limit(NB_TOP_K)
+
+
+NB_QUALITY_MODEL_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}
+SELECT token, cnt_hi, cnt_lo, vote, odds, disc
+FROM nb_model
+ORDER BY disc DESC, token ASC
+LIMIT {NB_TOP_K}
+"""
+
+
+def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained classifier to EVERY document (train and held
+    out): multinomial vote sum = Σ occurrences · token-vote over the
+    document's tokens, OOV tokens (absent from the train vocabulary)
+    vote 0 and are counted. predicted_hi = vote_sum > 0 (tie → lo, the
+    majority-free deterministic default).
+
+    Scale: per-doc (token, occ) counts via explode + hash agg, ONE
+    token-keyed hash join to the vocab-bounded model, one doc-keyed
+    rollup — the serving path is a single map-join pass at corpus
+    scale."""
+    lab = labeled_docs_table(spark, sf_dir)
+    m = nb_model_table(spark, sf_dir).select("token", "vote")
+    occ = (
+        lab.select("doc_id", F.explode("tok").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    sc = (
+        occ.join(m, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("occ") * F.coalesce(F.col("vote"), F.lit(0)))
+            .cast("long")
+            .alias("vote_sum"),
+            F.sum(F.when(F.col("vote").isNotNull(), F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(F.when(F.col("vote").isNull(), F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    pred = F.col("vote_sum") > 0
+    return (
+        lab.select("doc_id", "source", "is_train", "seed_hi")
+        .join(sc, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            "seed_hi",
+            "vote_sum",
+            "n_scored",
+            "n_oov",
+            pred.alias("predicted_hi"),
+            (pred == F.col("seed_hi")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NB_SCORES_CTE = """
+, occ AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest(tok) AS token FROM lab)
+  GROUP BY doc_id, token
+),
+nb_sc AS (
+  SELECT o.doc_id,
+    CAST(SUM(o.occ * COALESCE(m.vote, 0)) AS BIGINT) AS vote_sum,
+    CAST(SUM(CASE WHEN m.token IS NOT NULL THEN o.occ ELSE 0 END) AS BIGINT) AS n_scored,
+    CAST(SUM(CASE WHEN m.token IS NULL THEN o.occ ELSE 0 END) AS BIGINT) AS n_oov
+  FROM occ o LEFT JOIN nb_model m ON o.token = m.token
+  GROUP BY o.doc_id
+),
+nb_scores AS (
+  SELECT l.doc_id, l.source, l.is_train, l.seed_hi,
+         s.vote_sum, s.n_scored, s.n_oov,
+         s.vote_sum > 0 AS predicted_hi,
+         (s.vote_sum > 0) = l.seed_hi AS is_correct
+  FROM lab l JOIN nb_sc s ON l.doc_id = s.doc_id
+)"""
+
+NB_CLASSIFIER_SCORES_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}
+SELECT doc_id, source, is_train, seed_hi, vote_sum, n_scored, n_oov,
+       predicted_hi, is_correct
+FROM nb_scores
+ORDER BY doc_id
+"""
+
+
+def nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion rollup of the classifier by split — the held-out rows
+    (is_train = false) are the generalization check a pipeline gates the
+    filter on. share_of_split = cell count / split total (window over
+    ≤ 8 grouped rows, partitioned by is_train — not a corpus window)."""
+    sc = nb_classifier_scores(spark, sf_dir)
+    g = sc.groupBy("is_train", "seed_hi", "predicted_hi").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("is_train")
+    return g.select(
+        "is_train",
+        "seed_hi",
+        "predicted_hi",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share_of_split"),
+    ).orderBy("is_train", "seed_hi", "predicted_hi")
+
+
+NB_CLASSIFIER_EVAL_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}
+SELECT is_train, seed_hi, predicted_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS DOUBLE)
+    / CAST(SUM(COUNT(*)) OVER (PARTITION BY is_train) AS DOUBLE) AS share_of_split
+FROM nb_scores
+GROUP BY is_train, seed_hi, predicted_hi
+ORDER BY is_train, seed_hi, predicted_hi
+"""
+
+
+# --- 2. stupid-backoff n-gram LM scoring -------------------------------------
+
+
+def lm_unigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, c1) unigram counts over the TRAIN split — vocab-bounded."""
+
+    def build() -> DataFrame:
+        lab = labeled_docs_table(spark, sf_dir)
+        return (
+            lab.filter(F.col("is_train"))
+            .select(F.explode("tok").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        )
+
+    return session_frame(spark, sf_dir, "qm:lm_uni", build)
+
+
+def lm_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, c2, c1_w1) bigram counts over the TRAIN split with the
+    context (first-word) unigram count pre-joined, so serving needs no
+    second lookup on the hit path. Bounded by distinct train bigrams."""
+
+    def build() -> DataFrame:
+        lab = labeled_docs_table(spark, sf_dir)
+        uni = lm_unigram_table(spark, sf_dir)
+        bi = (
+            lab.filter(F.col("is_train"))
+            .select(F.explode(ngrams("tok", 2)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        )
+        return bi.join(
+            uni.select(F.col("token").alias("_w1"), F.col("c1").alias("c1_w1")),
+            F.substring_index(F.col("pair"), " ", 1) == F.col("_w1"),
+        ).select("pair", "c2", "c1_w1")
+
+    return session_frame(spark, sf_dir, "qm:lm_bi", build)
+
+
+def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's bigram stream against the train-split LM:
+    per occurrence, ``S = c2/c1(w1)`` if the bigram was seen in training,
+    else ``0.4 · c1(w2)/N`` (stupid backoff), else OOV (S = 0, counted).
+    Emitted per document: occurrence totals per branch, the exact
+    fixed-point score sum (Σ occ · floor(S · 1e12), integer arithmetic)
+    and the mean bigram probability — the fluency signal a
+    perplexity-style filter thresholds (ln is monotone per token and
+    applied downstream of the hash-compared columns; see module
+    docstring).
+
+    Scale: per-doc (pair, occ) hash agg → one pair-keyed left join to
+    the bigram model + one token-keyed left join to the unigram model
+    (both vocabulary-bounded) → doc-keyed rollup."""
+    lab = labeled_docs_table(spark, sf_dir)
+    bi = lm_bigram_table(spark, sf_dir)
+    uni = lm_unigram_table(spark, sf_dir)
+    n_train = uni.agg(F.sum("c1").cast("long").alias("n_train_tokens"))
+    pairs = (
+        lab.select("doc_id", F.explode(ngrams("tok", 2)).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    scored = (
+        pairs.join(bi, "pair", "left")
+        .join(
+            uni.select(F.col("token").alias("_w2"), F.col("c1").alias("c1_w2")),
+            F.substring_index(F.col("pair"), " ", -1) == F.col("_w2"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_train))
+    )
+    p = (
+        F.when(
+            F.col("c2").isNotNull(),
+            F.col("c2").cast("double") / F.col("c1_w1").cast("double"),
+        )
+        .when(
+            F.col("c1_w2").isNotNull(),
+            F.lit(LM_ALPHA)
+            * (F.col("c1_w2").cast("double") / F.col("n_train_tokens").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    scored = scored.select(
+        "doc_id",
+        "occ",
+        F.col("c2").isNotNull().alias("is_hit"),
+        (F.col("c2").isNull() & F.col("c1_w2").isNotNull()).alias("is_backoff"),
+        (F.col("c2").isNull() & F.col("c1_w2").isNull()).alias("is_oov"),
+        F.floor(p * F.lit(LM_FP_SCALE)).alias("p_fp"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("is_hit"), F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("n_bigram_hits"),
+        F.sum(F.when(F.col("is_backoff"), F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("n_unigram_backoff"),
+        F.sum(F.when(F.col("is_oov"), F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.col("occ") * F.col("p_fp")).cast("long").alias("lm_score_fp"),
+    )
+    mean_prob = (
+        F.col("lm_score_fp").cast("double") / F.col("n_bigrams").cast("double")
+    ) / F.lit(LM_FP_SCALE)
+    return (
+        lab.select("doc_id", "source", "is_train")
+        .join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "is_train",
+            "n_bigrams",
+            "n_bigram_hits",
+            "n_unigram_backoff",
+            "n_oov",
+            "lm_score_fp",
+            F.when(F.col("n_bigrams") > 0, mean_prob).alias("mean_bigram_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_LM_SCORES_SQL = f"""{_LAB_CTE}
+, tr_bi AS (SELECT unnest({ngrams_sql("tok", 2)}) AS pair FROM lab WHERE is_train),
+lm_bi AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr_bi GROUP BY pair),
+tr_uni AS (SELECT unnest(tok) AS token FROM lab WHERE is_train),
+lm_uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c1 FROM tr_uni GROUP BY token),
+lm_n AS (SELECT SUM(c1) AS n_train_tokens FROM lm_uni),
+lm_bic AS (
+  SELECT b.pair, b.c2, u.c1 AS c1_w1
+  FROM lm_bi b JOIN lm_uni u ON split_part(b.pair, ' ', 1) = u.token
+),
+pairs AS (
+  SELECT doc_id, pair, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest({ngrams_sql("tok", 2)}) AS pair FROM lab)
+  GROUP BY doc_id, pair
+),
+lm_scored AS (
+  SELECT p.doc_id, p.occ,
+    b.c2 IS NOT NULL AS is_hit,
+    b.c2 IS NULL AND u2.c1 IS NOT NULL AS is_backoff,
+    b.c2 IS NULL AND u2.c1 IS NULL AS is_oov,
+    CAST(FLOOR((CASE
+      WHEN b.c2 IS NOT NULL THEN CAST(b.c2 AS DOUBLE) / CAST(b.c1_w1 AS DOUBLE)
+      WHEN u2.c1 IS NOT NULL THEN {LM_ALPHA} * (CAST(u2.c1 AS DOUBLE) / CAST(n_train_tokens AS DOUBLE))
+      ELSE 0.0 END) * {LM_FP_SCALE!r}) AS BIGINT) AS p_fp
+  FROM pairs p
+  LEFT JOIN lm_bic b ON p.pair = b.pair
+  LEFT JOIN lm_uni u2 ON split_part(p.pair, ' ', 2) = u2.token
+  CROSS JOIN lm_n
+),
+lm_agg AS (
+  SELECT doc_id,
+    CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+    CAST(SUM(CASE WHEN is_hit THEN occ ELSE 0 END) AS BIGINT) AS n_bigram_hits,
+    CAST(SUM(CASE WHEN is_backoff THEN occ ELSE 0 END) AS BIGINT) AS n_unigram_backoff,
+    CAST(SUM(CASE WHEN is_oov THEN occ ELSE 0 END) AS BIGINT) AS n_oov,
+    CAST(SUM(occ * p_fp) AS BIGINT) AS lm_score_fp
+  FROM lm_scored GROUP BY doc_id
+)
+SELECT l.doc_id, l.source, l.is_train,
+  a.n_bigrams, a.n_bigram_hits, a.n_unigram_backoff, a.n_oov, a.lm_score_fp,
+  CASE WHEN a.n_bigrams > 0 THEN
+    (CAST(a.lm_score_fp AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)) / {LM_FP_SCALE!r}
+  END AS mean_bigram_prob
+FROM lab l JOIN lm_agg a ON l.doc_id = a.doc_id
+ORDER BY l.doc_id
+"""
+
+
+# --- 3. DSIR importance resampling -------------------------------------------
+
+
+def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, ratio_fp): the Laplace-smoothed target/raw likelihood
+    ratio per hashed feature bucket, fixed-pointed to an exact BIGINT.
+    Raw distribution = the whole corpus's hashed unigram+bigram
+    occurrences; target distribution = the quality-seed-positive
+    documents' occurrences (DSIR's "target domain" exemplar). Exactly
+    ``DSIR_BUCKETS`` rows — broadcast at serving time."""
+
+    def build() -> DataFrame:
+        lab = labeled_docs_table(spark, sf_dir)
+        feats = lab.select(
+            "doc_id",
+            F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
+        ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
+        dfeat = feats.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("occ")
+        )
+        rawc = dfeat.groupBy("bucket").agg(F.sum("occ").cast("long").alias("cnt_r"))
+        tgtc = (
+            dfeat.join(lab.select("doc_id", "seed_hi"), "doc_id")
+            .filter(F.col("seed_hi"))
+            .groupBy("bucket")
+            .agg(F.sum("occ").cast("long").alias("cnt_t"))
+        )
+        tot_r = rawc.agg(F.sum("cnt_r").cast("long").alias("tot_r"))
+        tot_t = tgtc.agg(
+            F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("tot_t")
+        )
+        joined = (
+            rawc.join(tgtc, "bucket", "left")
+            .crossJoin(F.broadcast(tot_r))
+            .crossJoin(F.broadcast(tot_t))
+        )
+        num = (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double") * (
+            F.col("tot_r") + F.lit(DSIR_BUCKETS)
+        ).cast("double")
+        den = (F.col("cnt_r") + 1).cast("double") * (
+            F.col("tot_t") + F.lit(DSIR_BUCKETS)
+        ).cast("double")
+        return joined.select(
+            "bucket",
+            F.floor((num / den) * F.lit(DSIR_FP_SCALE)).alias("ratio_fp"),
+        )
+
+    return session_frame(spark, sf_dir, "qm:dsir_ratios", build)
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR sampling plan: per-document importance weight = Σ feature
+    occurrences · bucket ratio_fp (exact BIGINT), globally ranked
+    (weight desc, doc_id asc) through the scalable exact ranker, keeping
+    the top DSIR_KEEP_SHARE of documents. The output is the resample
+    manifest a downstream assembly stage consumes."""
+    from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
+
+    lab = labeled_docs_table(spark, sf_dir)
+    ratios = dsir_ratio_table(spark, sf_dir)
+    feats = lab.select(
+        "doc_id",
+        F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
+    ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
+    dfeat = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    dw = (
+        dfeat.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_features"),
+            F.sum(F.col("occ") * F.col("ratio_fp")).cast("long").alias("weight_fp"),
+        )
+    )
+    ranked = with_global_rank(
+        lab.select("doc_id", "source", "seed_hi")
+        .join(dw, "doc_id")
+        .withColumn("_neg_w", -F.col("weight_fp")),
+        ["_neg_w", "doc_id"],
+    )
+    keep_n = F.ceil(F.lit(DSIR_KEEP_SHARE) * F.col(TOTAL_COL))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "seed_hi",
+        "n_features",
+        "weight_fp",
+        F.col(RANK_COL).alias("dsir_rank"),
+        (F.col(RANK_COL) <= keep_n).alias("selected"),
+    ).orderBy("dsir_rank")
+
+
+DSIR_IMPORTANCE_SAMPLE_SQL = f"""{_LAB_CTE}
+, dfeat AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+    SELECT doc_id, ({hash_bucket_sql("feat", DSIR_BUCKETS)}) AS bucket
+    FROM (SELECT doc_id, unnest(tok || {ngrams_sql("tok", 2)}) AS feat FROM lab)
+  ) GROUP BY doc_id, bucket
+),
+rawc AS (SELECT bucket, CAST(SUM(occ) AS BIGINT) AS cnt_r FROM dfeat GROUP BY bucket),
+tgtc AS (
+  SELECT bucket, CAST(SUM(occ) AS BIGINT) AS cnt_t
+  FROM dfeat d JOIN lab l ON d.doc_id = l.doc_id
+  WHERE l.seed_hi GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM rawc) AS tot_r,
+         (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) FROM tgtc) AS tot_t
+),
+ratios AS (
+  SELECT r.bucket,
+    CAST(FLOOR(((CAST(COALESCE(t.cnt_t, 0) + 1 AS DOUBLE) * CAST(tot_r + {DSIR_BUCKETS} AS DOUBLE))
+      / (CAST(r.cnt_r + 1 AS DOUBLE) * CAST(tot_t + {DSIR_BUCKETS} AS DOUBLE)))
+      * {DSIR_FP_SCALE!r}) AS BIGINT) AS ratio_fp
+  FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket CROSS JOIN tots
+),
+dw AS (
+  SELECT d.doc_id, CAST(SUM(d.occ) AS BIGINT) AS n_features,
+         CAST(SUM(d.occ * ratio_fp) AS BIGINT) AS weight_fp
+  FROM dfeat d JOIN ratios USING (bucket) GROUP BY d.doc_id
+),
+ranked AS (
+  SELECT l.doc_id, l.source, l.seed_hi, dw.n_features, dw.weight_fp,
+    CAST(ROW_NUMBER() OVER (ORDER BY dw.weight_fp DESC, l.doc_id ASC) AS BIGINT) AS dsir_rank,
+    COUNT(*) OVER () AS n_docs
+  FROM lab l JOIN dw ON l.doc_id = dw.doc_id
+)
+SELECT doc_id, source, seed_hi, n_features, weight_fp, dsir_rank,
+       dsir_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
+FROM ranked
+ORDER BY dsir_rank
+"""

@@ -44,6 +44,7 @@ from .plans import (
     packing,
     pii,
     profiling,
+    quality_models,
     relational,
     retention,
     silver,
@@ -281,6 +282,11 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": joins.small_quantity_revenue,
     "events_with_last_signup": asof.events_with_last_signup,
     "mllib_minhash_pairs": ml_similarity.mllib_minhash_pairs,
+    "nb_quality_model": quality_models.nb_quality_model,
+    "nb_classifier_scores": quality_models.nb_classifier_scores,
+    "nb_classifier_eval": quality_models.nb_classifier_eval,
+    "ngram_lm_scores": quality_models.ngram_lm_scores,
+    "dsir_importance_sample": quality_models.dsir_importance_sample,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -293,7 +299,16 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 # ranker materialization switch), (c) the two r8 bench-regression watch
 # items, then (d) the 16 r5-stale greens the r8 VERDICT queued.
 _PRIORITY_ORDER = [
-    # new registrations, never driver-checked:
+    # new registrations, never driver-checked — the model-based curation
+    # family (NB quality classifier, stupid-backoff LM scoring, DSIR
+    # importance resampling) lands this round; doc_fingerprints /
+    # lang_id / simhash_fingerprints / item_cooccurrence /
+    # events_with_last_signup slip to 51-55 to make room (r10 queue):
+    "nb_quality_model",
+    "nb_classifier_scores",
+    "nb_classifier_eval",
+    "ngram_lm_scores",
+    "dsir_importance_sample",
     "media_decoded_features",
     "media_decoded_preprocess_plan",
     "als_topk_agreement",
@@ -667,6 +682,11 @@ ORACLES: dict[str, str] = {
     "orders_with_returns": joins.ORDERS_WITH_RETURNS_SQL,
     "small_quantity_revenue": joins.SMALL_QUANTITY_REVENUE_SQL,
     "events_with_last_signup": asof.EVENTS_WITH_LAST_SIGNUP_SQL,
+    "nb_quality_model": quality_models.NB_QUALITY_MODEL_SQL,
+    "nb_classifier_scores": quality_models.NB_CLASSIFIER_SCORES_SQL,
+    "nb_classifier_eval": quality_models.NB_CLASSIFIER_EVAL_SQL,
+    "ngram_lm_scores": quality_models.NGRAM_LM_SCORES_SQL,
+    "dsir_importance_sample": quality_models.DSIR_IMPORTANCE_SAMPLE_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -1,0 +1,193 @@
+"""Semantic pins for the model-based curation family
+(plans/quality_models.py) — the oracle gate proves Spark/DuckDB parity;
+these tests pin the SEMANTICS both engines implement: NB vote algebra,
+LM branch selection (hit / backoff / OOV, including branches the real
+corpus never exercises), DSIR's target preference and sample size, and
+the hash-bucket primitive's cross-engine parity."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from big_data_recommendation_system_spark.plans import quality_models as qm
+
+
+def _py_split_bucket(doc_id: int) -> int:
+    """Pure-Python twin of corpus_prep.split_bucket (md5 of the decimal
+    string, first 4 hex digits, mod 100)."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+
+def test_hash_bucket_parity_and_range(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.functions.text import (
+        hash_bucket,
+        hash_bucket_sql,
+    )
+
+    feats = [f"tok{i}" for i in range(100)] + ["hello world", "", "ümläut"]
+    df = spark.createDataFrame([(f,) for f in feats], "feat string")
+    got = {
+        r["feat"]: r["b"]
+        for r in df.select(
+            "feat", hash_bucket(F.col("feat"), qm.DSIR_BUCKETS).alias("b")
+        ).collect()
+    }
+    lst = ", ".join("'" + f.replace("'", "''") + "'" for f in feats)
+    oracle = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT feat, {hash_bucket_sql('feat', qm.DSIR_BUCKETS)} "
+            f"FROM (SELECT unnest([{lst}]) AS feat)"
+        )
+        .fetchall()
+    )
+    assert got == oracle
+    assert all(0 <= b < qm.DSIR_BUCKETS for b in got.values())
+
+
+def test_nb_model_vote_algebra(spark, sf_dir_small):
+    """vote/odds/disc must equal the Laplace-smoothed odds comparison
+    recomputed in Python from the emitted class counts and the train
+    totals."""
+    model = qm.nb_model_table(spark, sf_dir_small).toPandas()
+    tot_hi, tot_lo, vocab_n = (
+        int(model.cnt_hi.sum()),
+        int(model.cnt_lo.sum()),
+        len(model),
+    )
+    for row in model.sample(n=min(200, len(model)), random_state=7).itertuples():
+        hi_mass = float(row.cnt_hi + 1) * float(tot_lo + vocab_n)
+        lo_mass = float(row.cnt_lo + 1) * float(tot_hi + vocab_n)
+        assert row.vote == (1 if hi_mass > lo_mass else -1 if hi_mass < lo_mass else 0)
+        assert row.odds == hi_mass / lo_mass
+        assert row.disc == (
+            hi_mass / lo_mass if hi_mass >= lo_mass else lo_mass / hi_mass
+        )
+
+
+def test_nb_scores_manual_recompute(spark, sf_dir_small):
+    """vote_sum / n_scored / n_oov recomputed from the model and the raw
+    token streams for a handful of documents."""
+    model = qm.nb_model_table(spark, sf_dir_small).toPandas()
+    votes = dict(zip(model.token, model.vote))
+    lab = (
+        qm.labeled_docs_table(spark, sf_dir_small)
+        .select("doc_id", "tok", "seed_hi")
+        .limit(5)
+        .collect()
+    )
+    scores = {
+        r["doc_id"]: r
+        for r in qm.nb_classifier_scores(spark, sf_dir_small)
+        .filter(f"doc_id IN ({','.join(str(r['doc_id']) for r in lab)})")
+        .collect()
+    }
+    for r in lab:
+        exp_sum = sum(votes.get(t, 0) for t in r["tok"])
+        exp_oov = sum(1 for t in r["tok"] if t not in votes)
+        got = scores[r["doc_id"]]
+        assert got["vote_sum"] == exp_sum
+        assert got["n_oov"] == exp_oov
+        assert got["n_scored"] == len(r["tok"]) - exp_oov
+        assert got["predicted_hi"] == (exp_sum > 0)
+        assert got["is_correct"] == ((exp_sum > 0) == r["seed_hi"])
+
+
+def test_nb_eval_is_a_partition_of_the_corpus(spark, sf_dir_small):
+    ev = qm.nb_classifier_eval(spark, sf_dir_small).toPandas()
+    n_docs = qm.labeled_docs_table(spark, sf_dir_small).count()
+    assert int(ev.n_docs.sum()) == n_docs
+    for _, grp in ev.groupby("is_train"):
+        assert math.isclose(grp.share_of_split.sum(), 1.0, rel_tol=1e-12)
+
+
+def test_lm_train_docs_fully_hit(spark, sf_dir_small):
+    """Every bigram of every TRAIN document is, by construction, in the
+    trained bigram table — so train docs must score 100% on the hit
+    branch with zero backoff/OOV, and every mean probability must be a
+    valid probability."""
+    lm = qm.ngram_lm_scores(spark, sf_dir_small).toPandas()
+    tr = lm[lm.is_train]
+    assert len(tr) > 0 and len(lm) > len(tr)
+    assert (tr.n_bigram_hits == tr.n_bigrams).all()
+    assert (tr.n_unigram_backoff == 0).all() and (tr.n_oov == 0).all()
+    assert (lm.n_bigrams == lm.n_bigram_hits + lm.n_unigram_backoff + lm.n_oov).all()
+    scored = lm[lm.n_bigrams > 0]
+    assert ((scored.mean_bigram_prob > 0) | (scored.n_oov == scored.n_bigrams)).all()
+    assert (scored.mean_bigram_prob <= 1.0).all()
+
+
+def test_lm_backoff_and_oov_branches(spark, tmp_path):
+    """Constructed corpus exercising the branches the synthetic corpus
+    never hits: a held-out doc with an unseen-bigram-of-seen-unigrams
+    (backoff) and an unseen token (OOV). Scores recomputed exactly,
+    including the fixed-point floor arithmetic."""
+    train_ids = [i for i in range(100) if _py_split_bucket(i) < 80]
+    test_id = next(i for i in range(100) if _py_split_bucket(i) >= 80)
+    rows = [
+        (train_ids[0], "alpha beta gamma", "en", "s0", 16),
+        (train_ids[1], "gamma delta alpha beta", "en", "s0", 22),
+        # held-out: "beta gamma" IS a train bigram (hit); "gamma zebra"
+        # has an unseen w2 (OOV); "zebra delta" backs off to c1(delta)
+        (test_id, "beta gamma zebra delta", "en", "s0", 22),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in qm.ngram_lm_scores(spark, str(tmp_path)).collect()
+    }
+    held = out[test_id]
+    assert held["n_bigrams"] == 3
+    assert held["n_bigram_hits"] == 1
+    assert held["n_oov"] == 1
+    assert held["n_unigram_backoff"] == 1
+    # exact fixed-point recompute: c2("beta gamma")=1, c1("beta")=2;
+    # backoff: c1("delta")=1, N=7 train tokens; OOV contributes 0
+    hit_fp = math.floor((1.0 / 2.0) * qm.LM_FP_SCALE)
+    backoff_fp = math.floor(qm.LM_ALPHA * (1.0 / 7.0) * qm.LM_FP_SCALE)
+    assert held["lm_score_fp"] == hit_fp + backoff_fp
+    for tid in train_ids[:2]:
+        assert out[tid]["n_bigram_hits"] == out[tid]["n_bigrams"]
+
+
+def test_dsir_sample_size_rank_and_target_preference(spark, sf_dir_small):
+    """The sampling plan keeps exactly ceil(share · n) docs, the rank is
+    a permutation of 1..n, and the importance weights actually prefer
+    the target (seed-hi) distribution — the point of DSIR."""
+    ds = qm.dsir_importance_sample(spark, sf_dir_small).toPandas()
+    n = len(ds)
+    assert sorted(ds.dsir_rank) == list(range(1, n + 1))
+    assert int(ds.selected.sum()) == math.ceil(qm.DSIR_KEEP_SHARE * n)
+    # selected set == the rank-prefix (no gaps)
+    assert set(ds[ds.selected].dsir_rank) == set(
+        range(1, math.ceil(qm.DSIR_KEEP_SHARE * n) + 1)
+    )
+    hi = ds[ds.seed_hi].weight_fp.mean()
+    lo = ds[~ds.seed_hi].weight_fp.mean()
+    assert hi > lo, f"target docs should out-weigh non-target: {hi} <= {lo}"
+
+
+def test_lm_model_substrate_consistency(spark, sf_dir_small):
+    """The pre-joined context count in the bigram table must equal the
+    unigram table's count for the bigram's first word."""
+    bi = qm.lm_bigram_table(spark, sf_dir_small).toPandas()
+    uni_pd = qm.lm_unigram_table(spark, sf_dir_small).toPandas()
+    uni = dict(zip(uni_pd.token, uni_pd.c1))
+    sample = bi.sample(n=min(100, len(bi)), random_state=3)
+    for row in sample.itertuples():
+        assert uni[row.pair.split(" ")[0]] == row.c1_w1
+
+
+def test_dsir_ratio_table_covers_every_bucket_seen(spark, sf_dir_small):
+    """Every bucket any document hashes into appears in the ratio table
+    (raw = all docs, so the serving join can never drop a feature)."""
+    ratios = qm.dsir_ratio_table(spark, sf_dir_small)
+    assert ratios.count() <= qm.DSIR_BUCKETS
+    assert ratios.filter("ratio_fp < 0").count() == 0
