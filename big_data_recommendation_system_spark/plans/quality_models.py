@@ -247,26 +247,22 @@ LIMIT {NB_TOP_K}
 """
 
 
-def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the trained classifier to EVERY document (train and held
-    out): multinomial vote sum = Σ occurrences · token-vote over the
-    document's tokens, OOV tokens (absent from the train vocabulary)
-    vote 0 and are counted. predicted_hi = vote_sum > 0 (tie → lo, the
-    majority-free deterministic default).
+def nb_score_docs(tok_docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Serve the frozen classifier over ANY (doc_id, tok) frame — batch
+    or a streaming micro-batch inside foreachBatch (scoring is per-doc
+    independent, so per-micro-batch results union to the batch result
+    exactly). Returns (doc_id, vote_sum, n_scored, n_oov, predicted_hi).
 
     Scale: per-doc (token, occ) counts via explode + hash agg, ONE
     token-keyed hash join to the vocab-bounded model, one doc-keyed
-    rollup — the serving path is a single map-join pass at corpus
-    scale."""
-    lab = labeled_docs_table(spark, sf_dir)
-    m = nb_model_table(spark, sf_dir).select("token", "vote")
+    rollup — a single map-join pass at corpus scale."""
     occ = (
-        lab.select("doc_id", F.explode("tok").alias("token"))
+        tok_docs.select("doc_id", F.explode("tok").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    sc = (
-        occ.join(m, "token", "left")
+    return (
+        occ.join(model.select("token", "vote"), "token", "left")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("occ") * F.coalesce(F.col("vote"), F.lit(0)))
@@ -279,8 +275,20 @@ def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_oov"),
         )
+        .withColumn("predicted_hi", F.col("vote_sum") > 0)
     )
-    pred = F.col("vote_sum") > 0
+
+
+def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained classifier to EVERY document (train and held
+    out): multinomial vote sum = Σ occurrences · token-vote over the
+    document's tokens, OOV tokens (absent from the train vocabulary)
+    vote 0 and are counted. predicted_hi = vote_sum > 0 (tie → lo, the
+    majority-free deterministic default). Serving algebra in
+    :func:`nb_score_docs` (shared with the streaming foreachBatch
+    twin)."""
+    lab = labeled_docs_table(spark, sf_dir)
+    sc = nb_score_docs(lab, nb_model_table(spark, sf_dir))
     return (
         lab.select("doc_id", "source", "is_train", "seed_hi")
         .join(sc, "doc_id")
@@ -292,8 +300,8 @@ def nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vote_sum",
             "n_scored",
             "n_oov",
-            pred.alias("predicted_hi"),
-            (pred == F.col("seed_hi")).alias("is_correct"),
+            "predicted_hi",
+            (F.col("predicted_hi") == F.col("seed_hi")).alias("is_correct"),
         )
         .orderBy("doc_id")
     )
@@ -402,26 +410,18 @@ def lm_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "qm:lm_bi", build)
 
 
-def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score every document's bigram stream against the train-split LM:
-    per occurrence, ``S = c2/c1(w1)`` if the bigram was seen in training,
-    else ``0.4 · c1(w2)/N`` (stupid backoff), else OOV (S = 0, counted).
-    Emitted per document: occurrence totals per branch, the exact
-    fixed-point score sum (Σ occ · floor(S · 1e12), integer arithmetic)
-    and the mean bigram probability — the fluency signal a
-    perplexity-style filter thresholds (ln is monotone per token and
-    applied downstream of the hash-compared columns; see module
-    docstring).
-
-    Scale: per-doc (pair, occ) hash agg → one pair-keyed left join to
-    the bigram model + one token-keyed left join to the unigram model
-    (both vocabulary-bounded) → doc-keyed rollup."""
-    lab = labeled_docs_table(spark, sf_dir)
-    bi = lm_bigram_table(spark, sf_dir)
-    uni = lm_unigram_table(spark, sf_dir)
+def lm_score_docs(
+    tok_docs: DataFrame, bi: DataFrame, uni: DataFrame
+) -> DataFrame:
+    """Serve the frozen LM over ANY (doc_id, tok) frame — batch or a
+    streaming micro-batch inside foreachBatch (per-doc independent, so
+    micro-batch results union to the batch result exactly). Returns
+    (doc_id, n_bigrams, n_bigram_hits, n_unigram_backoff, n_oov,
+    lm_score_fp, mean_bigram_prob); docs with fewer than two tokens
+    produce no row (they have no bigrams to score)."""
     n_train = uni.agg(F.sum("c1").cast("long").alias("n_train_tokens"))
     pairs = (
-        lab.select("doc_id", F.explode(ngrams("tok", 2)).alias("pair"))
+        tok_docs.select("doc_id", F.explode(ngrams("tok", 2)).alias("pair"))
         .groupBy("doc_id", "pair")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
@@ -470,6 +470,31 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_prob = (
         F.col("lm_score_fp").cast("double") / F.col("n_bigrams").cast("double")
     ) / F.lit(LM_FP_SCALE)
+    return agg.withColumn(
+        "mean_bigram_prob", F.when(F.col("n_bigrams") > 0, mean_prob)
+    )
+
+
+def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's bigram stream against the train-split LM:
+    per occurrence, ``S = c2/c1(w1)`` if the bigram was seen in training,
+    else ``0.4 · c1(w2)/N`` (stupid backoff), else OOV (S = 0, counted).
+    Emitted per document: occurrence totals per branch, the exact
+    fixed-point score sum (Σ occ · floor(S · 1e12), integer arithmetic)
+    and the mean bigram probability — the fluency signal a
+    perplexity-style filter thresholds (ln is monotone per token and
+    applied downstream of the hash-compared columns; see module
+    docstring).
+
+    Scale: per-doc (pair, occ) hash agg → one pair-keyed left join to
+    the bigram model + one token-keyed left join to the unigram model
+    (both vocabulary-bounded) → doc-keyed rollup."""
+    lab = labeled_docs_table(spark, sf_dir)
+    agg = lm_score_docs(
+        lab,
+        lm_bigram_table(spark, sf_dir),
+        lm_unigram_table(spark, sf_dir),
+    )
     return (
         lab.select("doc_id", "source", "is_train")
         .join(agg, "doc_id")
@@ -482,7 +507,7 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unigram_backoff",
             "n_oov",
             "lm_score_fp",
-            F.when(F.col("n_bigrams") > 0, mean_prob).alias("mean_bigram_prob"),
+            "mean_bigram_prob",
         )
         .orderBy("doc_id")
     )

@@ -1052,3 +1052,54 @@ def test_streaming_media_decode_matches_batch(spark, stream_env, sf_dir_small):
         map(tuple, media_decoded_features(spark, sf_dir_small).collect())
     )
     assert got == want
+
+def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
+    """Production model-serving shape: documents arrive as file
+    micro-batches and each batch is scored inside foreachBatch against
+    the FROZEN NB classifier and n-gram LM (the qm:* session substrates,
+    trained once per corpus snapshot). Scoring is per-document
+    independent, so the union over micro-batches must reproduce the
+    batch scorers row-for-row — one serving algebra
+    (quality_models.nb_score_docs / lm_score_docs), two execution
+    models."""
+    from big_data_recommendation_system_spark.functions.text import tokens
+    from big_data_recommendation_system_spark.plans import quality_models as qm
+
+    # frozen model state, trained once on the snapshot
+    nb = qm.nb_model_table(spark, sf_dir_small)
+    bi = qm.lm_bigram_table(spark, sf_dir_small)
+    uni = qm.lm_unigram_table(spark, sf_dir_small)
+
+    src = os.path.join(stream_env["tmp"], "qm_serving_src")
+    load_table(spark, sf_dir_small, "documents").select(
+        "doc_id", "text"
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    nb_rows: list[tuple] = []
+    lm_rows: list[tuple] = []
+
+    def handle(batch_df, _bid):
+        tok = batch_df.select("doc_id", tokens(F.col("text")).alias("tok"))
+        nb_rows.extend(map(tuple, qm.nb_score_docs(tok, nb).collect()))
+        lm_rows.extend(map(tuple, qm.lm_score_docs(tok, bi, uni).collect()))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    lab = qm.labeled_docs_table(spark, sf_dir_small)
+    assert sorted(nb_rows) == sorted(
+        map(tuple, qm.nb_score_docs(lab, nb).collect())
+    )
+    assert sorted(lm_rows) == sorted(
+        map(tuple, qm.lm_score_docs(lab, bi, uni).collect())
+    )
+    # the stream really was incremental, not one big batch
+    assert len(nb_rows) == len(set(r[0] for r in nb_rows))
