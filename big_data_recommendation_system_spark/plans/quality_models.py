@@ -611,6 +611,28 @@ def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "qm:dsir_ratios", build)
 
 
+def dsir_weight_docs(tok_docs: DataFrame, ratios: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weights over ANY (doc_id, tok) frame
+    against a frozen bucket-ratio table — batch or a streaming
+    micro-batch (per-doc independent). Returns (doc_id, n_features,
+    weight_fp); weights are exact BIGINT sums."""
+    feats = tok_docs.select(
+        "doc_id",
+        F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
+    ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
+    dfeat = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    return (
+        dfeat.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_features"),
+            F.sum(F.col("occ") * F.col("ratio_fp")).cast("long").alias("weight_fp"),
+        )
+    )
+
+
 def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR sampling plan: per-document importance weight = Σ feature
     occurrences · bucket ratio_fp (exact BIGINT), globally ranked
@@ -620,22 +642,7 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
 
     lab = labeled_docs_table(spark, sf_dir)
-    ratios = dsir_ratio_table(spark, sf_dir)
-    feats = lab.select(
-        "doc_id",
-        F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
-    ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
-    dfeat = feats.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("occ")
-    )
-    dw = (
-        dfeat.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("long").alias("n_features"),
-            F.sum(F.col("occ") * F.col("ratio_fp")).cast("long").alias("weight_fp"),
-        )
-    )
+    dw = dsir_weight_docs(lab, dsir_ratio_table(spark, sf_dir))
     ranked = with_global_rank(
         lab.select("doc_id", "source", "seed_hi")
         .join(dw, "doc_id")

@@ -1,0 +1,149 @@
+"""Model-curation materialization CLI — the production shape of the
+trained-filter stack (plans/quality_models.py): TRAIN the curation
+models once per corpus snapshot, WRITE them as Parquet, then SERVE
+every document from the written models without retraining. The written
+artifacts are the on-disk twins of the qm:* session substrates — same
+frames, same determinism discipline, so CLI output and driver-hashed
+query output agree by construction (pinned by
+tests/test_units.py::test_run_curation_cli_end_to_end).
+
+    python cli/run_curation.py train --sf-dir SF --out-dir OUT
+    python cli/run_curation.py score --sf-dir SF --out-dir OUT
+
+``train`` writes OUT/nb_model (token, cnt_hi, cnt_lo, vote, odds,
+disc), OUT/lm_unigrams (token, c1), OUT/lm_bigrams (pair, c2, c1_w1)
+and OUT/dsir_ratios (bucket, ratio_fp), plus run metadata in
+OUT/_pipeline_runs. ``score`` READS those models back (never retrains
+— the frozen-model serving path, the same algebra the streaming
+foreachBatch e2e proves over micro-batches) and writes per-document
+OUT/nb_scores, OUT/lm_scores, OUT/dsir_weights and the joined
+OUT/curation_scores manifest a downstream mixture/assembly stage
+consumes.
+
+Scale: training is explode → hash-agg (model frames are
+vocabulary-bounded, written once); serving is one keyed hash join per
+model over per-doc feature counts — O(corpus) with no global barrier,
+so `score` re-runs cheaply on every new snapshot while `train`
+amortizes across them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from big_data_recommendation_system_spark.functions.text import tokens
+from big_data_recommendation_system_spark.plans.quality_models import (
+    dsir_ratio_table,
+    dsir_weight_docs,
+    lm_bigram_table,
+    lm_score_docs,
+    lm_unigram_table,
+    nb_model_table,
+    nb_score_docs,
+)
+from big_data_recommendation_system_spark.session import get_spark
+from big_data_recommendation_system_spark.sources.sinks import record_run
+from big_data_recommendation_system_spark.sources.tables import load_table
+
+MODEL_ARTIFACTS = ("nb_model", "lm_unigrams", "lm_bigrams", "dsir_ratios")
+
+
+def run_train(args: argparse.Namespace) -> None:
+    spark = get_spark("bdrs-curation")
+    t0 = time.time()
+    frames = {
+        "nb_model": nb_model_table(spark, args.sf_dir),
+        "lm_unigrams": lm_unigram_table(spark, args.sf_dir),
+        "lm_bigrams": lm_bigram_table(spark, args.sf_dir),
+        "dsir_ratios": dsir_ratio_table(spark, args.sf_dir),
+    }
+    sizes = {}
+    for name, df in frames.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out_dir, name))
+        sizes[f"n_{name}"] = spark.read.parquet(
+            os.path.join(args.out_dir, name)
+        ).count()
+    record_run(
+        spark,
+        os.path.join(args.out_dir, "_pipeline_runs"),
+        {"stage": "curation_train", "sf_dir": args.sf_dir,
+         "elapsed_sec": round(time.time() - t0, 3), **sizes},
+    )
+
+
+def run_score(args: argparse.Namespace) -> None:
+    spark = get_spark("bdrs-curation")
+    t0 = time.time()
+    # frozen models from disk — no session substrate, no retraining
+    nb = spark.read.parquet(os.path.join(args.out_dir, "nb_model"))
+    uni = spark.read.parquet(os.path.join(args.out_dir, "lm_unigrams"))
+    bi = spark.read.parquet(os.path.join(args.out_dir, "lm_bigrams"))
+    ratios = spark.read.parquet(os.path.join(args.out_dir, "dsir_ratios"))
+
+    docs = load_table(spark, args.sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("tok")
+    )
+    nb_sc = nb_score_docs(docs, nb)
+    lm_sc = lm_score_docs(docs, bi, uni)
+    dw = dsir_weight_docs(docs, ratios)
+    nb_sc.write.mode("overwrite").parquet(os.path.join(args.out_dir, "nb_scores"))
+    lm_sc.write.mode("overwrite").parquet(os.path.join(args.out_dir, "lm_scores"))
+    dw.write.mode("overwrite").parquet(os.path.join(args.out_dir, "dsir_weights"))
+
+    # the joined per-document manifest a mixture/assembly stage consumes;
+    # read the just-written tables back so the manifest provably derives
+    # from the on-disk artifacts (same rule as run_index's report stage)
+    manifest = (
+        docs.select("doc_id", "source")
+        .join(
+            spark.read.parquet(os.path.join(args.out_dir, "nb_scores")).select(
+                "doc_id", "vote_sum", "predicted_hi"
+            ),
+            "doc_id",
+        )
+        .join(
+            spark.read.parquet(os.path.join(args.out_dir, "lm_scores")).select(
+                "doc_id", "n_bigrams", "n_oov", "mean_bigram_prob"
+            ),
+            "doc_id",
+        )
+        .join(
+            spark.read.parquet(
+                os.path.join(args.out_dir, "dsir_weights")
+            ).select("doc_id", "weight_fp"),
+            "doc_id",
+        )
+    )
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "curation_scores")
+    )
+    n = spark.read.parquet(os.path.join(args.out_dir, "curation_scores")).count()
+    record_run(
+        spark,
+        os.path.join(args.out_dir, "_pipeline_runs"),
+        {"stage": "curation_score", "sf_dir": args.sf_dir,
+         "elapsed_sec": round(time.time() - t0, 3), "n_docs_scored": n},
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for cmd, fn in (("train", run_train), ("score", run_score)):
+        s = sub.add_parser(cmd)
+        s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        s.add_argument("--out-dir", required=True)
+        s.set_defaults(fn=fn)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

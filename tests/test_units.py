@@ -2121,3 +2121,70 @@ def test_run_index_update_equals_full_rebuild(spark, sf_dir_small, tmp_path):
         run_index.run_update(
             ns(sf_dir=sf_dir_small, out_dir=out_inc, batch_min_vec_id=batch_min)
         )
+
+
+def test_run_curation_cli_end_to_end(spark, sf_dir_small, tmp_path):
+    """cli/run_curation.py: train writes the curation models as Parquet
+    twins of the qm:* session substrates; score serves every document
+    from the WRITTEN models (frozen-model path) and must reproduce the
+    registered queries' score columns exactly — on-disk serving and
+    in-session serving are one algebra."""
+    import argparse
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "cli"))
+    run_curation = importlib.import_module("run_curation")
+    from big_data_recommendation_system_spark.plans import quality_models as qm
+
+    out = str(tmp_path / "curation_out")
+    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out)
+    run_curation.run_train(ns)
+    run_curation.run_score(ns)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(spark.read.parquet(_os.path.join(out, "nb_model"))) == rows(
+        qm.nb_model_table(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "lm_unigrams"))) == rows(
+        qm.lm_unigram_table(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "lm_bigrams"))) == rows(
+        qm.lm_bigram_table(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "dsir_ratios"))) == rows(
+        qm.dsir_ratio_table(spark, sf_dir_small)
+    )
+
+    # disk-served scores == registered query score columns
+    nb_q = qm.nb_classifier_scores(spark, sf_dir_small).select(
+        "doc_id", "vote_sum", "n_scored", "n_oov", "predicted_hi"
+    )
+    got_nb = spark.read.parquet(_os.path.join(out, "nb_scores")).select(
+        "doc_id", "vote_sum", "n_scored", "n_oov", "predicted_hi"
+    )
+    assert rows(got_nb) == rows(nb_q)
+    lm_q = qm.ngram_lm_scores(spark, sf_dir_small).select(
+        "doc_id", "n_bigrams", "n_bigram_hits", "n_unigram_backoff",
+        "n_oov", "lm_score_fp", "mean_bigram_prob",
+    )
+    got_lm = spark.read.parquet(_os.path.join(out, "lm_scores")).select(
+        "doc_id", "n_bigrams", "n_bigram_hits", "n_unigram_backoff",
+        "n_oov", "lm_score_fp", "mean_bigram_prob",
+    )
+    assert rows(got_lm) == rows(lm_q)
+    ds_q = qm.dsir_importance_sample(spark, sf_dir_small).select(
+        "doc_id", "n_features", "weight_fp"
+    )
+    got_ds = spark.read.parquet(_os.path.join(out, "dsir_weights"))
+    assert rows(got_ds.select("doc_id", "n_features", "weight_fp")) == rows(ds_q)
+
+    from big_data_recommendation_system_spark.sources.tables import load_table as _lt
+
+    manifest = spark.read.parquet(_os.path.join(out, "curation_scores"))
+    n_docs = _lt(spark, sf_dir_small, "documents").count()
+    assert manifest.count() == n_docs
+    assert manifest.filter("weight_fp IS NULL OR vote_sum IS NULL").count() == 0
