@@ -66,6 +66,7 @@ EMB_SUBSTRATE_CONSUMERS = frozenset(
         "ivf_probe_sweep",
         "embedding_near_dup_pairs",
         "embedding_clusters",
+        "semdedup_plan",
         "knn_label_eval",
         "embedding_quantize",
         "kmeans_step",

@@ -587,6 +587,129 @@ ORDER BY l.vec_id
 )
 
 
+def semdedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic-dedup retention plan: the
+    corpus is coarse-clustered by k-means (the IVF assignment — SemDeDup
+    step 1), near-identical embeddings within a cluster form dup groups
+    (the cell-blocked cosine pairs + connected components the engine
+    already maintains — step 2), and within each dup group the member
+    KEPT is the one with the LOWEST cosine to its assigned k-means
+    centroid (step 3 — the paper's keep-the-outlier rule, which retains
+    the most diverse representative instead of an arbitrary id).
+    Singletons are their own group and always kept. Tie-break: lowest
+    vec_id.
+
+    Output per vector: dup-cluster id/size, assigned centroid, exact
+    centroid cosine, and the keep flag. The dropped-row share is the
+    semantic-dedup savings a curation run books.
+
+    Exactness: centroid cosine = (decimal-folded dot, cast double once)
+    / one IEEE product of the two norms — bit-identical across engines,
+    so the per-group ordering (cos asc, vec_id asc) is hash-stable.
+    Scale: all inputs are persisted substrates (pairs, CC labels, IVF
+    assignment, dims/norms); the only new work is one (vec × assigned
+    centroid) dot — a pos-keyed join against 8 broadcast centroid rows —
+    and a per-dup-group window (groups are near-dup components, small by
+    construction; a degenerate giant component is the documented CC
+    caveat, not a window regression)."""
+    clusters = emb_clusters_table(spark, sf_dir)
+    dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    assign = ivf_assign_table(spark, sf_dir).filter(
+        F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
+    )
+    cdims = emb_dims(spark, sf_dir).filter(F.col("vid") < IVF_CENTROIDS)
+    dots = (
+        dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+        .join(
+            F.broadcast(
+                cdims.select(
+                    F.col("vid").alias("centroid_id"),
+                    "pos",
+                    F.col("x").alias("cx"),
+                )
+            ),
+            ["centroid_id", "pos"],
+        )
+        .groupBy("vid", "centroid_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    ccos = (
+        dots.join(nrm.withColumnRenamed("nrm", "vnrm"), "vid")
+        .join(
+            F.broadcast(
+                nrm.filter(F.col("vid") < IVF_CENTROIDS).select(
+                    F.col("vid").alias("centroid_id"), F.col("nrm").alias("cnrm")
+                )
+            ),
+            "centroid_id",
+        )
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid_id",
+            (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("centroid_cos"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("centroid_cos"), F.asc("vec_id")
+    )
+    return (
+        clusters.join(ccos, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            "centroid_id",
+            "centroid_cos",
+            (F.row_number().over(w) == 1).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_PLAN_SQL = (
+    _EMBEDDING_NEAR_DUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM pairs
+)
+, reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+, labels AS (
+  SELECT ee.vec_id,
+    LEAST(ee.vec_id, COALESCE(MIN(r.v), ee.vec_id)) AS cluster_id
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_VEC_ID}) ee
+  LEFT JOIN reach r ON r.u = ee.vec_id
+  GROUP BY ee.vec_id
+)
+, csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+, ccos AS (
+  SELECT a.vec_id, a.centroid_id,
+         cd.dot / (vn.nrm * cn.nrm) AS centroid_cos
+  FROM assign a
+  JOIN cdots cd ON cd.vec_id = a.vec_id AND cd.centroid_id = a.centroid_id
+  JOIN norms vn ON vn.vec_id = a.vec_id
+  JOIN norms cn ON cn.vec_id = a.centroid_id
+)
+SELECT l.vec_id, l.cluster_id, s.cluster_size, c.centroid_id, c.centroid_cos,
+  ROW_NUMBER() OVER (
+    PARTITION BY l.cluster_id ORDER BY c.centroid_cos ASC, l.vec_id ASC
+  ) = 1 AS is_kept
+FROM labels l
+JOIN csizes s ON l.cluster_id = s.cluster_id
+JOIN ccos c ON c.vec_id = l.vec_id
+ORDER BY l.vec_id
+"""
+)
+
+
 # --- kNN label-classification eval ------------------------------------------
 
 # Eval slice: vec_id < 100 play the query set. The per-query in-cell

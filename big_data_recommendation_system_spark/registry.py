@@ -245,6 +245,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "pq_topk_agreement": similarity.pq_topk_agreement,
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "embedding_clusters": similarity.embedding_clusters,
+    "semdedup_plan": similarity.semdedup_plan,
     "knn_label_eval": similarity.knn_label_eval,
     "cluster_label_purity": similarity.cluster_label_purity,
     "item_cooccurrence": recommend.item_cooccurrence,
@@ -309,6 +310,7 @@ _PRIORITY_ORDER = [
     "nb_classifier_eval",
     "ngram_lm_scores",
     "dsir_importance_sample",
+    "semdedup_plan",
     "media_decoded_features",
     "media_decoded_preprocess_plan",
     "als_topk_agreement",
@@ -655,6 +657,7 @@ ORACLES: dict[str, str] = {
     "pq_topk_agreement": similarity.PQ_TOPK_AGREEMENT_SQL,
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
     "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
+    "semdedup_plan": similarity.SEMDEDUP_PLAN_SQL,
     "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
     "cluster_label_purity": similarity.CLUSTER_LABEL_PURITY_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,

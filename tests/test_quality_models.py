@@ -191,3 +191,23 @@ def test_dsir_ratio_table_covers_every_bucket_seen(spark, sf_dir_small):
     ratios = qm.dsir_ratio_table(spark, sf_dir_small)
     assert ratios.count() <= qm.DSIR_BUCKETS
     assert ratios.filter("ratio_fp < 0").count() == 0
+
+
+def test_semdedup_keeps_exactly_the_centroid_outlier(spark, sf_dir_small):
+    """SemDeDup keep rule: one survivor per dup group, and it is the
+    member with the LOWEST cosine to its assigned k-means centroid
+    (tie-break lowest vec_id); singletons always survive."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        semdedup_plan,
+    )
+
+    pd = semdedup_plan(spark, sf_dir_small).toPandas()
+    for cid, grp in pd.groupby("cluster_id"):
+        kept = grp[grp.is_kept]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+        want = grp.sort_values(["centroid_cos", "vec_id"]).iloc[0]
+        assert kept.iloc[0].vec_id == want.vec_id
+    singles = pd[pd.cluster_size == 1]
+    assert singles.is_kept.all()
+    # the plan actually deduplicates something on this corpus
+    assert (~pd.is_kept).sum() > 0
