@@ -96,6 +96,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "nb_classifier_eval",
     "ngram_lm_scores",
     "dsir_importance_sample",
+    "model_gate_report",
 }
 
 
@@ -513,7 +514,7 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_LM_SCORES_SQL = f"""{_LAB_CTE}
+_LM_CTE = f"""
 , tr_bi AS (SELECT unnest({ngrams_sql("tok", 2)}) AS pair FROM lab WHERE is_train),
 lm_bi AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM tr_bi GROUP BY pair),
 tr_uni AS (SELECT unnest(tok) AS token FROM lab WHERE is_train),
@@ -550,7 +551,9 @@ lm_agg AS (
     CAST(SUM(CASE WHEN is_oov THEN occ ELSE 0 END) AS BIGINT) AS n_oov,
     CAST(SUM(occ * p_fp) AS BIGINT) AS lm_score_fp
   FROM lm_scored GROUP BY doc_id
-)
+)"""
+
+NGRAM_LM_SCORES_SQL = f"""{_LAB_CTE}{_LM_CTE}
 SELECT l.doc_id, l.source, l.is_train,
   a.n_bigrams, a.n_bigram_hits, a.n_unigram_backoff, a.n_oov, a.lm_score_fp,
   CASE WHEN a.n_bigrams > 0 THEN
@@ -661,7 +664,7 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dsir_rank")
 
 
-DSIR_IMPORTANCE_SAMPLE_SQL = f"""{_LAB_CTE}
+_DSIR_CTE = f"""
 , dfeat AS (
   SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS occ FROM (
     SELECT doc_id, ({hash_bucket_sql("feat", DSIR_BUCKETS)}) AS bucket
@@ -695,9 +698,124 @@ ranked AS (
     CAST(ROW_NUMBER() OVER (ORDER BY dw.weight_fp DESC, l.doc_id ASC) AS BIGINT) AS dsir_rank,
     COUNT(*) OVER () AS n_docs
   FROM lab l JOIN dw ON l.doc_id = dw.doc_id
-)
+)"""
+
+DSIR_IMPORTANCE_SAMPLE_SQL = f"""{_LAB_CTE}{_DSIR_CTE}
 SELECT doc_id, source, seed_hi, n_features, weight_fp, dsir_rank,
        dsir_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
 FROM ranked
 ORDER BY dsir_rank
+"""
+
+
+# --- composed model-gate report ----------------------------------------------
+
+# Fluency floor for the LM gate: mean bigram probability >= 1e-4,
+# expressed as the EXACT integer comparison
+#   lm_score_fp >= n_bigrams * LM_GATE_MIN_FP_PER_BIGRAM
+# (1e-4 · the 1e12 fixed-point scale) — no doubles anywhere in the gate.
+LM_GATE_MIN_FP_PER_BIGRAM = 100_000_000
+
+
+def model_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone of the model-curation loop: every document served
+    through ALL THREE trained gates — NB classifier (predicted_hi),
+    n-gram-LM fluency floor (exact fixed-point integer comparison, see
+    LM_GATE_MIN_FP_PER_BIGRAM) and DSIR selection — rolled up per
+    source: how the trained filters reshape the corpus mix, which is
+    what a curation team reviews before pointing the assembly stage at
+    the gated corpus. pass-all tokens are the budget actually available
+    downstream.
+
+    Scale: three substrate-fed serving passes (each one keyed hash join,
+    audited above) + one |sources|-grain rollup; the DSIR global rank is
+    the exact ranker. Nothing here rescans the corpus beyond the serving
+    joins."""
+    lab = labeled_docs_table(spark, sf_dir)
+    nb = nb_score_docs(lab, nb_model_table(spark, sf_dir)).select(
+        "doc_id", "predicted_hi"
+    )
+    lm = lm_score_docs(
+        lab, lm_bigram_table(spark, sf_dir), lm_unigram_table(spark, sf_dir)
+    ).select("doc_id", "n_bigrams", "lm_score_fp")
+    ds = dsir_importance_sample(spark, sf_dir).select("doc_id", "selected")
+    lm_pass = (F.col("n_bigrams") > 0) & (
+        F.col("lm_score_fp")
+        >= F.col("n_bigrams") * F.lit(LM_GATE_MIN_FP_PER_BIGRAM)
+    )
+    j = (
+        lab.select("doc_id", "source", "n_tokens")
+        .join(nb, "doc_id")
+        .join(lm, "doc_id")
+        .join(ds, "doc_id")
+        .select(
+            "source",
+            "n_tokens",
+            F.col("predicted_hi").alias("nb_pass"),
+            lm_pass.alias("lm_pass"),
+            F.col("selected").alias("dsir_pass"),
+        )
+    )
+    all_pass = F.col("nb_pass") & F.col("lm_pass") & F.col("dsir_pass")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("nb_pass").cast("long")).cast("long").alias("n_nb_pass"),
+        F.sum(F.col("lm_pass").cast("long")).cast("long").alias("n_lm_pass"),
+        F.sum(F.col("dsir_pass").cast("long")).cast("long").alias("n_dsir_pass"),
+        F.sum(all_pass.cast("long")).cast("long").alias("n_pass_all"),
+        F.sum(F.when(all_pass, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_pass_all"),
+    )
+    rate = (
+        F.floor(
+            F.col("n_pass_all").cast("double")
+            / F.col("n_docs").cast("double")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_nb_pass",
+        "n_lm_pass",
+        "n_dsir_pass",
+        "n_pass_all",
+        "n_tokens_pass_all",
+        rate.alias("pass_all_rate"),
+    ).orderBy("source")
+
+
+MODEL_GATE_REPORT_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}{_LM_CTE}{_DSIR_CTE}
+, dsir_sel AS (
+  SELECT doc_id, dsir_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
+  FROM ranked
+),
+gates AS (
+  SELECT l.source, l.n_tokens,
+    nb.predicted_hi AS nb_pass,
+    (a.n_bigrams > 0 AND a.lm_score_fp >= a.n_bigrams * {LM_GATE_MIN_FP_PER_BIGRAM})
+      AS lm_pass,
+    d.selected AS dsir_pass
+  FROM lab l
+  JOIN nb_scores nb ON nb.doc_id = l.doc_id
+  JOIN lm_agg a ON a.doc_id = l.doc_id
+  JOIN dsir_sel d ON d.doc_id = l.doc_id
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN nb_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_pass,
+  CAST(SUM(CASE WHEN lm_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_pass,
+  CAST(SUM(CASE WHEN dsir_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_dsir_pass,
+  CAST(SUM(CASE WHEN nb_pass AND lm_pass AND dsir_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass_all,
+  CAST(SUM(CASE WHEN nb_pass AND lm_pass AND dsir_pass THEN n_tokens ELSE 0 END)
+    AS BIGINT) AS n_tokens_pass_all,
+  floor(CAST(SUM(CASE WHEN nb_pass AND lm_pass AND dsir_pass THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS pass_all_rate
+FROM gates
+GROUP BY source
+ORDER BY source
 """

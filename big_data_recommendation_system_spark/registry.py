@@ -288,6 +288,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "nb_classifier_eval": quality_models.nb_classifier_eval,
     "ngram_lm_scores": quality_models.ngram_lm_scores,
     "dsir_importance_sample": quality_models.dsir_importance_sample,
+    "model_gate_report": quality_models.model_gate_report,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -310,6 +311,7 @@ _PRIORITY_ORDER = [
     "nb_classifier_eval",
     "ngram_lm_scores",
     "dsir_importance_sample",
+    "model_gate_report",
     "semdedup_plan",
     "media_decoded_features",
     "media_decoded_preprocess_plan",
@@ -690,6 +692,7 @@ ORACLES: dict[str, str] = {
     "nb_classifier_eval": quality_models.NB_CLASSIFIER_EVAL_SQL,
     "ngram_lm_scores": quality_models.NGRAM_LM_SCORES_SQL,
     "dsir_importance_sample": quality_models.DSIR_IMPORTANCE_SAMPLE_SQL,
+    "model_gate_report": quality_models.MODEL_GATE_REPORT_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

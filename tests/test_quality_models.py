@@ -211,3 +211,26 @@ def test_semdedup_keeps_exactly_the_centroid_outlier(spark, sf_dir_small):
     assert singles.is_kept.all()
     # the plan actually deduplicates something on this corpus
     assert (~pd.is_kept).sum() > 0
+
+
+def test_model_gate_report_consistent_with_parts(spark, sf_dir_small):
+    """The composed gate rollup must agree with the three serving
+    queries it composes: per-source NB pass counts, DSIR pass counts,
+    and the all-gates intersection recomputed from the parts."""
+    gates = qm.model_gate_report(spark, sf_dir_small).toPandas().set_index("source")
+    nb = qm.nb_classifier_scores(spark, sf_dir_small).toPandas()
+    lm = qm.ngram_lm_scores(spark, sf_dir_small).toPandas()
+    ds = qm.dsir_importance_sample(spark, sf_dir_small).toPandas()
+    nb_by_src = nb[nb.predicted_hi].groupby(nb[nb.predicted_hi].source).size()
+    ds_by_src = ds[ds.selected].groupby(ds[ds.selected].source).size()
+    for src, row in gates.iterrows():
+        assert row.n_nb_pass == nb_by_src.get(src, 0)
+        assert row.n_dsir_pass == ds_by_src.get(src, 0)
+    # intersection check over the joined per-doc frames
+    m = nb.merge(lm, on="doc_id").merge(ds, on="doc_id")
+    lm_ok = (m.n_bigrams > 0) & (
+        m.lm_score_fp >= m.n_bigrams * qm.LM_GATE_MIN_FP_PER_BIGRAM
+    )
+    assert int((m.predicted_hi & lm_ok & m.selected).sum()) == int(
+        gates.n_pass_all.sum()
+    )
