@@ -1069,6 +1069,7 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     nb = qm.nb_model_table(spark, sf_dir_small)
     bi = qm.lm_bigram_table(spark, sf_dir_small)
     uni = qm.lm_unigram_table(spark, sf_dir_small)
+    ratios = qm.dsir_ratio_table(spark, sf_dir_small)
 
     src = os.path.join(stream_env["tmp"], "qm_serving_src")
     load_table(spark, sf_dir_small, "documents").select(
@@ -1078,11 +1079,13 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
 
     nb_rows: list[tuple] = []
     lm_rows: list[tuple] = []
+    dw_rows: list[tuple] = []
 
     def handle(batch_df, _bid):
         tok = batch_df.select("doc_id", tokens(F.col("text")).alias("tok"))
         nb_rows.extend(map(tuple, qm.nb_score_docs(tok, nb).collect()))
         lm_rows.extend(map(tuple, qm.lm_score_docs(tok, bi, uni).collect()))
+        dw_rows.extend(map(tuple, qm.dsir_weight_docs(tok, ratios).collect()))
 
     q = (
         spark.readStream.schema(schema)
@@ -1100,6 +1103,9 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     )
     assert sorted(lm_rows) == sorted(
         map(tuple, qm.lm_score_docs(lab, bi, uni).collect())
+    )
+    assert sorted(dw_rows) == sorted(
+        map(tuple, qm.dsir_weight_docs(lab, ratios).collect())
     )
     # the stream really was incremental, not one big batch
     assert len(nb_rows) == len(set(r[0] for r in nb_rows))
