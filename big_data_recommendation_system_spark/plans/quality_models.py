@@ -97,6 +97,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "ngram_lm_scores",
     "dsir_importance_sample",
     "model_gate_report",
+    "nb_calibration_sweep",
 }
 
 
@@ -818,4 +819,106 @@ SELECT source,
 FROM gates
 GROUP BY source
 ORDER BY source
+"""
+
+
+# --- classifier calibration sweep --------------------------------------------
+
+# Mean-vote thresholds as exact rationals num/NB_CAL_DEN: a document
+# passes iff vote_sum · NB_CAL_DEN > num · n_scored — pure BIGINT
+# arithmetic, length-normalized (raw vote_sum scales with doc length).
+NB_CAL_DEN = 20
+NB_CAL_NUMS = [-10, -5, -2, 0, 2, 5, 10]  # mean-vote cutoffs -0.5 .. 0.5
+
+
+def nb_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration curve for the TRAINED classifier, measured on
+    the HELD-OUT split only (the honest view — train-split numbers are
+    optimistic): for each mean-vote cutoff, how many documents pass and
+    the accuracy / precision / recall against the seed label. This is
+    the sweep a pipeline runs before committing to a classifier cutoff,
+    the model-based sibling of quality_threshold_sweep.
+
+    Exactness: the pass predicate is exact integer arithmetic (see
+    NB_CAL_NUMS); each emitted metric is ONE division of exact integer
+    counts. Scale: the serving pass runs once; the 7-row grid
+    cross-joins the per-doc score frame and collapses by map-side
+    combine — nothing rescans the corpus per cutoff."""
+    lab = labeled_docs_table(spark, sf_dir)
+    sc = nb_score_docs(lab, nb_model_table(spark, sf_dir))
+    held = (
+        lab.select("doc_id", "is_train", "seed_hi")
+        .join(sc.select("doc_id", "vote_sum", "n_scored"), "doc_id")
+        .filter(~F.col("is_train"))
+    )
+    grid = spark.createDataFrame([(n,) for n in NB_CAL_NUMS], "cut_num int")
+    passed = (
+        F.col("vote_sum") * F.lit(NB_CAL_DEN)
+        > F.col("cut_num").cast("long") * F.col("n_scored")
+    )
+    g = (
+        held.crossJoin(F.broadcast(grid))
+        .groupBy("cut_num")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum(passed.cast("long")).cast("long").alias("n_pass"),
+            F.sum((passed & F.col("seed_hi")).cast("long"))
+            .cast("long")
+            .alias("n_true_pass"),
+            F.sum(F.col("seed_hi").cast("long")).cast("long").alias("n_seed_hi"),
+            F.sum((passed == F.col("seed_hi")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return g.select(
+        (F.col("cut_num").cast("double") / F.lit(float(NB_CAL_DEN))).alias(
+            "mean_vote_cutoff"
+        ),
+        "n_eval_docs",
+        "n_pass",
+        (F.col("n_correct").cast("double") / F.col("n_eval_docs").cast("double")).alias(
+            "accuracy"
+        ),
+        F.when(
+            F.col("n_pass") > 0,
+            F.col("n_true_pass").cast("double") / F.col("n_pass").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_seed_hi") > 0,
+            F.col("n_true_pass").cast("double") / F.col("n_seed_hi").cast("double"),
+        ).alias("recall"),
+    ).orderBy("mean_vote_cutoff")
+
+
+_NB_CAL_GRID = ", ".join(str(n) for n in NB_CAL_NUMS)
+
+NB_CALIBRATION_SWEEP_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}
+, held AS (
+  SELECT s.doc_id, s.seed_hi, s.vote_sum, s.n_scored
+  FROM nb_scores s WHERE NOT s.is_train
+),
+grid AS (SELECT unnest([{_NB_CAL_GRID}]) AS cut_num),
+sw AS (
+  SELECT cut_num,
+    CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+    CAST(SUM(CASE WHEN vote_sum * {NB_CAL_DEN} > cut_num * n_scored
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+    CAST(SUM(CASE WHEN vote_sum * {NB_CAL_DEN} > cut_num * n_scored AND seed_hi
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pass,
+    CAST(SUM(CASE WHEN seed_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_seed_hi,
+    CAST(SUM(CASE WHEN (vote_sum * {NB_CAL_DEN} > cut_num * n_scored) = seed_hi
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM held CROSS JOIN grid
+  GROUP BY cut_num
+)
+SELECT CAST(cut_num AS DOUBLE) / {float(NB_CAL_DEN)!r} AS mean_vote_cutoff,
+  n_eval_docs, n_pass,
+  CAST(n_correct AS DOUBLE) / CAST(n_eval_docs AS DOUBLE) AS accuracy,
+  CASE WHEN n_pass > 0 THEN CAST(n_true_pass AS DOUBLE) / CAST(n_pass AS DOUBLE) END
+    AS precision,
+  CASE WHEN n_seed_hi > 0 THEN CAST(n_true_pass AS DOUBLE) / CAST(n_seed_hi AS DOUBLE) END
+    AS recall
+FROM sw
+ORDER BY mean_vote_cutoff
 """

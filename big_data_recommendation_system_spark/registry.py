@@ -289,6 +289,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "ngram_lm_scores": quality_models.ngram_lm_scores,
     "dsir_importance_sample": quality_models.dsir_importance_sample,
     "model_gate_report": quality_models.model_gate_report,
+    "nb_calibration_sweep": quality_models.nb_calibration_sweep,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -315,6 +316,7 @@ _PRIORITY_ORDER = [
     "ngram_lm_scores",
     "dsir_importance_sample",
     "model_gate_report",
+    "nb_calibration_sweep",
     "semdedup_plan",
     "media_decoded_features",
     "media_decoded_preprocess_plan",
@@ -696,6 +698,7 @@ ORACLES: dict[str, str] = {
     "ngram_lm_scores": quality_models.NGRAM_LM_SCORES_SQL,
     "dsir_importance_sample": quality_models.DSIR_IMPORTANCE_SAMPLE_SQL,
     "model_gate_report": quality_models.MODEL_GATE_REPORT_SQL,
+    "nb_calibration_sweep": quality_models.NB_CALIBRATION_SWEEP_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }
