@@ -304,12 +304,13 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 _PRIORITY_ORDER = [
     # new registrations, never driver-checked — the model-based curation
     # family (NB quality classifier, stupid-backoff LM scoring, DSIR
-    # importance resampling, composed model-gate report) plus the
-    # SemDeDup retention plan land this round; the seven r5-stale
-    # greens product_features_batch / top_event_types_per_user /
-    # doc_fingerprints / lang_id / simhash_fingerprints /
-    # item_cooccurrence / events_with_last_signup slip to 51-57 to make
-    # room (front of the r10 rotation queue):
+    # importance resampling, composed model-gate report, held-out
+    # calibration sweep) plus the SemDeDup retention plan land this
+    # round (8 never-checked registrations); the eight r5-stale greens
+    # user_features_batch / product_features_batch /
+    # top_event_types_per_user / doc_fingerprints / lang_id /
+    # simhash_fingerprints / item_cooccurrence / events_with_last_signup
+    # slip to 51-58 to make room (front of the r10 rotation queue):
     "nb_quality_model",
     "nb_classifier_scores",
     "nb_classifier_eval",
