@@ -100,6 +100,7 @@ SUBSTRATE_BUILDERS = [
     ("qm:lm_uni", _qm.lm_unigram_table),
     ("qm:lm_bi", _qm.lm_bigram_table),
     ("qm:dsir_ratios", _qm.dsir_ratio_table),
+    ("qm:dsir_sample", _qm.dsir_sample_table),
 ]
 
 

@@ -637,32 +637,46 @@ def dsir_weight_docs(tok_docs: DataFrame, ratios: DataFrame) -> DataFrame:
     )
 
 
+def dsir_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the full DSIR resample manifest (weights,
+    global rank, selection flag), built once per (session, corpus) —
+    shared by the registered sampling query and the composed
+    model_gate_report (which otherwise re-runs the feature explode and
+    the exact-ranker materialization per call)."""
+
+    def build() -> DataFrame:
+        from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
+
+        lab = labeled_docs_table(spark, sf_dir)
+        dw = dsir_weight_docs(lab, dsir_ratio_table(spark, sf_dir))
+        ranked = with_global_rank(
+            lab.select("doc_id", "source", "seed_hi")
+            .join(dw, "doc_id")
+            .withColumn("_neg_w", -F.col("weight_fp")),
+            ["_neg_w", "doc_id"],
+        )
+        keep_n = F.ceil(F.lit(DSIR_KEEP_SHARE) * F.col(TOTAL_COL))
+        return ranked.select(
+            "doc_id",
+            "source",
+            "seed_hi",
+            "n_features",
+            "weight_fp",
+            F.col(RANK_COL).alias("dsir_rank"),
+            (F.col(RANK_COL) <= keep_n).alias("selected"),
+        )
+
+    return session_frame(spark, sf_dir, "qm:dsir_sample", build)
+
+
 def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR sampling plan: per-document importance weight = Σ feature
     occurrences · bucket ratio_fp (exact BIGINT), globally ranked
     (weight desc, doc_id asc) through the scalable exact ranker, keeping
     the top DSIR_KEEP_SHARE of documents. The output is the resample
-    manifest a downstream assembly stage consumes."""
-    from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
-
-    lab = labeled_docs_table(spark, sf_dir)
-    dw = dsir_weight_docs(lab, dsir_ratio_table(spark, sf_dir))
-    ranked = with_global_rank(
-        lab.select("doc_id", "source", "seed_hi")
-        .join(dw, "doc_id")
-        .withColumn("_neg_w", -F.col("weight_fp")),
-        ["_neg_w", "doc_id"],
-    )
-    keep_n = F.ceil(F.lit(DSIR_KEEP_SHARE) * F.col(TOTAL_COL))
-    return ranked.select(
-        "doc_id",
-        "source",
-        "seed_hi",
-        "n_features",
-        "weight_fp",
-        F.col(RANK_COL).alias("dsir_rank"),
-        (F.col(RANK_COL) <= keep_n).alias("selected"),
-    ).orderBy("dsir_rank")
+    manifest a downstream assembly stage consumes — served from the
+    session substrate (shared with model_gate_report)."""
+    return dsir_sample_table(spark, sf_dir).orderBy("dsir_rank")
 
 
 _DSIR_CTE = f"""

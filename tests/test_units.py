@@ -1949,6 +1949,8 @@ def test_substrates_survive_external_clearcache(spark, sf_dir_small):
         "bpe_apply_merges",       # trained-tokenizer substrates
         "corpus_report_card",     # report-card substrate
         "dup_graph_degrees",      # graph edge substrate
+        "nb_classifier_scores",   # labeled-corpus + NB model substrates
+        "dsir_importance_sample", # DSIR ratio + ranked-sample substrates
     ]
     before = {
         n: sorted(map(tuple, QUERIES[n](spark, sf_dir_small).collect()))
