@@ -556,9 +556,10 @@ def emb_clusters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "nd_clusters", build)
 
 
-EMBEDDING_CLUSTERS_SQL = (
-    _EMBEDDING_NEAR_DUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f"""
+# Recursive-CC fragment over the `pairs` CTE — shared verbatim by the
+# cluster oracle and the SemDeDup oracle so the CC labeling rule cannot
+# drift between them.
+_CC_CTE = f"""
 , edges AS (
   SELECT vec_a AS u, vec_b AS v FROM pairs
   UNION
@@ -578,7 +579,12 @@ EMBEDDING_CLUSTERS_SQL = (
 )
 , csizes AS (
   SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
-)
+)"""
+
+EMBEDDING_CLUSTERS_SQL = (
+    _EMBEDDING_NEAR_DUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CC_CTE
+    + """
 SELECT l.vec_id, l.cluster_id, s.cluster_size,
   l.vec_id = l.cluster_id AS is_canonical
 FROM labels l JOIN csizes s ON l.cluster_id = s.cluster_id
@@ -669,27 +675,8 @@ def semdedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_PLAN_SQL = (
     _EMBEDDING_NEAR_DUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f"""
-, edges AS (
-  SELECT vec_a AS u, vec_b AS v FROM pairs
-  UNION
-  SELECT vec_b AS u, vec_a AS v FROM pairs
-)
-, reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-)
-, labels AS (
-  SELECT ee.vec_id,
-    LEAST(ee.vec_id, COALESCE(MIN(r.v), ee.vec_id)) AS cluster_id
-  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {NEAR_DUP_MAX_VEC_ID}) ee
-  LEFT JOIN reach r ON r.u = ee.vec_id
-  GROUP BY ee.vec_id
-)
-, csizes AS (
-  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
-)
+    + _CC_CTE
+    + """
 , ccos AS (
   SELECT a.vec_id, a.centroid_id,
          cd.dot / (vn.nrm * cn.nrm) AS centroid_cos

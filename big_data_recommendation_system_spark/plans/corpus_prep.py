@@ -35,29 +35,30 @@ TRAIN_UPPER = 80
 VAL_UPPER = 90
 
 
+# Hex alphabet for positional md5-digit parses — canonical copy lives in
+# functions/text.py; re-exported here for plans.packing / plans.bloom.
+from ..functions.text import _HEX_DIGITS as _HEX  # noqa: E402
+
+
 def split_bucket(col: Column) -> Column:
     """Deterministic 0..99 bucket from the first four md5 hex digits,
     parsed as a uniform 0..65535 integer (conv base-16). Residual mod
     bias is 1/655 per bucket — negligible. NOT ascii()-arithmetic on the
     hex chars: their codepoints are non-contiguous, which skews the mod
-    distribution by several percent."""
-    h = F.md5(col.cast("string"))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    distribution by several percent. Delegates to the shared
+    parameterized primitive (functions/text.hash_bucket) so the tricky
+    engine-parity hex parse lives in exactly one place."""
+    from ..functions.text import hash_bucket
 
-
-_HEX = "0123456789abcdef"
+    return hash_bucket(col, 100)
 
 
 def _split_bucket_sql(col: str) -> str:
-    # DuckDB has no conv(); parse the 4 hex digits positionally — exact
-    # same 0..65535 value as the Spark side's conv(..., 16, 10).
-    h = f"md5(CAST({col} AS VARCHAR))"
-    digit = "(strpos('{hex}', substr({h},{i},1)) - 1)"
-    terms = " + ".join(
-        digit.format(hex=_HEX, h=h, i=i + 1) + f" * {16 ** (3 - i)}"
-        for i in range(4)
-    )
-    return f"(({terms}) % 100)"
+    # DuckDB has no conv(); the shared helper parses the 4 hex digits
+    # positionally — exact same 0..65535 value as Spark's conv(.., 16, 10)
+    from ..functions.text import hash_bucket_sql
+
+    return hash_bucket_sql(col, 100)
 
 
 def split_label(bucket: Column) -> Column:

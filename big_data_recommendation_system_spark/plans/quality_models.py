@@ -573,8 +573,15 @@ def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio per hashed feature bucket, fixed-pointed to an exact BIGINT.
     Raw distribution = the whole corpus's hashed unigram+bigram
     occurrences; target distribution = the quality-seed-positive
-    documents' occurrences (DSIR's "target domain" exemplar). Exactly
-    ``DSIR_BUCKETS`` rows — broadcast at serving time."""
+    documents' occurrences (DSIR's "target domain" exemplar).
+
+    DENSE over all ``DSIR_BUCKETS`` buckets (exactly 1024 rows): buckets
+    the training snapshot never observed still get their Laplace default
+    ratio (cnt_t = cnt_r = 0), so the frozen-model serving join
+    (:func:`dsir_weight_docs`, and the ``run_curation score`` path over
+    a LATER snapshot) can never drop a feature whose bucket was unseen
+    at train time — the review finding that motivated densification.
+    Broadcast at serving time."""
 
     def build() -> DataFrame:
         lab = labeled_docs_table(spark, sf_dir)
@@ -596,15 +603,17 @@ def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot_t = tgtc.agg(
             F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("tot_t")
         )
+        dense = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
         joined = (
-            rawc.join(tgtc, "bucket", "left")
+            dense.join(rawc, "bucket", "left")
+            .join(tgtc, "bucket", "left")
             .crossJoin(F.broadcast(tot_r))
             .crossJoin(F.broadcast(tot_t))
         )
         num = (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double") * (
             F.col("tot_r") + F.lit(DSIR_BUCKETS)
         ).cast("double")
-        den = (F.col("cnt_r") + 1).cast("double") * (
+        den = (F.coalesce(F.col("cnt_r"), F.lit(0)) + 1).cast("double") * (
             F.col("tot_t") + F.lit(DSIR_BUCKETS)
         ).cast("double")
         return joined.select(
@@ -696,12 +705,16 @@ tots AS (
   SELECT (SELECT CAST(SUM(cnt_r) AS BIGINT) FROM rawc) AS tot_r,
          (SELECT CAST(COALESCE(SUM(cnt_t), 0) AS BIGINT) FROM tgtc) AS tot_t
 ),
+dense AS (SELECT i AS bucket FROM range({DSIR_BUCKETS}) tt(i)),
 ratios AS (
-  SELECT r.bucket,
+  SELECT d.bucket,
     CAST(FLOOR(((CAST(COALESCE(t.cnt_t, 0) + 1 AS DOUBLE) * CAST(tot_r + {DSIR_BUCKETS} AS DOUBLE))
-      / (CAST(r.cnt_r + 1 AS DOUBLE) * CAST(tot_t + {DSIR_BUCKETS} AS DOUBLE)))
+      / (CAST(COALESCE(r.cnt_r, 0) + 1 AS DOUBLE) * CAST(tot_t + {DSIR_BUCKETS} AS DOUBLE)))
       * {DSIR_FP_SCALE!r}) AS BIGINT) AS ratio_fp
-  FROM rawc r LEFT JOIN tgtc t ON r.bucket = t.bucket CROSS JOIN tots
+  FROM dense d
+  LEFT JOIN rawc r ON d.bucket = r.bucket
+  LEFT JOIN tgtc t ON d.bucket = t.bucket
+  CROSS JOIN tots
 ),
 dw AS (
   SELECT d.doc_id, CAST(SUM(d.occ) AS BIGINT) AS n_features,
@@ -740,7 +753,11 @@ def model_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source: how the trained filters reshape the corpus mix, which is
     what a curation team reviews before pointing the assembly stage at
     the gated corpus. pass-all tokens are the budget actually available
-    downstream.
+    downstream. Documents too short to score (no tokens → no NB/DSIR
+    row; fewer than two tokens → no LM row) stay in the denominator and
+    FAIL the affected gate (left joins + coalesce-to-false), so a
+    source's pass rate is never computed over a silently smaller doc
+    count.
 
     Scale: three substrate-fed serving passes (each one keyed hash join,
     audited above) + one |sources|-grain rollup; the DSIR global rank is
@@ -760,15 +777,15 @@ def model_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         lab.select("doc_id", "source", "n_tokens")
-        .join(nb, "doc_id")
-        .join(lm, "doc_id")
-        .join(ds, "doc_id")
+        .join(nb, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(ds, "doc_id", "left")
         .select(
             "source",
             "n_tokens",
-            F.col("predicted_hi").alias("nb_pass"),
-            lm_pass.alias("lm_pass"),
-            F.col("selected").alias("dsir_pass"),
+            F.coalesce(F.col("predicted_hi"), F.lit(False)).alias("nb_pass"),
+            F.coalesce(lm_pass, F.lit(False)).alias("lm_pass"),
+            F.coalesce(F.col("selected"), F.lit(False)).alias("dsir_pass"),
         )
     )
     all_pass = F.col("nb_pass") & F.col("lm_pass") & F.col("dsir_pass")
@@ -810,14 +827,15 @@ MODEL_GATE_REPORT_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}{_LM_CTE}{_
 ),
 gates AS (
   SELECT l.source, l.n_tokens,
-    nb.predicted_hi AS nb_pass,
-    (a.n_bigrams > 0 AND a.lm_score_fp >= a.n_bigrams * {LM_GATE_MIN_FP_PER_BIGRAM})
-      AS lm_pass,
-    d.selected AS dsir_pass
+    COALESCE(nb.predicted_hi, FALSE) AS nb_pass,
+    COALESCE(a.n_bigrams > 0
+             AND a.lm_score_fp >= a.n_bigrams * {LM_GATE_MIN_FP_PER_BIGRAM},
+             FALSE) AS lm_pass,
+    COALESCE(d.selected, FALSE) AS dsir_pass
   FROM lab l
-  JOIN nb_scores nb ON nb.doc_id = l.doc_id
-  JOIN lm_agg a ON a.doc_id = l.doc_id
-  JOIN dsir_sel d ON d.doc_id = l.doc_id
+  LEFT JOIN nb_scores nb ON nb.doc_id = l.doc_id
+  LEFT JOIN lm_agg a ON a.doc_id = l.doc_id
+  LEFT JOIN dsir_sel d ON d.doc_id = l.doc_id
 )
 SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,

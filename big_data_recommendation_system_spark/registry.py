@@ -373,9 +373,16 @@ _PRIORITY_ORDER = [
     # r8 bench-regression watch items (plans unchanged; re-verify):
     "token_budget_sample",
     "text_stats",
-    # stalest greens (r5) — the r8 VERDICT item-2 queue:
+    # stalest greens (r5) — the r8 VERDICT item-2 queue (head; the
+    # rest slipped out when the second batch registered, see below):
     "ref_daily_stats",
     "ref_engagement_metrics",
+    # ---- driver window ends here (50) ------------------------------------
+    # the eight r5-stale greens below slipped to 51-58 when the
+    # second-batch registrations (curation family + SemDeDup) took the
+    # window head; they lead the r10 rotation queue, ahead of
+    # orders_with_returns / trailing_hour_counts (slipped in the first
+    # batch) and the r6-stale silver/gold/DQ core:
     "user_features_batch",
     "product_features_batch",
     "top_event_types_per_user",
@@ -384,10 +391,6 @@ _PRIORITY_ORDER = [
     "simhash_fingerprints",
     "item_cooccurrence",
     "events_with_last_signup",
-    # ---- driver window ends here (50) ------------------------------------
-    # orders_with_returns / trailing_hour_counts slipped to 51-52
-    # (r10 queue) to make room for the decoded-preprocess and
-    # kmeans_refine-oracle registrations:
     "orders_with_returns",
     "trailing_hour_counts",
     "ann_cosine_topk",

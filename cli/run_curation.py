@@ -99,7 +99,11 @@ def run_score(args: argparse.Namespace) -> None:
 
     # the joined per-document manifest a mixture/assembly stage consumes;
     # read the just-written tables back so the manifest provably derives
-    # from the on-disk artifacts (same rule as run_index's report stage)
+    # from the on-disk artifacts (same rule as run_index's report stage).
+    # LEFT joins: a document too short to score (no tokens → no NB/DSIR
+    # row; fewer than two tokens → no LM row) must still appear in the
+    # manifest with NULL scores — dropping it would hide it from the
+    # downstream stage entirely (review finding)
     manifest = (
         docs.select("doc_id", "source")
         .join(
@@ -107,18 +111,21 @@ def run_score(args: argparse.Namespace) -> None:
                 "doc_id", "vote_sum", "predicted_hi"
             ),
             "doc_id",
+            "left",
         )
         .join(
             spark.read.parquet(os.path.join(args.out_dir, "lm_scores")).select(
                 "doc_id", "n_bigrams", "n_oov", "mean_bigram_prob"
             ),
             "doc_id",
+            "left",
         )
         .join(
             spark.read.parquet(
                 os.path.join(args.out_dir, "dsir_weights")
             ).select("doc_id", "weight_fp"),
             "doc_id",
+            "left",
         )
     )
     manifest.write.mode("overwrite").parquet(

@@ -185,12 +185,30 @@ def test_lm_model_substrate_consistency(spark, sf_dir_small):
         assert uni[row.pair.split(" ")[0]] == row.c1_w1
 
 
-def test_dsir_ratio_table_covers_every_bucket_seen(spark, sf_dir_small):
-    """Every bucket any document hashes into appears in the ratio table
-    (raw = all docs, so the serving join can never drop a feature)."""
-    ratios = qm.dsir_ratio_table(spark, sf_dir_small)
-    assert ratios.count() <= qm.DSIR_BUCKETS
-    assert ratios.filter("ratio_fp < 0").count() == 0
+def test_dsir_ratio_table_is_dense_over_all_buckets(spark, sf_dir_small):
+    """The ratio table is DENSE: exactly one row per possible bucket
+    (unseen buckets carry the Laplace default), so the frozen-model
+    serving join can never drop a feature — even for a later snapshot
+    whose features hash to buckets the training snapshot never saw."""
+    ratios = qm.dsir_ratio_table(spark, sf_dir_small).toPandas()
+    assert sorted(ratios.bucket) == list(range(qm.DSIR_BUCKETS))
+    assert (ratios.ratio_fp >= 0).all()
+    # every bucket any document hashes into joins a ratio row
+    from pyspark.sql import functions as F
+    from big_data_recommendation_system_spark.functions.text import hash_bucket
+    from big_data_recommendation_system_spark.functions.text import ngrams as _ng
+
+    lab = qm.labeled_docs_table(spark, sf_dir_small)
+    seen = {
+        r.bucket
+        for r in lab.select(
+            F.explode(F.concat(F.col("tok"), _ng("tok", 2))).alias("feat")
+        )
+        .select(hash_bucket(F.col("feat"), qm.DSIR_BUCKETS).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    assert seen <= set(ratios.bucket)
 
 
 def test_semdedup_keeps_exactly_the_centroid_outlier(spark, sf_dir_small):
@@ -234,3 +252,22 @@ def test_model_gate_report_consistent_with_parts(spark, sf_dir_small):
     assert int((m.predicted_hi & lm_ok & m.selected).sum()) == int(
         gates.n_pass_all.sum()
     )
+
+
+def test_short_docs_fail_gates_not_vanish(spark, tmp_path):
+    """Review regression pin: documents too short to score (one token →
+    no LM row) must stay in the model_gate_report denominator and FAIL
+    the LM gate, not silently disappear through an inner join."""
+    train_ids = [i for i in range(100) if _py_split_bucket(i) < 80]
+    rows = [
+        (train_ids[0], "alpha beta gamma", "en", "s0", 16),
+        (train_ids[1], "gamma delta alpha beta", "en", "s0", 22),
+        (train_ids[2], "alpha", "en", "s1", 5),  # 1 token: no bigrams
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rep = qm.model_gate_report(spark, str(tmp_path)).toPandas().set_index("source")
+    assert int(rep.n_docs.sum()) == 3  # nobody vanished
+    assert rep.loc["s1"].n_docs == 1
+    assert rep.loc["s1"].n_lm_pass == 0  # short doc FAILS the LM gate

@@ -1080,8 +1080,10 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     nb_rows: list[tuple] = []
     lm_rows: list[tuple] = []
     dw_rows: list[tuple] = []
+    batch_ids: list[int] = []
 
     def handle(batch_df, _bid):
+        batch_ids.append(_bid)
         tok = batch_df.select("doc_id", tokens(F.col("text")).alias("tok"))
         nb_rows.extend(map(tuple, qm.nb_score_docs(tok, nb).collect()))
         lm_rows.extend(map(tuple, qm.lm_score_docs(tok, bi, uni).collect()))
@@ -1108,4 +1110,5 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
         map(tuple, qm.dsir_weight_docs(lab, ratios).collect())
     )
     # the stream really was incremental, not one big batch
+    assert len(batch_ids) > 1
     assert len(nb_rows) == len(set(r[0] for r in nb_rows))
