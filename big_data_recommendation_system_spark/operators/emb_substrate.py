@@ -67,6 +67,7 @@ EMB_SUBSTRATE_CONSUMERS = frozenset(
         "embedding_near_dup_pairs",
         "embedding_clusters",
         "semdedup_plan",
+        "contrastive_triplets",
         "knn_label_eval",
         "embedding_quantize",
         "kmeans_step",

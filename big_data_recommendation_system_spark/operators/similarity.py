@@ -423,6 +423,18 @@ def _embedding_near_dup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, not the throughput shape. The production variant is the same
     cell-blocked plan with the array-native fold of cosine_topk_fast
     (identical pairs up to summation-order ulps)."""
+    return (
+        _in_cell_cosines(spark, sf_dir)
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _in_cell_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL in-cell pairs (a < b) of the audit slice with their exact
+    cosine — the unfiltered frame behind the near-dup pairs (>= tau cut
+    applied by the caller) and the contrastive-triplet miner (which
+    also needs the sub-tau neighbors)."""
     dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
     nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
     # per-vector independence: the full-corpus assignment substrate
@@ -462,7 +474,6 @@ def _embedding_near_dup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
         )
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= NEAR_DUP_TAU)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -693,6 +704,84 @@ FROM labels l
 JOIN csizes s ON l.cluster_id = s.cluster_id
 JOIN ccos c ON c.vec_id = l.vec_id
 ORDER BY l.vec_id
+"""
+)
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triplets for an
+    embedding model from the structures the dedup stack already
+    maintains: POSITIVES are the near-dup pairs (in-cell cosine >= tau,
+    the pair substrate), and the HARD NEGATIVE for each anchor is its
+    highest-cosine in-cell neighbor BELOW tau (the classic
+    hardest-negative-outside-the-positive-set mining rule; ties break to
+    the lowest vec_id). One row per positive pair, anchored at the
+    smaller id; anchors whose cell has no sub-tau neighbor yield no
+    triplet (nothing to contrast against).
+
+    This is the training-data-generation op a retrieval/embedding
+    fine-tune consumes (mined in-batch negatives) — built entirely from
+    the persisted dims/norms/assignment substrates with exact decimal
+    cosines, so the triplet set is hash-stable. Scale: the candidate
+    space is cell-blocked like every ANN query (never all-pairs); the
+    per-anchor argmax is a keyed window over in-cell neighbors."""
+    allc = _in_cell_cosines(spark, sf_dir)
+    pos = allc.filter(F.col("cosine") >= NEAR_DUP_TAU).select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("vec_b").alias("positive_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neigh = allc.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionByName(
+        allc.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    neg = (
+        neigh.filter(F.col("cosine") < NEAR_DUP_TAU)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("src").alias("anchor_id"),
+            F.col("dst").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select("anchor_id", "positive_id", "pos_cos", "negative_id", "neg_cos")
+        .orderBy("anchor_id", "positive_id")
+    )
+
+
+CONTRASTIVE_TRIPLETS_SQL = (
+    _EMBEDDING_NEAR_DUP_CTE
+    + f"""
+, allcos AS (
+  SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+  FROM pdots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+)
+, neigh AS (
+  SELECT vec_a AS src, vec_b AS dst, cosine FROM allcos
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cosine FROM allcos
+)
+, neg AS (
+  SELECT src AS anchor_id, dst AS negative_id, cosine AS neg_cos
+  FROM (
+    SELECT src, dst, cosine,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS r
+    FROM neigh WHERE cosine < {NEAR_DUP_TAU}
+  ) WHERE r = 1
+)
+SELECT p.vec_a AS anchor_id, p.vec_b AS positive_id, p.cosine AS pos_cos,
+       n.negative_id, n.neg_cos
+FROM pairs p JOIN neg n ON n.anchor_id = p.vec_a
+ORDER BY anchor_id, positive_id
 """
 )
 

@@ -246,6 +246,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
     "embedding_clusters": similarity.embedding_clusters,
     "semdedup_plan": similarity.semdedup_plan,
+    "contrastive_triplets": similarity.contrastive_triplets,
     "knn_label_eval": similarity.knn_label_eval,
     "cluster_label_purity": similarity.cluster_label_purity,
     "item_cooccurrence": recommend.item_cooccurrence,
@@ -319,6 +320,7 @@ _PRIORITY_ORDER = [
     "model_gate_report",
     "nb_calibration_sweep",
     "semdedup_plan",
+    "contrastive_triplets",
     "media_decoded_features",
     "media_decoded_preprocess_plan",
     "als_topk_agreement",
@@ -376,8 +378,10 @@ _PRIORITY_ORDER = [
     # stalest greens (r5) — the r8 VERDICT item-2 queue (head; the
     # rest slipped out when the second batch registered, see below):
     "ref_daily_stats",
-    "ref_engagement_metrics",
     # ---- driver window ends here (50) ------------------------------------
+    # (ref_engagement_metrics slipped to 51 when contrastive_triplets
+    # took window position 9)
+    "ref_engagement_metrics",
     # the eight r5-stale greens below slipped to 51-58 when the
     # second-batch registrations (curation family + SemDeDup) took the
     # window head; they lead the r10 rotation queue, ahead of
@@ -669,6 +673,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
     "embedding_clusters": similarity.EMBEDDING_CLUSTERS_SQL,
     "semdedup_plan": similarity.SEMDEDUP_PLAN_SQL,
+    "contrastive_triplets": similarity.CONTRASTIVE_TRIPLETS_SQL,
     "knn_label_eval": similarity.KNN_LABEL_EVAL_SQL,
     "cluster_label_purity": similarity.CLUSTER_LABEL_PURITY_SQL,
     "item_cooccurrence": recommend.ITEM_COOCCURRENCE_SQL,

@@ -271,3 +271,37 @@ def test_short_docs_fail_gates_not_vanish(spark, tmp_path):
     assert int(rep.n_docs.sum()) == 3  # nobody vanished
     assert rep.loc["s1"].n_docs == 1
     assert rep.loc["s1"].n_lm_pass == 0  # short doc FAILS the LM gate
+
+
+def test_contrastive_triplets_mining_rule(spark, sf_dir_small):
+    """Triplet semantics: every positive is a near-dup pair (cos >= tau),
+    every negative is the anchor's HIGHEST in-cell cosine below tau, and
+    pos_cos > neg_cos for every triplet (the margin a contrastive loss
+    trains against)."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        NEAR_DUP_TAU,
+        _in_cell_cosines,
+        contrastive_triplets,
+    )
+
+    t = contrastive_triplets(spark, sf_dir_small).toPandas()
+    assert len(t) > 0
+    assert (t.pos_cos >= NEAR_DUP_TAU).all()
+    assert (t.neg_cos < NEAR_DUP_TAU).all()
+    assert (t.pos_cos > t.neg_cos).all()
+    # negative is the argmax sub-tau in-cell neighbor, recomputed in pandas
+    allc = _in_cell_cosines(spark, sf_dir_small).toPandas()
+    import pandas as pd
+
+    neigh = pd.concat([
+        allc.rename(columns={"vec_a": "src", "vec_b": "dst"}),
+        allc.rename(columns={"vec_b": "src", "vec_a": "dst"}),
+    ])
+    sub = neigh[neigh.cosine < NEAR_DUP_TAU]
+    for anchor in t.anchor_id.unique()[:20]:
+        cand = sub[sub.src == anchor].sort_values(
+            ["cosine", "dst"], ascending=[False, True]
+        )
+        got = t[t.anchor_id == anchor].iloc[0]
+        assert got.negative_id == cand.iloc[0].dst
+        assert got.neg_cos == cand.iloc[0].cosine
