@@ -79,6 +79,7 @@ SUBSTRATE_BUILDERS = [
     ("emb:table", _emb.emb_table),
     ("emb:dims", _emb.emb_dims),
     ("emb:ivf_assign", _sim.ivf_assign_table),
+    ("emb:allcos", _sim._in_cell_cosines),
     ("emb:nd_pairs", _sim.emb_near_dup_pairs_table),
     ("emb:nd_clusters", _sim.emb_clusters_table),
     ("emb:pq_codes", _sim.pq_codes_table),

@@ -431,10 +431,19 @@ def _embedding_near_dup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _in_cell_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL in-cell pairs (a < b) of the audit slice with their exact
-    cosine — the unfiltered frame behind the near-dup pairs (>= tau cut
-    applied by the caller) and the contrastive-triplet miner (which
-    also needs the sub-tau neighbors)."""
+    """Session substrate: ALL in-cell pairs (a < b) of the audit slice
+    with their exact cosine — the unfiltered frame behind the near-dup
+    pairs (>= tau cut applied by the caller) and the contrastive-triplet
+    miner (which also needs the sub-tau neighbors). Built once per
+    (session, corpus); cell-blocked, never all-pairs."""
+
+    def build() -> DataFrame:
+        return _in_cell_cosines_compute(spark, sf_dir)
+
+    return session_frame(spark, sf_dir, "allcos", build)
+
+
+def _in_cell_cosines_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
     nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
     # per-vector independence: the full-corpus assignment substrate
