@@ -47,6 +47,41 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "graph:edges", build)
 
 
+def graph_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public builder for the ``graph:edges`` session substrate (bench
+    attribution + any external consumer)."""
+    return _edges(spark, sf_dir)
+
+
+def graph_edges_deg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate ``graph:edges_deg``: the edge list annotated
+    with the source node's out-degree — the per-round join input of the
+    PageRank message pass."""
+    from .substrate import session_frame
+
+    edges = _edges(spark, sf_dir)
+
+    def build() -> DataFrame:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        return edges.join(deg, "src")
+
+    return session_frame(spark, sf_dir, "graph:edges_deg", build)
+
+
+def graph_nodes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate ``graph:nodes``: distinct nodes of the near-dup
+    graph (teleport + final-join input)."""
+    from .substrate import session_frame
+
+    edges = _edges(spark, sf_dir)
+    return session_frame(
+        spark,
+        sf_dir,
+        "graph:nodes",
+        lambda: edges.select(F.col("src").alias("node")).distinct(),
+    )
+
+
 def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, damping 0.85) over the undirected near-dup
     graph, restricted to documents that appear in at least one pair —
@@ -59,22 +94,11 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum keyed on dst, map-side combined. Rank state is two narrow
     columns; lineage is truncated per round with localCheckpoint like
     the connected-components loop."""
-    from .substrate import session_frame
-
-    edges = _edges(spark, sf_dir)  # session substrate, already persisted
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # (src, dst, out_deg) reused per round; nodes feeds teleport + the
     # final join — both session substrates (repeat calls reuse ONE
     # persisted copy instead of re-registering per-call caches)
-    ed = session_frame(
-        spark, sf_dir, "graph:edges_deg", lambda: edges.join(deg, "src")
-    )
-    nodes = session_frame(
-        spark,
-        sf_dir,
-        "graph:nodes",
-        lambda: edges.select(F.col("src").alias("node")).distinct(),
-    )
+    ed = graph_edges_deg_table(spark, sf_dir)
+    nodes = graph_nodes_table(spark, sf_dir)
     # The node count is one cheap action on the PERSISTED nodes substrate
     # (before the substrate existed this had to stay a broadcast 1-row
     # frame — a driver-side count would have re-executed the whole LSH

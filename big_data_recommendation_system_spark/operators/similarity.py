@@ -443,6 +443,13 @@ def _in_cell_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "allcos", build)
 
 
+def in_cell_cosines_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public builder for the in-cell cosine session substrate (bench
+    attribution + any external consumer — the stable name for what
+    :func:`_in_cell_cosines` registers)."""
+    return _in_cell_cosines(spark, sf_dir)
+
+
 def _in_cell_cosines_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
     nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)

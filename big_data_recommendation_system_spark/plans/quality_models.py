@@ -34,9 +34,16 @@ mean probability (ln is monotone per token but the *sum* differs — the
 probability-space statistics n_hits/n_backoff/n_oov/mean-prob are the
 filterable signal, and a consumer that wants perplexity applies ln
 downstream of the hash-compared columns); DSIR's log-likelihood-ratio
-sum becomes a fixed-point ratio sum (rank-equivalent for near-constant
-feature counts, and a deterministic engine-defined sampling score
-regardless).
+sum becomes a fixed-point *linear* ratio sum — an explicit engine-defined
+APPROXIMATION of the paper's sum of log-ratios, NOT rank-equivalent in
+general (a single large-ratio bucket dominates linearly where it would
+contribute only its log under DSIR proper; the orderings coincide only
+when per-doc bucket ratios are narrowly spread). We keep it because it
+is deterministic, exact-integer-summable under any partitioning, and
+preserves the target-preference property the pytest pins verify; a
+consumer needing paper-fidelity ranking can swap in a fixed-point
+log-ratio lookup table (1024 rows, same join shape) without touching
+the pipeline.
 
 Scale shape (100 TB): every stage is explode → hash-aggregate on a
 token/pair/bucket key with map-side combine; model frames are
@@ -873,9 +880,14 @@ def nb_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the pass predicate is exact integer arithmetic (see
     NB_CAL_NUMS); each emitted metric is ONE division of exact integer
-    counts. Scale: the serving pass runs once; the 7-row grid
-    cross-joins the per-doc score frame and collapses by map-side
-    combine — nothing rescans the corpus per cutoff."""
+    counts. All-OOV convention: a held-out doc none of whose tokens were
+    scored (n_scored = 0, vote_sum = 0) fails EVERY cutoff including the
+    negative ones (``0 > cut_num * 0`` is false) — undefined mean-vote
+    deliberately counts as reject-at-all-thresholds, the conservative
+    choice for a quality gate, and both engines agree on it. Scale: the
+    serving pass runs once; the 7-row grid cross-joins the per-doc score
+    frame and collapses by map-side combine — nothing rescans the corpus
+    per cutoff."""
     lab = labeled_docs_table(spark, sf_dir)
     sc = nb_score_docs(lab, nb_model_table(spark, sf_dir))
     held = (
