@@ -1,5 +1,16 @@
 """Every registered query with an oracle must hash-match DuckDB at sf0.01 —
-this mirrors the driver's t2 correctness gate exactly."""
+this mirrors the driver's t2 correctness gate exactly.
+
+The parametrized gate (165+ serialized Spark-vs-DuckDB comparisons) is
+most of the suite's wall-clock, so it carries the ``oracle`` marker: a
+plain ``pytest tests/`` still runs everything (the CI/driver path is
+unchanged), while the inner-loop fast path is ``pytest -m "not oracle"``.
+To re-check just the queries a change touched, set
+``SPARK_GRAFT_ORACLE_ONLY=name1,name2`` — the other parametrizations
+skip with an explicit reason (never silently pass).
+"""
+
+import os
 
 import pytest
 
@@ -7,12 +18,20 @@ from big_data_recommendation_system_spark.registry import ORACLES, QUERIES
 
 from .oracle import compare
 
+_ONLY = {
+    n for n in os.environ.get("SPARK_GRAFT_ORACLE_ONLY", "").split(",") if n
+}
 
+
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
+    if _ONLY and name not in _ONLY:
+        pytest.skip(f"SPARK_GRAFT_ORACLE_ONLY set; {name} not in it")
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
 
 
+@pytest.mark.oracle
 def test_all_queries_run_small(spark, sf_dir_small):
     """Every query (oracle or not) must at least execute at sf0.001."""
     for name, fn in QUERIES.items():
