@@ -155,6 +155,136 @@ ORDER BY p.i, p.j
 """
 
 
+def eigensolve_certificates(
+    cov_rows, eig_override=None
+) -> tuple[int, int, int, int]:
+    """(eig_sum_matches_trace, orthonormal_ok, reconstruction_ok,
+    psd_ok) as 1/0 ints for the upper-triangle covariance rows.
+    ``eig_override`` substitutes a fake spectrum (unit tests pin that a
+    corrupted eigensolve flips the certificate — the check must be able
+    to fail)."""
+    import numpy as np
+
+    mat = np.zeros((EMBED_DIM, EMBED_DIM))
+    for r in cov_rows:
+        mat[r["i"], r["j"]] = r["cov"]
+        mat[r["j"], r["i"]] = r["cov"]
+    eig, vec = np.linalg.eigh(mat)
+    if eig_override is not None:
+        eig = np.asarray(eig_override, dtype=float)
+    tr = float(np.trace(mat))
+    cmax = max(1.0, float(np.abs(mat).max()))
+    return (
+        int(abs(float(eig.sum()) - tr) <= 1e-9 * max(1.0, abs(tr))),
+        int(float(np.abs(vec.T @ vec - np.eye(EMBED_DIM)).max()) <= 1e-8),
+        int(float(np.abs((vec * eig) @ vec.T - mat).max()) <= 1e-8 * cmax),
+        int(float(eig.min()) >= -1e-10),
+    )
+
+
+def pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable certificate row for the PCA eigensolve — the
+    ``als_topk_agreement`` trick applied to linalg (r9 VERDICT item 2):
+    the eigendecomposition itself isn't SQL-expressible, but its defining
+    invariants against the HASH-VERIFIED covariance are.
+
+    One output row:
+
+    - ``trace_num`` / ``trace``: the covariance trace, computed
+      engine-side as the EXACT integer Σ_i (n·Σx_i² − (Σx_i)²) on the
+      1e-6-quantized inputs (digit-string column — exceeds 2^53) and as
+      its single-division double. The DuckDB twin recomputes both from
+      the parquet, so the data side of the certificate is value-hashed,
+      not trusted.
+    - four 1/0 certificates from the SAME collected 64×64 matrix the
+      rows-only ``pca_explained_variance`` eigensolves: Σλ equals the
+      matrix trace (1e-9 relative), VᵀV = I (1e-8 abs), VΛVᵀ
+      reconstructs the matrix (1e-8 relative), and λ_min ≥ −1e-10
+      (PSD). The oracle pins all four to 1, so any eigensolve / matrix
+      assembly regression flips the value hash.
+
+    Scale shape: the trace pass is posexplode → 64-key hash agg with
+    map-side combine (shuffles 64 rows per partition); the eigensolve
+    still touches only the collected 4 KB matrix (a model parameter —
+    linalg.py:171's justified collect). Reference anchor: the roadmap ML
+    layer (project_structure.txt:92-103)."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    certs = eigensolve_certificates(cov_rows)
+    cert = spark.createDataFrame(
+        [(EMBED_DIM,) + certs],
+        "n_components int, eig_sum_matches_trace bigint, "
+        "orthonormal_ok bigint, reconstruction_ok bigint, psd_ok bigint",
+    )
+    q = _quantized(spark, sf_dir)
+    diag = (
+        q.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        )
+    )
+    tot = q.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    tr_frame = (
+        diag.crossJoin(F.broadcast(tot))
+        .groupBy("n_rows")
+        .agg(
+            F.sum(
+                F.col("n_rows").cast("decimal(38,0)") * F.col("ssq")
+                - F.col("s").cast("decimal(20,0)") * F.col("s")
+            )
+            .cast("decimal(38,0)")
+            .alias("trace_num_d")
+        )
+    )
+    n_d = F.col("n_rows").cast("double")
+    return tr_frame.crossJoin(F.broadcast(cert)).select(
+        "n_components",
+        "n_rows",
+        F.col("trace_num_d").cast("string").alias("trace_num"),
+        (
+            F.col("trace_num_d").cast("double")
+            / (n_d * n_d * F.lit(float(E_SCALE) ** 2))
+        ).alias("trace"),
+        "eig_sum_matches_trace",
+        "orthonormal_ok",
+        "reconstruction_ok",
+        "psd_ok",
+    )
+
+
+PCA_INVARIANTS_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * {E_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pos AS (SELECT CAST(i AS INTEGER) AS i FROM range({EMBED_DIM}) r(i)),
+tot AS (SELECT COUNT(*) AS n_rows FROM q),
+sums AS (
+  SELECT i, SUM(qv[i + 1]) AS s, SUM(qv[i + 1] * qv[i + 1]) AS ssq
+  FROM q, pos GROUP BY i
+),
+tr AS (
+  SELECT t.n_rows AS n_rows,
+    CAST(SUM(CAST(t.n_rows AS HUGEINT) * ssq - s * s) AS DECIMAL(38,0))
+      AS trace_num_d
+  FROM sums CROSS JOIN tot t GROUP BY t.n_rows
+)
+SELECT CAST({EMBED_DIM} AS INTEGER) AS n_components,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(trace_num_d AS VARCHAR) AS trace_num,
+  CAST(trace_num_d AS DOUBLE)
+    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) * {float(E_SCALE) ** 2!r})
+    AS trace,
+  CAST(1 AS BIGINT) AS eig_sum_matches_trace,
+  CAST(1 AS BIGINT) AS orthonormal_ok,
+  CAST(1 AS BIGINT) AS reconstruction_ok,
+  CAST(1 AS BIGINT) AS psd_ok
+FROM tr
+"""
+
+
 def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigen-spectrum of the covariance matrix: per principal component
     the eigenvalue, explained-variance ratio and the cumulative curve —

@@ -291,6 +291,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dsir_importance_sample": quality_models.dsir_importance_sample,
     "model_gate_report": quality_models.model_gate_report,
     "nb_calibration_sweep": quality_models.nb_calibration_sweep,
+    "pca_invariants": linalg.pca_invariants,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -369,6 +370,7 @@ _PRIORITY_ORDER = [
     # -- NEW r10 registrations (never driver-checked; pytest-oracled +
     # sf0.1-swept this round; window head for r11) land here as they
     # are implemented this round:
+    "pca_invariants",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -693,6 +695,7 @@ ORACLES: dict[str, str] = {
     "dsir_importance_sample": quality_models.DSIR_IMPORTANCE_SAMPLE_SQL,
     "model_gate_report": quality_models.MODEL_GATE_REPORT_SQL,
     "nb_calibration_sweep": quality_models.NB_CALIBRATION_SWEEP_SQL,
+    "pca_invariants": linalg.PCA_INVARIANTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

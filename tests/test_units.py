@@ -902,6 +902,26 @@ def test_pca_spectrum_invariants(spark, sf_dir_small):
     assert abs(rows[-1]["cumulative_ratio"] - 1.0) < 1e-9
 
 
+def test_pca_certificates_can_fail(spark, sf_dir_small):
+    """The pca_invariants certificates must actually reject a corrupted
+    eigensolve, not be vacuous constants: a fake spectrum (all-zero
+    eigenvalues) breaks trace preservation + reconstruction + (with a
+    negative value) PSD, while the honest solve passes all four."""
+    from big_data_recommendation_system_spark.operators.linalg import (
+        eigensolve_certificates,
+        embedding_covariance,
+    )
+
+    cov_rows = embedding_covariance(spark, sf_dir_small).collect()
+    assert eigensolve_certificates(cov_rows) == (1, 1, 1, 1)
+    fake = [0.0] * 63 + [-1.0]
+    tr_ok, ortho_ok, recon_ok, psd_ok = eigensolve_certificates(
+        cov_rows, eig_override=fake
+    )
+    assert tr_ok == 0 and recon_ok == 0 and psd_ok == 0
+    assert ortho_ok == 1  # eigenvectors untouched — stays green
+
+
 def test_dedup_retention_keeps_longest_per_cluster(spark, sf_dir_small):
     """Exactly one survivor per cluster; the survivor is a member of its
     own cluster and has the maximal n_chars (ties to lowest doc_id);
