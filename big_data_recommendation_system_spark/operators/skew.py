@@ -127,6 +127,36 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion to the rows-only ``approx_distinct_daily``
+    (the cosine_topk_agreement pattern, r9 VERDICT item 6): per day the
+    EXACT distinct-user count and event total — both recomputed by the
+    DuckDB twin — plus a 1/0 certificate that the engine's HLL estimate
+    (rsd=0.01) landed within max(3, 5%) of the exact count. The sketch
+    value itself stays un-hashed (it differs across engines by design);
+    any HLL regression flips the certificate and therefore the hash.
+    Same two linear scans as the parent query."""
+    return approx_distinct_daily(spark, sf_dir).select(
+        "event_date",
+        F.col("exact_daily_active_users").cast("long").alias(
+            "exact_daily_active_users"
+        ),
+        F.col("total_events").cast("long").alias("total_events"),
+        F.col("rel_err_within_5pct").cast("long").alias("within_5pct"),
+    ).orderBy("event_date")
+
+
+APPROX_DISTINCT_AGREEMENT_SQL = silver_cte("""
+SELECT event_date,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_daily_active_users,
+  CAST(COUNT(*) AS BIGINT) AS total_events,
+  CAST(1 AS BIGINT) AS within_5pct
+FROM silver
+GROUP BY event_date
+ORDER BY event_date
+""")
+
+
 def _key_counts_block(key_col: str) -> str:
     """One key column's heavy-hitter block for KEY_SKEW_REPORT_SQL."""
     return f"""

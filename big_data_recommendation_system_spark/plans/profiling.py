@@ -390,3 +390,38 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         *[c for qq in q for c in (f"p{int(qq * 100)}_approx", f"p{int(qq * 100)}_rank_ok")],
     ).orderBy("event_type")
+
+
+def approx_percentile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion to the rows-only
+    ``approx_percentiles_by_type`` (the cosine_topk_agreement pattern,
+    r9 VERDICT item 6): per event type the EXACT value count — recomputed
+    by the DuckDB twin — plus the three rank certificates as 1/0
+    columns. The sketch's chosen representatives stay un-hashed (they
+    legitimately differ across engines); the certificates assert
+    rank-correctness of the engine's own sketch against the data itself
+    (frac-below <= q+1%, frac-at-or-below >= q-1%), so a
+    percentile_approx regression flips the value hash. No extra scans —
+    a projection of the parent query."""
+    ap = approx_percentiles_by_type(spark, sf_dir)
+    return ap.select(
+        "event_type",
+        F.col("n_values").cast("long").alias("n_values"),
+        *[
+            F.col(f"p{k}_rank_ok").cast("long").alias(f"p{k}_rank_ok")
+            for k in (25, 50, 90)
+        ],
+    ).orderBy("event_type")
+
+
+APPROX_PERCENTILE_AGREEMENT_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  CAST(1 AS BIGINT) AS p25_rank_ok,
+  CAST(1 AS BIGINT) AS p50_rank_ok,
+  CAST(1 AS BIGINT) AS p90_rank_ok
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

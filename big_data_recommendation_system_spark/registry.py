@@ -292,6 +292,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "model_gate_report": quality_models.model_gate_report,
     "nb_calibration_sweep": quality_models.nb_calibration_sweep,
     "pca_invariants": linalg.pca_invariants,
+    "approx_distinct_agreement": skew.approx_distinct_agreement,
+    "approx_percentile_agreement": profiling.approx_percentile_agreement,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -371,6 +373,8 @@ _PRIORITY_ORDER = [
     # sf0.1-swept this round; window head for r11) land here as they
     # are implemented this round:
     "pca_invariants",
+    "approx_distinct_agreement",
+    "approx_percentile_agreement",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -499,7 +503,10 @@ _PRIORITY_ORDER = [
     #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs;
     # approx_distinct_daily / approx_percentiles_by_type: sketches
     #   differ across engines — rows carry exact-count / RANK
-    #   certificates, additionally pytest-pinned vs exact twins;
+    #   certificates, additionally pytest-pinned vs exact twins; as of
+    #   r10 each also has an ORACLED agreement companion
+    #   (approx_distinct_agreement / approx_percentile_agreement) that
+    #   hashes the exact side + the certificates;
     # cosine_topk_fast: summation-order ulps — neighbor-set agreement
     #   is the hash-verified cosine_topk_agreement.
     "pca_explained_variance",
@@ -696,6 +703,8 @@ ORACLES: dict[str, str] = {
     "model_gate_report": quality_models.MODEL_GATE_REPORT_SQL,
     "nb_calibration_sweep": quality_models.NB_CALIBRATION_SWEEP_SQL,
     "pca_invariants": linalg.PCA_INVARIANTS_SQL,
+    "approx_distinct_agreement": skew.APPROX_DISTINCT_AGREEMENT_SQL,
+    "approx_percentile_agreement": profiling.APPROX_PERCENTILE_AGREEMENT_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }
