@@ -285,6 +285,7 @@ SUBSTRATE_CONSUMERS = frozenset(
         # shared substrate, same grouping rule
         "corpus_assembly_funnel",
         "corpus_assembly_weighted",
+        "corpus_assembly_semdedup",
         # union-detector clustering reads BOTH the text dup_pairs and the
         # embedding near-dup pair substrates
         "cross_detector_dup_clusters",

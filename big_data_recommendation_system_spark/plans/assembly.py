@@ -62,6 +62,11 @@ FUNNEL_STAGES = [
     "kept",
 ]
 
+# the SemDeDup-extended funnel (r9 VERDICT item 4): the embedding-side
+# semantic-dup drop slots into the dedup family, right after the text
+# near-dup stage, so both detector families feed one assembly decision
+FUNNEL_SEM_STAGES = FUNNEL_STAGES[:2] + ["semantic_dup"] + FUNNEL_STAGES[2:]
+
 
 def staged_docs(
     spark: SparkSession, sf_dir: str, dedup_dir: str | None = None
@@ -168,14 +173,17 @@ def pack_survivors(staged: DataFrame) -> DataFrame:
     )
 
 
-def funnel_rollup(staged: DataFrame) -> DataFrame:
+def funnel_rollup(staged: DataFrame, stages: list[str] | None = None) -> DataFrame:
     """Stage-ordered (stage, drop_reason, n_docs, n_tokens) rollup of a
     :func:`staged_docs` frame. Shared by the registered query and
-    cli/run_corpus.py's written funnel report."""
+    cli/run_corpus.py's written funnel report. ``stages`` defaults to
+    the base funnel; the SemDeDup-extended query passes
+    ``FUNNEL_SEM_STAGES``."""
+    stages = FUNNEL_STAGES if stages is None else stages
     stage_idx = F.lit(None).cast("long")
-    for i, s in enumerate(reversed(FUNNEL_STAGES)):
+    for i, s in enumerate(reversed(stages)):
         stage_idx = F.when(
-            F.col("drop_reason") == s, F.lit(len(FUNNEL_STAGES) - 1 - i)
+            F.col("drop_reason") == s, F.lit(len(stages) - 1 - i)
         ).otherwise(stage_idx)
     return (
         staged.groupBy("drop_reason")
@@ -207,6 +215,47 @@ def corpus_assembly_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     query whose DuckDB oracle replays every stage (recursive CC
     clustering included) in SQL."""
     return funnel_rollup(staged_docs_table(spark, sf_dir))
+
+
+def corpus_assembly_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with BOTH detector families (r9 VERDICT item 4): the
+    embedding-side SemDeDup keep decision (similarity.semdedup_plan —
+    keep-the-centroid-outlier per semantic dup group) overlays the
+    staged funnel as a ``semantic_dup`` stage between the text near-dup
+    stage and the quality gates. First-drop-wins attribution is
+    preserved: a document that is a text dup stays attributed to its
+    text stage; a text-unique document whose EMBEDDING sits in a
+    semantic dup group and is not that group's kept outlier becomes
+    ``semantic_dup``; later stages (gates, decontamination) keep their
+    base attribution — decontamination is computed on the pre-SemDeDup
+    survivor set, which stays valid because removing additional train
+    documents can only reduce eval leakage, never add it.
+
+    Scale shape: ONE extra keyed left join of the |audit-slice|-row
+    SemDeDup keep frame onto the persisted staged substrate — every
+    other input is an already-persisted session substrate. The DuckDB
+    twin chains the full recursive-CC + centroid-cosine SemDeDup
+    statement as a subquery of the staged CTE chain, so the cross-family
+    interaction is value-verified end-to-end."""
+    from ..operators.similarity import semdedup_plan
+
+    staged = staged_docs_table(spark, sf_dir)
+    sem = semdedup_plan(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "is_kept"
+    )
+    overlaid = staged.join(sem, "doc_id", "left").select(
+        "n_tokens",
+        F.when(
+            F.col("drop_reason").isin("exact_dup", "near_dup"),
+            F.col("drop_reason"),
+        )
+        .when(
+            F.coalesce(~F.col("is_kept"), F.lit(False)), F.lit("semantic_dup")
+        )
+        .otherwise(F.col("drop_reason"))
+        .alias("drop_reason"),
+    )
+    return funnel_rollup(overlaid, stages=FUNNEL_SEM_STAGES)
 
 
 def _staged_ctes() -> str:
@@ -304,6 +353,36 @@ FROM reason GROUP BY drop_reason ORDER BY stage
 
 
 CORPUS_ASSEMBLY_FUNNEL_SQL = _assembly_sql()
+
+
+def _assembly_semdedup_sql() -> str:
+    from ..operators.similarity import SEMDEDUP_PLAN_SQL
+
+    stage_case = "CASE " + " ".join(
+        f"WHEN drop_reason = '{s}' THEN {i}"
+        for i, s in enumerate(FUNNEL_SEM_STAGES)
+    ) + " END"
+    return f"""{_staged_ctes()},
+sem AS MATERIALIZED (
+  SELECT vec_id AS doc_id, is_kept FROM ({SEMDEDUP_PLAN_SQL})
+),
+reason2 AS (
+  SELECT r.doc_id, r.n_tokens,
+    CASE
+      WHEN r.drop_reason IN ('exact_dup', 'near_dup') THEN r.drop_reason
+      WHEN s.doc_id IS NOT NULL AND NOT s.is_kept THEN 'semantic_dup'
+      ELSE r.drop_reason
+    END AS drop_reason
+  FROM reason r LEFT JOIN sem s USING (doc_id)
+)
+SELECT CAST({stage_case} AS BIGINT) AS stage, drop_reason,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM reason2 GROUP BY drop_reason ORDER BY stage
+"""
+
+
+CORPUS_ASSEMBLY_SEMDEDUP_SQL = _assembly_semdedup_sql()
 
 
 def corpus_assembly_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

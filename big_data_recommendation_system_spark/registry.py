@@ -294,6 +294,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "pca_invariants": linalg.pca_invariants,
     "approx_distinct_agreement": skew.approx_distinct_agreement,
     "approx_percentile_agreement": profiling.approx_percentile_agreement,
+    "corpus_assembly_semdedup": assembly.corpus_assembly_semdedup,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -375,6 +376,7 @@ _PRIORITY_ORDER = [
     "pca_invariants",
     "approx_distinct_agreement",
     "approx_percentile_agreement",
+    "corpus_assembly_semdedup",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -705,6 +707,7 @@ ORACLES: dict[str, str] = {
     "pca_invariants": linalg.PCA_INVARIANTS_SQL,
     "approx_distinct_agreement": skew.APPROX_DISTINCT_AGREEMENT_SQL,
     "approx_percentile_agreement": profiling.APPROX_PERCENTILE_AGREEMENT_SQL,
+    "corpus_assembly_semdedup": assembly.CORPUS_ASSEMBLY_SEMDEDUP_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }
