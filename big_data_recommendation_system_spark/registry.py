@@ -295,6 +295,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "approx_distinct_agreement": skew.approx_distinct_agreement,
     "approx_percentile_agreement": profiling.approx_percentile_agreement,
     "corpus_assembly_semdedup": assembly.corpus_assembly_semdedup,
+    "media_pixel_stats": multimodal.media_pixel_stats,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -377,6 +378,7 @@ _PRIORITY_ORDER = [
     "approx_distinct_agreement",
     "approx_percentile_agreement",
     "corpus_assembly_semdedup",
+    "media_pixel_stats",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -708,6 +710,7 @@ ORACLES: dict[str, str] = {
     "approx_distinct_agreement": skew.APPROX_DISTINCT_AGREEMENT_SQL,
     "approx_percentile_agreement": profiling.APPROX_PERCENTILE_AGREEMENT_SQL,
     "corpus_assembly_semdedup": assembly.CORPUS_ASSEMBLY_SEMDEDUP_SQL,
+    "media_pixel_stats": multimodal.MEDIA_PIXEL_STATS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -2079,6 +2079,51 @@ def test_media_payload_roundtrip_and_stdlib_wave_parity():
     assert decode_media_payload(bytes(p))["top_row_luma"] == float(base)
 
 
+def test_bmp_patch_sums_pixel_transform():
+    """The 2x2 patch-grid transform must (a) tile the image exactly
+    (patch dims cover w x h, patch sums total the whole-image byte sum
+    decode_media_payload computes), (b) match a brute-force per-pixel
+    reconstruction, and (c) respect top-down orientation (negative
+    height swaps which patches are 'top')."""
+    import struct
+
+    from big_data_recommendation_system_spark.plans.multimodal import (
+        _bmp_params,
+        bmp_patch_sums,
+        decode_media_payload,
+        synthesize_media_payload,
+    )
+
+    for doc_id in [0, 2, 4, 22, 398, 4998, 123456]:
+        p = synthesize_media_payload(doc_id)
+        w, h, base = _bmp_params(doc_id)
+        patches = bmp_patch_sums(p)
+        assert [(py, px) for py, px, *_ in patches] == [
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        ]
+        assert sum(pw for py, px, pw, ph, s in patches if py == 0) == w
+        assert sum(ph for py, px, pw, ph, s in patches if px == 0) == h
+        f = decode_media_payload(p)
+        total = round(f["mean_signal"] * 3 * w * h)
+        assert sum(s for *_, s in patches) == total
+        # brute force: logical row i has luma base + (h-1-i), every col
+        half_h, half_w = h // 2, w // 2
+        for py, px, pw, ph, s in patches:
+            r0, r1 = (0, half_h) if py == 0 else (half_h, h)
+            expect = 3 * pw * sum(base + (h - 1 - i) for i in range(r0, r1))
+            assert s == expect, (doc_id, py, px)
+
+    # top-down: the (0, *) patches must now sum the LOW-luma rows
+    p = bytearray(synthesize_media_payload(2))
+    w, h, base = _bmp_params(2)
+    struct.pack_into("<i", p, 22, -h)
+    up = {(py, px): s for py, px, _, _, s in bmp_patch_sums(
+        synthesize_media_payload(2)
+    )}
+    down = {(py, px): s for py, px, _, _, s in bmp_patch_sums(bytes(p))}
+    assert down[(0, 0)] == up[(1, 0)] and down[(1, 0)] == up[(0, 0)]
+
+
 def test_run_index_update_equals_full_rebuild(spark, sf_dir_small, tmp_path):
     """cli/run_index.py update: appending a vector batch to an index
     built over the prefix corpus must reproduce the full-corpus build
