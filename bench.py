@@ -34,6 +34,9 @@ from big_data_recommendation_system_spark.plans.text_analysis import (  # noqa: 
 from big_data_recommendation_system_spark.plans.quality_models import (  # noqa: E402
     QM_SUBSTRATE_CONSUMERS,
 )
+from big_data_recommendation_system_spark.plans.packing import (  # noqa: E402
+    SPAN_SUBSTRATE_CONSUMERS,
+)
 
 # All substrate families (text pair/cluster tables; embeddings+norms and
 # the derived IVF/PQ/SRP index structures; the trained BPE artifacts and
@@ -49,6 +52,7 @@ SUBSTRATE_CONSUMERS = (
     | TA_SUBSTRATE_CONSUMERS
     | ALS_CONSUMERS
     | QM_SUBSTRATE_CONSUMERS
+    | SPAN_SUBSTRATE_CONSUMERS
 )
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
@@ -69,6 +73,7 @@ from big_data_recommendation_system_spark.operators import (  # noqa: E402
 )
 from big_data_recommendation_system_spark.plans import (  # noqa: E402
     assembly as _asm,
+    packing as _pk,
     quality_models as _qm,
     text_analysis as _ta,
 )
@@ -108,6 +113,7 @@ SUBSTRATE_BUILDERS = [
     ("qm:lm_bi", _qm.lm_bigram_table),
     ("qm:dsir_ratios", _qm.dsir_ratio_table),
     ("qm:dsir_sample", _qm.dsir_sample_table),
+    ("spans:dup", _pk.dup_span_frame),
 ]
 
 

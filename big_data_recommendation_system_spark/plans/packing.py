@@ -1016,3 +1016,217 @@ ORDER BY source
 
 
 MIXTURE_WEIGHTS_BY_QUALITY_SQL = _mixture_weights_sql()
+
+
+# --- Exact duplicated-substring removal plan ---------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove every duplicated substring above a length threshold.
+# The scalable approximation of their suffix-array pass is n-gram
+# anchoring: a token position is "duplicated" when the DUP_SPAN_NGRAM
+# gram starting there occurs in >= DUP_SPAN_MIN_DOCS documents; maximal
+# removable spans are the merged unions of overlapping/adjacent anchor
+# windows (gaps-and-islands per document). Unlike span_dedup_stats /
+# sentence_dedup_stats (which REPORT shared content), this emits the
+# actionable removal plan: exact token ranges a scrub pass deletes.
+
+DUP_SPAN_NGRAM = 6
+DUP_SPAN_MIN_DOCS = 2
+
+
+def dup_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate ``spans:dup``: one row per maximal duplicated
+    token span — (doc_id, span_id, span_start, span_end, span_tokens,
+    n_anchors), span_id numbering spans 1..n within each doc in order.
+
+    Scale shape: posexplode to (doc_id, pos, gram-md5) — linear in
+    corpus tokens; one hash-keyed distinct-doc count with map-side
+    combine + HAVING >= 2 (the shared-gram set is the small side); one
+    join back; then the island merge runs per-doc over DUP ANCHORS ONLY
+    (a window over the tiny flagged subset, partitioned by doc_id — no
+    global window). All copies are marked, matching the paper's
+    remove-every-occurrence rule."""
+    from pyspark.sql import Window
+
+    from ..functions.text import ngrams
+    from ..operators.substrate import session_frame
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("tok")
+        )
+        grams = docs.select(
+            "doc_id",
+            F.posexplode(ngrams("tok", DUP_SPAN_NGRAM)).alias("pos", "g"),
+        ).select("doc_id", "pos", F.md5("g").alias("gh"))
+        shared = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= DUP_SPAN_MIN_DOCS)
+            .select("gh")
+        )
+        dup = grams.join(shared, "gh").select("doc_id", "pos")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        lag = F.lag("pos").over(w)
+        isl = dup.withColumn(
+            "brk",
+            F.when(
+                lag.isNull() | (F.col("pos") > lag + DUP_SPAN_NGRAM), 1
+            ).otherwise(0),
+        ).withColumn("span_id", F.sum("brk").over(w))
+        return (
+            isl.groupBy("doc_id", "span_id")
+            .agg(
+                F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + DUP_SPAN_NGRAM - 1).cast("long").alias("span_end"),
+                F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            )
+            .select(
+                "doc_id",
+                F.col("span_id").cast("long").alias("span_id"),
+                "span_start",
+                "span_end",
+                (F.col("span_end") - F.col("span_start") + 1)
+                .cast("long")
+                .alias("span_tokens"),
+                "n_anchors",
+            )
+        )
+
+    return session_frame(spark, sf_dir, "spans:dup", build)
+
+
+def dup_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered removal-plan query: every maximal duplicated token
+    range, ordered (doc_id, span_start)."""
+    return dup_span_frame(spark, sf_dir).orderBy("doc_id", "span_start")
+
+
+# positions and gram hashes zip positionally via parallel unnest; the
+# island merge mirrors the Spark window exactly
+_DUP_SPAN_CTES = f"""
+WITH tokd AS (
+  SELECT doc_id, source, {tokens_sql()} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(tok) - {DUP_SPAN_NGRAM - 1}, 0))) AS pos,
+    unnest(list_transform(
+      range(1, greatest(len(tok) - {DUP_SPAN_NGRAM - 1}, 0) + 1),
+      i -> md5(array_to_string(tok[i:i+{DUP_SPAN_NGRAM - 1}], ' ')))) AS gh
+  FROM tokd
+),
+shared AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING COUNT(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+dup AS (SELECT doc_id, pos FROM grams JOIN shared USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN LAG(pos) OVER w IS NULL
+              OR pos > LAG(pos) OVER w + {DUP_SPAN_NGRAM}
+         THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans0 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+    CAST(MIN(pos) AS BIGINT) AS span_start,
+    CAST(MAX(pos) + {DUP_SPAN_NGRAM - 1} AS BIGINT) AS span_end,
+    CAST(MAX(pos) + {DUP_SPAN_NGRAM} - MIN(pos) AS BIGINT) AS span_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM spans0 GROUP BY doc_id, span_id
+)"""
+
+DUP_SPAN_REMOVAL_PLAN_SQL = f"""{_DUP_SPAN_CTES}
+SELECT doc_id, span_id, span_start, span_end, span_tokens, n_anchors
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+def dup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the removal plan: how many tokens a
+    duplicated-substring scrub deletes and the share of each source's
+    token mass it represents. Merged spans never overlap within a doc,
+    so the removable sum is exact. share = floor(x*10000+0.5)/10000 —
+    the engine-neutral 4-decimal rounding used by the mixture plans."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per_doc = (
+        dup_span_frame(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("removable"),
+        )
+    )
+    agg = (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum((F.col("n_spans").isNotNull()).cast("long"))
+            .cast("long")
+            .alias("docs_with_spans"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum("removable"), F.lit(0))
+            .cast("long")
+            .alias("removable_tokens"),
+        )
+    )
+    share = (
+        F.floor(
+            F.col("removable_tokens").cast("double")
+            / F.col("total_tokens")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "docs_with_spans",
+        "n_spans",
+        "removable_tokens",
+        F.when(F.col("total_tokens") > 0, share).alias("removable_share"),
+    ).orderBy("source")
+
+
+DUP_SPAN_SAVINGS_SQL = f"""{_DUP_SPAN_CTES},
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(SUM(span_tokens) AS BIGINT) AS removable
+  FROM spans GROUP BY doc_id
+),
+src AS (
+  SELECT t.source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(t.tok)) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS docs_with_spans,
+    CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
+    CAST(COALESCE(SUM(p.removable), 0) AS BIGINT) AS removable_tokens
+  FROM tokd t LEFT JOIN per_doc p USING (doc_id)
+  GROUP BY t.source
+)
+SELECT source, n_docs, total_tokens, docs_with_spans, n_spans,
+  removable_tokens,
+  CASE WHEN total_tokens > 0 THEN
+    floor(CAST(removable_tokens AS DOUBLE) / total_tokens * 10000 + 0.5)
+      / 10000
+  END AS removable_share
+FROM src ORDER BY source
+"""
+
+
+# bench grouping: both queries share the spans:dup session substrate
+SPAN_SUBSTRATE_CONSUMERS = frozenset(
+    {"dup_span_removal_plan", "dup_span_savings"}
+)

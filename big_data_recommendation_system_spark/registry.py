@@ -296,6 +296,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "approx_percentile_agreement": profiling.approx_percentile_agreement,
     "corpus_assembly_semdedup": assembly.corpus_assembly_semdedup,
     "media_pixel_stats": multimodal.media_pixel_stats,
+    "dup_span_removal_plan": packing.dup_span_removal_plan,
+    "dup_span_savings": packing.dup_span_savings,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -379,6 +381,8 @@ _PRIORITY_ORDER = [
     "approx_percentile_agreement",
     "corpus_assembly_semdedup",
     "media_pixel_stats",
+    "dup_span_removal_plan",
+    "dup_span_savings",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -711,6 +715,8 @@ ORACLES: dict[str, str] = {
     "approx_percentile_agreement": profiling.APPROX_PERCENTILE_AGREEMENT_SQL,
     "corpus_assembly_semdedup": assembly.CORPUS_ASSEMBLY_SEMDEDUP_SQL,
     "media_pixel_stats": multimodal.MEDIA_PIXEL_STATS_SQL,
+    "dup_span_removal_plan": packing.DUP_SPAN_REMOVAL_PLAN_SQL,
+    "dup_span_savings": packing.DUP_SPAN_SAVINGS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -922,6 +922,55 @@ def test_pca_certificates_can_fail(spark, sf_dir_small):
     assert ortho_ok == 1  # eigenvectors untouched — stays green
 
 
+def test_dup_span_removal_plan_matches_brute_force(spark, sf_dir_small):
+    """The n-gram-anchored span merge must equal a per-document
+    brute-force recompute (mark every duplicated anchor position, union
+    the [p, p+k-1] windows, take maximal runs), and its structural
+    invariants must hold: spans within a doc are disjoint and ordered,
+    every span covers >= k tokens, and span_tokens == end-start+1."""
+    import collections
+
+    from big_data_recommendation_system_spark.plans.packing import (
+        DUP_SPAN_MIN_DOCS,
+        DUP_SPAN_NGRAM,
+        dup_span_removal_plan,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    k = DUP_SPAN_NGRAM
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load_table(spark, sf_dir_small, "documents").collect()
+    }
+    gram_docs = collections.defaultdict(set)
+    for d, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            gram_docs[" ".join(toks[i : i + k])].add(d)
+    expected = {}
+    for d, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if len(gram_docs[" ".join(toks[i : i + k])]) >= DUP_SPAN_MIN_DOCS:
+                covered.update(range(i, i + k))
+        runs, start = [], None
+        for p in range(len(toks) + 1):
+            if p in covered and start is None:
+                start = p
+            elif p not in covered and start is not None:
+                runs.append((start, p - 1))
+                start = None
+        if runs:
+            expected[d] = runs
+    got = collections.defaultdict(list)
+    for r in dup_span_removal_plan(spark, sf_dir_small).collect():
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] >= k and r["n_anchors"] >= 1
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert dict(got) == expected
+    for spans in got.values():  # disjoint + ordered within each doc
+        assert all(a2 > b1 for (_, b1), (a2, _) in zip(spans, spans[1:]))
+
+
 def test_dedup_retention_keeps_longest_per_cluster(spark, sf_dir_small):
     """Exactly one survivor per cluster; the survivor is a member of its
     own cluster and has the maximal n_chars (ties to lowest doc_id);
