@@ -1228,5 +1228,91 @@ FROM src ORDER BY source
 
 # bench grouping: both queries share the spans:dup session substrate
 SPAN_SUBSTRATE_CONSUMERS = frozenset(
-    {"dup_span_removal_plan", "dup_span_savings"}
+    {"dup_span_removal_plan", "dup_span_savings", "scrub_dup_spans"}
 )
+
+
+def scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the removal plan (the bpe_learn→bpe_apply pattern for
+    dedup): reconstruct every document with its duplicated spans deleted
+    — (doc_id, n_tokens, n_removed_tokens, n_kept_tokens,
+    scrubbed_text). Documents without spans pass through verbatim (in
+    token-normalized form); a fully-duplicated document scrubs to ''.
+
+    Scale shape: positions explode once (linear); surviving positions
+    come from ONE left-anti range join against the spans substrate
+    (equi-keyed on doc_id — spans ride the same hash partitioning, and
+    per-doc span counts are small, so the extra range predicate is a
+    per-row filter, not a blowup); reassembly is a per-doc
+    sort_array(collect_list(struct(pos, tok))) — bounded by document
+    length, the same shape as event_sequences' trailing arrays."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode("tok").alias("pos", "tk")
+    )
+    spans = dup_span_frame(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    kept = tokpos.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tk"))),
+                lambda s: s["tk"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+    return (
+        docs.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tok").cast("long").alias("n_tokens"),
+            (F.size("tok") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept_tokens"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SCRUB_DUP_SPANS_SQL = f"""{_DUP_SPAN_CTES},
+tokpos AS (
+  SELECT doc_id,
+    unnest(range(0, len(tok))) AS pos,
+    unnest(tok) AS tk
+  FROM tokd
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tk
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND t.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    string_agg(tk, ' ' ORDER BY pos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(d.tok) AS BIGINT) AS n_tokens,
+  CAST(len(d.tok) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+  COALESCE(ka.scrubbed_text, '') AS scrubbed_text
+FROM tokd d LEFT JOIN ka USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -971,6 +971,26 @@ def test_dup_span_removal_plan_matches_brute_force(spark, sf_dir_small):
         assert all(a2 > b1 for (_, b1), (a2, _) in zip(spans, spans[1:]))
 
 
+def test_scrub_dup_spans_consistent_with_plan(spark, sf_dir_small):
+    """plan→apply consistency: per document, the scrub's removed-token
+    count must equal the removal plan's span_tokens sum, the kept text
+    must re-tokenize to exactly n_kept_tokens, and kept+removed must
+    total the document's token count."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        dup_span_removal_plan,
+        scrub_dup_spans,
+    )
+
+    plan = {}
+    for r in dup_span_removal_plan(spark, sf_dir_small).collect():
+        plan[r["doc_id"]] = plan.get(r["doc_id"], 0) + r["span_tokens"]
+    for r in scrub_dup_spans(spark, sf_dir_small).collect():
+        assert r["n_removed_tokens"] == plan.get(r["doc_id"], 0), r["doc_id"]
+        toks = [t for t in r["scrubbed_text"].split(" ") if t]
+        assert len(toks) == r["n_kept_tokens"], r["doc_id"]
+        assert r["n_kept_tokens"] + r["n_removed_tokens"] == r["n_tokens"]
+
+
 def test_dedup_retention_keeps_longest_per_cluster(spark, sf_dir_small):
     """Exactly one survivor per cluster; the survivor is a member of its
     own cluster and has the maximal n_chars (ties to lowest doc_id);
