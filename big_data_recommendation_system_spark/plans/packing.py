@@ -1147,17 +1147,16 @@ FROM spans ORDER BY doc_id, span_start
 """
 
 
-def dup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source rollup of the removal plan: how many tokens a
-    duplicated-substring scrub deletes and the share of each source's
-    token mass it represents. Merged spans never overlap within a doc,
-    so the removable sum is exact. share = floor(x*10000+0.5)/10000 —
-    the engine-neutral 4-decimal rounding used by the mixture plans."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
-    )
+def span_savings_from(spans: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-source rollup of a removal-plan frame (works on the session
+    substrate OR a written dup_spans snapshot — the same
+    build-once/report-from-disk split as retention_plan_from).
+    ``docs`` = (doc_id, source, n_tok). Merged spans never overlap
+    within a doc, so the removable sum is exact.
+    share = floor(x*10000+0.5)/10000 — the engine-neutral 4-decimal
+    rounding used by the mixture plans."""
     per_doc = (
-        dup_span_frame(spark, sf_dir)
+        spans
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
@@ -1197,6 +1196,17 @@ def dup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removable_tokens",
         F.when(F.col("total_tokens") > 0, share).alias("removable_share"),
     ).orderBy("source")
+
+
+def dup_span_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: :func:`span_savings_from` over the session
+    spans substrate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return span_savings_from(dup_span_frame(spark, sf_dir), docs)
 
 
 DUP_SPAN_SAVINGS_SQL = f"""{_DUP_SPAN_CTES},
@@ -1249,10 +1259,17 @@ def scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("tok")
     )
+    return scrub_from(dup_span_frame(spark, sf_dir), docs)
+
+
+def scrub_from(spans: DataFrame, docs: DataFrame) -> DataFrame:
+    """Frame-level scrub (session substrate OR a written dup_spans
+    snapshot): ``docs`` = (doc_id, tok array). See
+    :func:`scrub_dup_spans` for semantics and the scale shape."""
     tokpos = docs.select(
         "doc_id", F.posexplode("tok").alias("pos", "tk")
     )
-    spans = dup_span_frame(spark, sf_dir).select(
+    spans = spans.select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
     kept = tokpos.join(

@@ -7,14 +7,16 @@ recomputing the shingle→minhash→band→verify pipeline per report.
     python cli/run_dedup.py build  --sf-dir SF --out-dir OUT
     python cli/run_dedup.py report --sf-dir SF --out-dir OUT
 
-``build`` writes OUT/dup_pairs, OUT/dup_clusters and OUT/retention_plan
-(plus run metadata in OUT/_pipeline_runs). ``report`` READS those tables
-back (never recomputes them) and writes OUT/reports/{dedup_rate_by_source,
-dedup_token_savings,cluster_size_histogram}; the report logic is the same
+``build`` writes OUT/dup_pairs, OUT/dup_clusters, OUT/retention_plan and
+OUT/dup_spans — the substring-granularity removal plan — plus, with
+``--scrub``, OUT/scrubbed_docs (the plan APPLIED) and run metadata in
+OUT/_pipeline_runs. ``report`` READS those tables back (never recomputes
+them) and writes OUT/reports/{dedup_rate_by_source,dedup_token_savings,
+cluster_size_histogram,dup_span_savings}; the report logic is the same
 frame-level builders the registered queries use
 (operators/text_dedup.py::retention_plan_from / rate_by_source_from /
-token_savings_from), so CLI output and driver-hashed query output agree
-by construction.
+token_savings_from, plans/packing.py::span_savings_from / scrub_from),
+so CLI output and driver-hashed query output agree by construction.
 """
 
 from __future__ import annotations
@@ -59,6 +61,28 @@ def run_build(args: argparse.Namespace) -> None:
         os.path.join(args.out_dir, "retention_plan")
     )
     n_planned = plan.count()
+    # substring-granularity artifacts beside the document-level ones:
+    # the maximal duplicated-span plan and (optionally applied) scrub
+    from big_data_recommendation_system_spark.plans.packing import (
+        dup_span_frame,
+        scrub_from,
+    )
+
+    spans = dup_span_frame(spark, args.sf_dir)
+    spans.write.mode("overwrite").parquet(
+        os.path.join(args.out_dir, "dup_spans")
+    )
+    n_spans = spans.count()
+    if getattr(args, "scrub", False):
+        scrub_from(
+            spans,
+            load_table(spark, args.sf_dir, "documents").select(
+                "doc_id", tokens(F.col("text")).alias("tok")
+            ),
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "scrubbed_docs")
+        )
+        print(f"scrubbed docs -> {args.out_dir}/scrubbed_docs")
     if getattr(args, "tuning_report", False):
         # Parameter-tuning artifact beside the snapshot: the measured
         # bucket structure / candidate cost per (bands, rows) choice —
@@ -79,6 +103,7 @@ def run_build(args: argparse.Namespace) -> None:
         "n_pairs": n_pairs,
         "n_clustered_docs": n_clustered,
         "n_planned_docs": n_planned,
+        "n_dup_spans": n_spans,
         "sec": round(time.time() - t0, 2),
     }
     record_run(spark, os.path.join(args.out_dir, "_pipeline_runs"), info)
@@ -97,6 +122,10 @@ def run_report(args: argparse.Namespace) -> None:
     ).select("doc_id", "keep")
     clusters = spark.read.parquet(os.path.join(args.out_dir, "dup_clusters"))
     docs = load_table(spark, args.sf_dir, "documents")
+    from big_data_recommendation_system_spark.plans.packing import (
+        span_savings_from,
+    )
+
     reports = {
         "dedup_rate_by_source": rate_by_source_from(
             plan, docs.select("doc_id", "source")
@@ -108,6 +137,15 @@ def run_report(args: argparse.Namespace) -> None:
             ),
         ),
         "cluster_size_histogram": cluster_histogram_from(clusters),
+        # substring granularity, from the WRITTEN dup_spans snapshot
+        "dup_span_savings": span_savings_from(
+            spark.read.parquet(os.path.join(args.out_dir, "dup_spans")),
+            docs.select(
+                "doc_id",
+                "source",
+                F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+            ),
+        ),
     }
     for name, df in reports.items():
         out = os.path.join(args.out_dir, "reports", name)
@@ -130,6 +168,11 @@ def main() -> None:
         "--tuning-report",
         action="store_true",
         help="also write the LSH band-parameter tuning report",
+    )
+    b.add_argument(
+        "--scrub",
+        action="store_true",
+        help="also apply the dup-span plan and write scrubbed_docs",
     )
     b.set_defaults(fn=run_build)
     r = sub.add_parser("report")

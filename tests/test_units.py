@@ -1327,7 +1327,9 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
     from big_data_recommendation_system_spark.operators import text_dedup
 
     out = str(tmp_path / "dedup_out")
-    ns = argparse.Namespace(sf_dir=sf_dir_small, out_dir=out, tuning_report=True)
+    ns = argparse.Namespace(
+        sf_dir=sf_dir_small, out_dir=out, tuning_report=True, scrub=True
+    )
     run_dedup.run_build(ns)
     run_dedup.run_report(ns)
 
@@ -1378,6 +1380,43 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
     ).collect()
     clusters = spark.read.parquet(os.path.join(out, "dup_clusters"))
     assert sum(r.cluster_size * r.n_clusters for r in hist) == clusters.count()
+
+    # substring-granularity artifacts: written spans == registered plan,
+    # disk-served savings report == inline query, scrubbed_docs == the
+    # registered scrub query row-for-row
+    from big_data_recommendation_system_spark.plans import packing
+
+    spans_written = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(os.path.join(out, "dup_spans")).collect()
+    }
+    spans_inline = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in packing.dup_span_removal_plan(spark, sf_dir_small).collect()
+    }
+    assert spans_written == spans_inline and spans_written
+
+    sav_written = {
+        r.source: (r.removable_tokens, r.n_spans, r.docs_with_spans)
+        for r in spark.read.parquet(
+            os.path.join(out, "reports", "dup_span_savings")
+        ).collect()
+    }
+    sav_inline = {
+        r.source: (r.removable_tokens, r.n_spans, r.docs_with_spans)
+        for r in packing.dup_span_savings(spark, sf_dir_small).collect()
+    }
+    assert sav_written == sav_inline
+
+    scrub_written = {
+        r.doc_id: (r.n_removed_tokens, r.scrubbed_text)
+        for r in spark.read.parquet(os.path.join(out, "scrubbed_docs")).collect()
+    }
+    scrub_inline = {
+        r.doc_id: (r.n_removed_tokens, r.scrubbed_text)
+        for r in packing.scrub_dup_spans(spark, sf_dir_small).collect()
+    }
+    assert scrub_written == scrub_inline
 
     runs = spark.read.parquet(os.path.join(out, "_pipeline_runs"))
     stages = {r.stage for r in runs.collect()}
