@@ -1045,19 +1045,10 @@ def dup_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a window over the tiny flagged subset, partitioned by doc_id — no
     global window). All copies are marked, matching the paper's
     remove-every-occurrence rule."""
-    from pyspark.sql import Window
-
-    from ..functions.text import ngrams
     from ..operators.substrate import session_frame
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", tokens(F.col("text")).alias("tok")
-        )
-        grams = docs.select(
-            "doc_id",
-            F.posexplode(ngrams("tok", DUP_SPAN_NGRAM)).alias("pos", "g"),
-        ).select("doc_id", "pos", F.md5("g").alias("gh"))
+        grams = _gram_positions(spark, sf_dir)
         shared = (
             grams.groupBy("gh")
             .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1065,34 +1056,91 @@ def dup_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gh")
         )
         dup = grams.join(shared, "gh").select("doc_id", "pos")
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        lag = F.lag("pos").over(w)
-        isl = dup.withColumn(
-            "brk",
-            F.when(
-                lag.isNull() | (F.col("pos") > lag + DUP_SPAN_NGRAM), 1
-            ).otherwise(0),
-        ).withColumn("span_id", F.sum("brk").over(w))
-        return (
-            isl.groupBy("doc_id", "span_id")
-            .agg(
-                F.min("pos").cast("long").alias("span_start"),
-                (F.max("pos") + DUP_SPAN_NGRAM - 1).cast("long").alias("span_end"),
-                F.count(F.lit(1)).cast("long").alias("n_anchors"),
-            )
-            .select(
-                "doc_id",
-                F.col("span_id").cast("long").alias("span_id"),
-                "span_start",
-                "span_end",
-                (F.col("span_end") - F.col("span_start") + 1)
-                .cast("long")
-                .alias("span_tokens"),
-                "n_anchors",
-            )
-        )
+        return _merge_anchor_spans(dup)
 
     return session_frame(spark, sf_dir, "spans:dup", build)
+
+
+def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh): md5 of the DUP_SPAN_NGRAM gram starting at each
+    token position — the shared anchor frame of the full and incremental
+    span detectors."""
+    from ..functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(ngrams("tok", DUP_SPAN_NGRAM)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+
+
+def _merge_anchor_spans(dup: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of duplicated anchor positions into maximal
+    spans (per-doc window over the flagged subset only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            lag.isNull() | (F.col("pos") > lag + DUP_SPAN_NGRAM), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + DUP_SPAN_NGRAM - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_anchors",
+        )
+    )
+
+
+def incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus duplicated-substring detection — the O(batch)
+    incremental form of :func:`dup_span_removal_plan`, completing the
+    third dedup granularity's incremental story (document level:
+    incremental_near_dup; vector level: srp_incremental_pairs;
+    substring level: this). The batch is the incremental_near_dup
+    convention (doc_id % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM,
+    shared constants); an anchor fires when the batch gram occurs
+    ANYWHERE in the indexed corpus, and anchors merge into maximal
+    spans exactly as in the full detector.
+
+    Scale shape: the join is ASYMMETRIC — batch gram positions ⋈ the
+    distinct index gram set (semi join keyed on the gram hash), so
+    per-batch work is O(batch grams); at production the index side is
+    the written gram index a snapshot maintains. The island merge runs
+    over batch anchors only."""
+    from ..operators.text_dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+    )
+
+    grams = _gram_positions(spark, sf_dir)
+    is_batch = (
+        F.col("doc_id") % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+    )
+    index_set = grams.filter(~is_batch).select("gh").distinct()
+    dup = (
+        grams.filter(is_batch)
+        .join(index_set, "gh", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _merge_anchor_spans(dup).orderBy("doc_id", "span_start")
 
 
 def dup_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,3 +1381,45 @@ SELECT d.doc_id,
 FROM tokd d LEFT JOIN ka USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def _incremental_dup_spans_sql() -> str:
+    from ..operators.text_dedup import (
+        INCREMENTAL_BATCH_MOD as _M,
+        INCREMENTAL_BATCH_REM as _R,
+    )
+
+    # reuses the full detector's tokd/grams CTEs; the symmetric
+    # shared/dup/spans chain stays defined but unreferenced (DuckDB
+    # prunes unreferenced non-materialized CTEs)
+    return f"""{_DUP_SPAN_CTES},
+idx AS (
+  SELECT DISTINCT gh FROM grams WHERE NOT (doc_id % {_M} = {_R})
+),
+dup2 AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN idx USING (gh)
+  WHERE g.doc_id % {_M} = {_R}
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    CASE WHEN LAG(pos) OVER w2 IS NULL
+              OR pos > LAG(pos) OVER w2 + {DUP_SPAN_NGRAM}
+         THEN 1 ELSE 0 END AS brk
+  FROM dup2 WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl2
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + {DUP_SPAN_NGRAM - 1} AS BIGINT) AS span_end,
+  CAST(MAX(pos) + {DUP_SPAN_NGRAM} - MIN(pos) AS BIGINT) AS span_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM sp2 GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
+"""
+
+
+INCREMENTAL_DUP_SPANS_SQL = _incremental_dup_spans_sql()

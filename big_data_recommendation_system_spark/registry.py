@@ -299,6 +299,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dup_span_removal_plan": packing.dup_span_removal_plan,
     "dup_span_savings": packing.dup_span_savings,
     "scrub_dup_spans": packing.scrub_dup_spans,
+    "incremental_dup_spans": packing.incremental_dup_spans,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -385,6 +386,7 @@ _PRIORITY_ORDER = [
     "dup_span_removal_plan",
     "dup_span_savings",
     "scrub_dup_spans",
+    "incremental_dup_spans",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -720,6 +722,7 @@ ORACLES: dict[str, str] = {
     "dup_span_removal_plan": packing.DUP_SPAN_REMOVAL_PLAN_SQL,
     "dup_span_savings": packing.DUP_SPAN_SAVINGS_SQL,
     "scrub_dup_spans": packing.SCRUB_DUP_SPANS_SQL,
+    "incremental_dup_spans": packing.INCREMENTAL_DUP_SPANS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -971,6 +971,34 @@ def test_dup_span_removal_plan_matches_brute_force(spark, sf_dir_small):
         assert all(a2 > b1 for (_, b1), (a2, _) in zip(spans, spans[1:]))
 
 
+def test_incremental_dup_spans_contained_in_full(spark, sf_dir_small):
+    """Cross-boundary containment: an incremental anchor (batch gram
+    present in the index) is necessarily a full-detector anchor (gram in
+    >= 2 docs), so every incremental span must lie inside the union of
+    the full plan's spans for that document — and only batch documents
+    may appear."""
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+    )
+    from big_data_recommendation_system_spark.plans.packing import (
+        dup_span_removal_plan,
+        incremental_dup_spans,
+    )
+
+    full = {}
+    for r in dup_span_removal_plan(spark, sf_dir_small).collect():
+        full.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    inc = incremental_dup_spans(spark, sf_dir_small).collect()
+    assert inc, "sf0.001 must contain cross-boundary dup spans"
+    for r in inc:
+        assert r["doc_id"] % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+        covered = set(range(r["span_start"], r["span_end"] + 1))
+        assert covered <= full.get(r["doc_id"], set()), r["doc_id"]
+
+
 def test_scrub_dup_spans_consistent_with_plan(spark, sf_dir_small):
     """plan→apply consistency: per document, the scrub's removed-token
     count must equal the removal plan's span_tokens sum, the kept text
