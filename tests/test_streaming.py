@@ -1112,3 +1112,79 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     # the stream really was incremental, not one big batch
     assert len(batch_ids) > 1
     assert len(nb_rows) == len(set(r[0] for r in nb_rows))
+
+
+def test_incremental_dup_spans_streaming_batches(spark, stream_env, sf_dir_small):
+    """Continuous-ingestion form of incremental_dup_spans: incoming docs
+    arrive across micro-batches; each batch's gram positions semi-join
+    the STATIC index gram set (the maintained substring index state) and
+    the surviving anchors merge into maximal spans with the same
+    gaps-and-islands helper. The union over batches must reproduce the
+    batch operator's span plan exactly — one semantics, two execution
+    models (a document's grams arrive wholly within its batch, so
+    per-batch merging is lossless)."""
+    import json
+
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_BATCH_REM,
+    )
+    from big_data_recommendation_system_spark.plans import packing as pk
+
+    is_batch = (
+        F.col("doc_id") % INCREMENTAL_BATCH_MOD == INCREMENTAL_BATCH_REM
+    )
+    # static state a production deployment maintains: the distinct gram
+    # set of the indexed corpus
+    grams = pk._gram_positions(spark, sf_dir_small).cache()
+    index_set = grams.filter(~is_batch).select("gh").distinct().cache()
+    index_set.count()  # materialize once
+
+    incoming_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir_small, "documents")
+        .filter(is_batch)
+        .select("doc_id")
+        .collect()
+    )
+    half = len(incoming_ids) // 2
+    src = os.path.join(stream_env["tmp"], "inc_span_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, ids in [
+        ("b0.json", incoming_ids[:half]),
+        ("b1.json", incoming_ids[half:]),
+    ]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"doc_id": i}) + "\n")
+
+    found: list[tuple[int, int, int, int, int]] = []
+
+    def handle(batch_df, _bid):
+        anchors = (
+            grams.join(F.broadcast(batch_df.select("doc_id")), "doc_id")
+            .join(index_set, "gh", "left_semi")
+            .select("doc_id", "pos")
+        )
+        for r in pk._merge_anchor_spans(anchors).collect():
+            found.append(
+                (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_anchors)
+            )
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end, r.n_anchors)
+        for r in pk.incremental_dup_spans(spark, sf_dir_small).collect()
+    }
+    assert set(found) == want and want
+    grams.unpersist()
+    index_set.unpersist()
