@@ -105,6 +105,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "dsir_importance_sample",
     "model_gate_report",
     "nb_calibration_sweep",
+    "ccnet_perplexity_buckets",
 }
 
 
@@ -965,4 +966,95 @@ SELECT CAST(cut_num AS DOUBLE) / {float(NB_CAL_DEN)!r} AS mean_vote_cutoff,
     AS recall
 FROM sw
 ORDER BY mean_vote_cutoff
+"""
+
+
+# --- 4. CCNet-style perplexity bucketing -------------------------------------
+
+CCNET_BUCKETS = 3  # head / middle / tail (Wenzek et al. 2020)
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-source LM-fluency terciles (Wenzek et al. 2020): rank
+    every scored document within its source by the stupid-backoff LM's
+    mean bigram probability (descending — most fluent ≈ lowest
+    perplexity first; ln is monotone, so probability ordering IS
+    perplexity ordering) and split each source into head/middle/tail.
+    ``kept`` marks head+middle, CCNet's usual retention rule. Ordering
+    is hash-stable: the mean is ONE division of exact integers
+    (bit-identical across engines — the same column ngram_lm_scores
+    hashes) with doc_id tiebreak.
+
+    Scale shape: the scoring pass is the shared LM substrate serving;
+    the per-source rank goes through operators/ranking.with_global_rank
+    ordered by (source, -mean, doc_id) — range-repartitioned, NO
+    per-source single-task window — then each source's rank rebases by
+    its broadcast (min-rank, count) row and NTILE arithmetic assigns
+    the tercile (ntile_from_rank matches SQL NTILE exactly)."""
+    from ..operators.ranking import (
+        RANK_COL,
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    scores = ngram_lm_scores(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "mean_bigram_prob",
+        (-F.coalesce(F.col("mean_bigram_prob"), F.lit(-1.0))).alias("_negm"),
+    )
+    ranked = with_global_rank(scores, ["source", "_negm", "doc_id"])
+    src = ranked.groupBy("source").agg(
+        F.min(RANK_COL).alias("_base"),
+        F.count(F.lit(1)).cast("long").alias("_n_src"),
+    )
+    srank = F.col(RANK_COL) - F.col("_base") + 1
+    b = ntile_from_rank(srank, F.col("_n_src"), CCNET_BUCKETS)
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "mean_bigram_prob",
+            srank.cast("long").alias("source_rank"),
+            label.alias("bucket"),
+            (b != CCNET_BUCKETS).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = f"""{_LAB_CTE}{_LM_CTE},
+m AS (
+  SELECT l.doc_id, l.source, a.n_bigrams,
+    CASE WHEN a.n_bigrams > 0 THEN
+      (CAST(a.lm_score_fp AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
+        / {LM_FP_SCALE!r}
+    END AS mean_bigram_prob
+  FROM lab l JOIN lm_agg a USING (doc_id)
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY COALESCE(mean_bigram_prob, -1) DESC, doc_id
+    ) AS source_rank,
+    NTILE({CCNET_BUCKETS}) OVER (
+      PARTITION BY source
+      ORDER BY COALESCE(mean_bigram_prob, -1) DESC, doc_id
+    ) AS b
+  FROM m
+)
+SELECT doc_id, source, n_bigrams, mean_bigram_prob,
+  CAST(source_rank AS BIGINT) AS source_rank,
+  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+  b != {CCNET_BUCKETS} AS kept
+FROM r ORDER BY doc_id
 """

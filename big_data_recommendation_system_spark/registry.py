@@ -300,6 +300,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dup_span_savings": packing.dup_span_savings,
     "scrub_dup_spans": packing.scrub_dup_spans,
     "incremental_dup_spans": packing.incremental_dup_spans,
+    "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -391,6 +392,7 @@ _PRIORITY_ORDER = [
     "dup_span_savings",
     "scrub_dup_spans",
     "incremental_dup_spans",
+    "ccnet_perplexity_buckets",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -727,6 +729,7 @@ ORACLES: dict[str, str] = {
     "dup_span_savings": packing.DUP_SPAN_SAVINGS_SQL,
     "scrub_dup_spans": packing.SCRUB_DUP_SPANS_SQL,
     "incremental_dup_spans": packing.INCREMENTAL_DUP_SPANS_SQL,
+    "ccnet_perplexity_buckets": quality_models.CCNET_PERPLEXITY_BUCKETS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }
