@@ -1629,3 +1629,157 @@ JOIN sizes sb ON sa.source < sb.source
 LEFT JOIN shared sh ON sh.source_a = sa.source AND sh.source_b = sb.source
 ORDER BY source_a, source_b
 """
+
+
+# --- Winnowing fingerprints (Schleimer et al. 2003) --------------------------
+
+WINNOW_K = 3  # token k-gram size
+WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint pick
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every token 3-gram, slide a window of 4 consecutive
+    hashes, and in each window select the minimum hash — rightmost
+    position on ties (the paper's robust rule) — guaranteeing that any
+    shared run of >= w+k-1 tokens yields at least one shared
+    fingerprint, at ~2/(w+1) selection density. Complements the
+    bottom-1 sketch in doc_fingerprints (global min) with the
+    position-coupled LOCAL minima an overlap detector matches on.
+
+    One row per document: gram/fingerprint counts, the realized
+    selection density (one exact division), and an md5 digest of the
+    ordered (pos:hash) fingerprint sequence — the whole selected set
+    sits under the driver's value hash without emitting
+    O(corpus-positions) rows.
+
+    Scale shape: positional gram hashes (linear explode); the window
+    minimum is a per-doc ROWS frame over pos (doc-partitioned — never
+    global); the rightmost-min pick is one w-bounded self-band-join +
+    per-window max; the digest is a per-doc bounded
+    sort_array(collect_list) like event_sequences."""
+    from pyspark.sql import Window
+
+    from ..functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    hashes = docs.select(
+        "doc_id",
+        F.posexplode(ngrams("tok", WINNOW_K)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    # windows are complete once pos >= W-1 (the paper slides one window
+    # per new hash; shorter prefixes are not windows)
+    wmins = (
+        hashes.withColumn("wmin", F.min("h").over(wnd))
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("pos").alias("wend"), "wmin")
+    )
+    picks = (
+        wmins.alias("w")
+        .join(
+            hashes.alias("x"),
+            (F.col("x.doc_id") == F.col("w.doc_id"))
+            & (F.col("x.pos") <= F.col("w.wend"))
+            & (F.col("x.pos") >= F.col("w.wend") - (WINNOW_W - 1))
+            & (F.col("x.h") == F.col("w.wmin")),
+        )
+        .groupBy(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.wend").alias("wend"),
+            F.col("w.wmin").alias("fp_hash"),
+        )
+        .agg(F.max("x.pos").alias("fp_pos"))
+        .select("doc_id", "fp_pos", "fp_hash")
+        .distinct()
+    )
+    per_doc = picks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("fp_pos", "fp_hash"))),
+                    lambda s: F.concat_ws(":", s["fp_pos"], s["fp_hash"]),
+                ),
+                "|",
+            )
+        ).alias("fp_digest"),
+    )
+    n_grams = hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        docs.select("doc_id")
+        .join(n_grams, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_fingerprints", F.lit(0))
+            .cast("long")
+            .alias("n_fingerprints"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) >= WINNOW_W,
+                F.col("n_fingerprints").cast("double") / F.col("n_grams"),
+            ).alias("density"),
+            F.coalesce("fp_digest", F.lit("")).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_FINGERPRINTS_SQL = f"""{_DOCS_TOK_CTE},
+hashes AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(tok) - {WINNOW_K - 1}, 0))) AS pos,
+    unnest(list_transform(
+      range(1, greatest(len(tok) - {WINNOW_K - 1}, 0) + 1),
+      i -> md5(array_to_string(tok[i:i+{WINNOW_K - 1}], ' ')))) AS h
+  FROM t
+),
+wmins AS (
+  SELECT doc_id, pos AS wend,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM hashes
+  QUALIFY pos >= {WINNOW_W - 1}
+),
+picks AS (
+  SELECT DISTINCT doc_id, fp_pos, fp_hash FROM (
+    SELECT w.doc_id, w.wend, w.wmin AS fp_hash, MAX(x.pos) AS fp_pos
+    FROM wmins w
+    JOIN hashes x ON x.doc_id = w.doc_id
+      AND x.pos <= w.wend AND x.pos >= w.wend - {WINNOW_W - 1}
+      AND x.h = w.wmin
+    GROUP BY w.doc_id, w.wend, w.wmin
+  )
+),
+per_doc AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+    md5(string_agg(fp_pos || ':' || fp_hash, '|' ORDER BY fp_pos, fp_hash))
+      AS fp_digest
+  FROM picks GROUP BY doc_id
+),
+ng AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM hashes GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+  CASE WHEN COALESCE(ng.n_grams, 0) >= {WINNOW_W} THEN
+    CAST(p.n_fingerprints AS DOUBLE) / ng.n_grams
+  END AS density,
+  COALESCE(p.fp_digest, '') AS fp_digest
+FROM (SELECT doc_id FROM t) d
+LEFT JOIN ng USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -301,6 +301,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "scrub_dup_spans": packing.scrub_dup_spans,
     "incremental_dup_spans": packing.incremental_dup_spans,
     "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
+    "winnowing_fingerprints": text_analysis.winnowing_fingerprints,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -393,6 +394,7 @@ _PRIORITY_ORDER = [
     "scrub_dup_spans",
     "incremental_dup_spans",
     "ccnet_perplexity_buckets",
+    "winnowing_fingerprints",
     # -- r7-checked (next-stalest after the above):
     "als_input_matrix",
     "balanced_sample",
@@ -730,6 +732,7 @@ ORACLES: dict[str, str] = {
     "scrub_dup_spans": packing.SCRUB_DUP_SPANS_SQL,
     "incremental_dup_spans": packing.INCREMENTAL_DUP_SPANS_SQL,
     "ccnet_perplexity_buckets": quality_models.CCNET_PERPLEXITY_BUCKETS_SQL,
+    "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

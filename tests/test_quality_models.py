@@ -305,3 +305,42 @@ def test_contrastive_triplets_mining_rule(spark, sf_dir_small):
         got = t[t.anchor_id == anchor].iloc[0]
         assert got.negative_id == cand.iloc[0].dst
         assert got.neg_cos == cand.iloc[0].cosine
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark, sf_dir_small):
+    """Per source: bucket sizes match SQL NTILE arithmetic (first n%3
+    buckets get the extra row), head/middle/tail are ordered by the
+    ranking key (every head mean >= every middle mean >= every tail
+    mean, up to the doc_id tiebreak on equal means), kept == bucket !=
+    'tail', and source_rank is a 1..n permutation."""
+    import collections
+
+    from big_data_recommendation_system_spark.plans.quality_models import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir_small).collect()
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        assert r.kept == (r.bucket != "tail")
+        by_src[r.source].append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        n = len(rs)
+        ranks = sorted(r.source_rank for r in rs)
+        assert ranks == list(range(1, n + 1)), src
+        sizes = collections.Counter(r.bucket for r in rs)
+        base, rem = divmod(n, 3)
+        want = {
+            "head": base + (1 if rem >= 1 else 0),
+            "middle": base + (1 if rem >= 2 else 0),
+            "tail": base,
+        }
+        assert {k: v for k, v in sizes.items() if v} == {
+            k: v for k, v in want.items() if v
+        }, src
+        means = {b: [r.mean_bigram_prob for r in rs if r.bucket == b] for b in want}
+        if means["head"] and means["middle"]:
+            assert min(means["head"]) >= max(means["middle"]) - 1e-15
+        if means["middle"] and means["tail"]:
+            assert min(means["middle"]) >= max(means["tail"]) - 1e-15

@@ -922,6 +922,52 @@ def test_pca_certificates_can_fail(spark, sf_dir_small):
     assert ortho_ok == 1  # eigenvectors untouched — stays green
 
 
+def test_winnowing_matches_brute_force(spark, sf_dir_small):
+    """Winnowing digest equality against a direct per-document recompute
+    of Schleimer et al.'s rule: slide windows of W consecutive 3-gram
+    md5 hashes, pick each window's minimum (rightmost on ties), dedupe
+    picks — plus the density guarantee n_fingerprints >= n_windows/(W)
+    ... at least one pick per W consecutive windows (every window
+    contributes one, picks repeat at most across overlapping windows)."""
+    import hashlib
+
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load_table(spark, sf_dir_small, "documents").collect()
+    }
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(spark, sf_dir_small).collect()}
+    assert set(got) == set(docs)
+    checked = 0
+    for d, toks in sorted(docs.items()):
+        hs = [md5(" ".join(toks[i : i + WINNOW_K])) for i in range(len(toks) - WINNOW_K + 1)]
+        picks = set()
+        for e in range(WINNOW_W - 1, len(hs)):
+            window = hs[e - WINNOW_W + 1 : e + 1]
+            m = min(window)
+            # rightmost occurrence of the min in this window
+            off = max(i for i, h in enumerate(window) if h == m)
+            picks.add((e - WINNOW_W + 1 + off, m))
+        r = got[d]
+        assert r["n_grams"] == len(hs)
+        assert r["n_fingerprints"] == len(picks), d
+        digest = md5("|".join(f"{p}:{h}" for p, h in sorted(picks))) if picks else ""
+        assert r["fp_digest"] == digest, d
+        if picks:
+            assert len(picks) >= (len(hs) - WINNOW_W + 1) / WINNOW_W
+            checked += 1
+    assert checked > 100
+
+
 def test_dup_span_removal_plan_matches_brute_force(spark, sf_dir_small):
     """The n-gram-anchored span merge must equal a per-document
     brute-force recompute (mark every duplicated anchor position, union
