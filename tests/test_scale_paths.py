@@ -204,3 +204,35 @@ def test_approx_percentiles_certified(spark, sf_dir):
         # value-space sanity: within 5% relative of the exact quantile
         for a, b in ((r.p25_approx, e.p25), (r.p50_approx, e.p50), (r.p90_approx, e.p90)):
             assert abs(a - b) <= 0.05 * max(abs(b), 1.0), (et, a, b)
+
+
+def test_r10_ops_partitioning_invariant(spark, sf_dir):
+    """Partitioning-independence for the round-10 operators whose shapes
+    involve rank/window/island machinery: identical results under a
+    deliberately awkward shuffle-partition count (7) vs the default.
+    This is the classic distributed failure mode — per-partition logic
+    leaking into results — and the property the 1000-executor story
+    rests on."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    names = [
+        "dup_span_removal_plan",
+        "incremental_dup_spans",
+        "ccnet_perplexity_buckets",
+        "winnowing_fingerprints",
+        "pca_invariants",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = {}
+        for n in names:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            baseline[n] = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+        spark.catalog.clearCache()  # drop substrates so they rebuild at 7
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
