@@ -377,13 +377,13 @@ _PRIORITY_ORDER = [
     # ---- driver window ends here (50) ------------------------------------
     # the one r6-stale row that did not fit (see note above):
     "mixture_plan",
-    # -- NEW r10 registrations (9, positions 52-60; never
+    # -- NEW r10 registrations (11, positions 52-62; never
     # driver-checked — each verified this round by direct oracle
     # compares at sf0.001/0.01/0.1, the pytest oracle gate, and the
-    # closing sf0.1 strict sweep). r11 window queue: mixture_plan +
-    # these 9, then the 35 r7-checked rows below (which will then be 4
-    # rounds stale) — 45 of 50 slots; the balance comes from the oldest
-    # r8 rows:
+    # closing sf0.1 strict sweep, 0 flagged of 183). r11 window queue:
+    # mixture_plan + these 11, then the 35 r7-checked rows below (which
+    # will then be 4 rounds stale) — 47 of 50 slots; the balance comes
+    # from the oldest r8 rows:
     "pca_invariants",
     "approx_distinct_agreement",
     "approx_percentile_agreement",
