@@ -152,7 +152,23 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     sub_timings: dict[str, float] = {}
+    # Machine-drift canary (r10 VERDICT next-round #4): one fixed
+    # constant-input aggregation, identical across rounds and sf dirs,
+    # never registry-registered. Its min-over-passes time calibrates
+    # this box's speed so future rounds can normalize query deltas
+    # against noisy-neighbor CPU steal (this sandbox has recorded 6x
+    # swings on identical code). 200M-row range sum: big enough to be
+    # CPU-bound across all 32 threads, small enough to add <1 s.
+    drift_probe_sec: float | None = None
     for _ in range(passes):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        probe = round(time.perf_counter() - t0, 3)
+        drift_probe_sec = (
+            probe if drift_probe_sec is None else min(drift_probe_sec, probe)
+        )
         spark.catalog.clearCache()  # each pass starts cold
         built = False
         for name in ordered:
@@ -209,6 +225,10 @@ def main() -> None:
                     sum(timings.values()) / max(len(timings), 1), 3
                 ),
                 "substrate_build_sec": round(sum(sub_timings.values()), 3),
+                # fixed-workload machine-speed canary (min over passes);
+                # divide a round's avg_query_sec by the ratio of probe
+                # times to normalize out box drift before comparing
+                "drift_probe_sec": drift_probe_sec,
                 # r9 VERDICT "What's wrong #3": from r9 onward "value"
                 # = consume + attributed substrate builds, while r8 and
                 # earlier bundled builds into whichever consumer ran

@@ -137,16 +137,26 @@ def run_report(args: argparse.Namespace) -> None:
             ),
         ),
         "cluster_size_histogram": cluster_histogram_from(clusters),
-        # substring granularity, from the WRITTEN dup_spans snapshot
-        "dup_span_savings": span_savings_from(
-            spark.read.parquet(os.path.join(args.out_dir, "dup_spans")),
+    }
+    # substring granularity, from the WRITTEN dup_spans snapshot — only
+    # present for builds made at r10+ (pre-r10 snapshots have no
+    # dup_spans table; skip with a warning instead of a raw read error)
+    spans_path = os.path.join(args.out_dir, "dup_spans")
+    if os.path.isdir(spans_path):
+        reports["dup_span_savings"] = span_savings_from(
+            spark.read.parquet(spans_path),
             docs.select(
                 "doc_id",
                 "source",
                 F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
             ),
-        ),
-    }
+        )
+    else:
+        print(
+            f"warning: {spans_path} not found (snapshot written by a "
+            "pre-dup-span build?); skipping the dup_span_savings report",
+            file=sys.stderr,
+        )
     for name, df in reports.items():
         out = os.path.join(args.out_dir, "reports", name)
         df.write.mode("overwrite").parquet(out)
