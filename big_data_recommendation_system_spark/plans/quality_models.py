@@ -40,10 +40,11 @@ general (a single large-ratio bucket dominates linearly where it would
 contribute only its log under DSIR proper; the orderings coincide only
 when per-doc bucket ratios are narrowly spread). We keep it because it
 is deterministic, exact-integer-summable under any partitioning, and
-preserves the target-preference property the pytest pins verify; a
-consumer needing paper-fidelity ranking can swap in a fixed-point
-log-ratio lookup table (1024 rows, same join shape) without touching
-the pipeline.
+preserves the target-preference property the pytest pins verify; the
+registered ``dsir_log_weights`` (§3b below) IS the paper-fidelity
+form — the same join shape with a precomputed fixed-point log-ratio
+lookup (a Python-literal geometric level table), so both rankings are
+available and both hash-match their oracles.
 
 Scale shape (100 TB): every stage is explode → hash-aggregate on a
 token/pair/bucket key with map-side combine; model frames are
@@ -106,6 +107,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "model_gate_report",
     "nb_calibration_sweep",
     "ccnet_perplexity_buckets",
+    "dsir_log_weights",
 }
 
 
@@ -1057,4 +1059,178 @@ SELECT doc_id, source, n_bigrams, mean_bigram_prob,
   CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
   b != {CCNET_BUCKETS} AS kept
 FROM r ORDER BY doc_id
+"""
+
+
+# --- 3b. DSIR paper-fidelity log-ratio weights --------------------------------
+#
+# dsir_importance_sample above keeps the engine's original *linear*
+# ratio sum (documented approximation, see the module docstring).
+# dsir_log_weights is the paper-fidelity form: per-document weight =
+# Σ occ · ln(ratio) exactly as Xie et al. 2023 prescribe, realized
+# without either engine ever calling a libm log. The trick (third
+# application of the lsh_band_tuning_report pattern): every
+# transcendental value is a PYTHON-LITERAL integer constant. The
+# data-dependent per-bucket ratio_fp (an exact BIGINT) is mapped to a
+# fixed-point ln through a precomputed geometric level table —
+# integer boundaries ceil(2^(k/16)) with the level's midpoint ln as a
+# fixed-point literal — broadcast-joined on an integer range predicate.
+# Both engines therefore compute ONLY integer compares/multiplies/sums:
+# bit-stable under any partitioning or aggregation order.
+#
+# ln quantization: levels are 1/16 of an octave wide, so the looked-up
+# ln is within ±ln(2)/32 ≈ ±0.0217 of the true ln(ratio) — a DETERMINED
+# rounding (same for both engines and every run), monotone in the ratio.
+# Rankings agree with exact-ln DSIR except where two documents' log-sums
+# differ by less than the accumulated quantization — the regime where
+# exact DSIR's own hashed-feature noise (Xie et al. §3: buckets stand in
+# for n-grams) already dominates.
+
+LOG_FP_SCALE = 1_000_000  # ln fixed-point: round(ln(ratio) * 1e6)
+_LOG_LEVELS_PER_OCTAVE = 16
+_LOG_CLAMP_MAX = (1 << 62) - 1  # ratio_fp clamp; floor() can emit 0 → clamp to 1
+
+
+def _log_level_table() -> list[tuple[int, int, int]]:
+    """[(lo, hi, ln_fp)] geometric levels covering clamped ratio_fp in
+    [1, 2^62): integer boundaries ``ceil(2^(k/16))`` (deduped), ln_fp =
+    fixed-point ln of the level's geometric midpoint MINUS ln(1e6) —
+    i.e. the ln of the RATIO the fixed-point integer encodes. ~990 rows
+    of pure Python literals, computed once at import."""
+    import math
+
+    bounds: list[int] = []
+    k = 0
+    while True:
+        b = math.ceil(2 ** (k / _LOG_LEVELS_PER_OCTAVE))
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+        if b > _LOG_CLAMP_MAX:
+            break
+        k += 1
+    out = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        ln_mid = 0.5 * (math.log(lo) + math.log(hi)) - math.log(
+            DSIR_FP_SCALE
+        )
+        out.append((lo, hi, round(ln_mid * LOG_FP_SCALE)))
+    return out
+
+
+_LOG_LEVELS = _log_level_table()
+
+
+def dsir_log_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, log_ratio_fp): fixed-point ln of each DSIR bucket's
+    Laplace-smoothed likelihood ratio, via the literal level table.
+    1024 rows out; the range join is 1024 ratio rows × ~990 broadcast
+    level rows — trivial, and NEVER touches corpus-scale data."""
+    levels = spark.createDataFrame(
+        _LOG_LEVELS, "lo: bigint, hi: bigint, ln_fp: bigint"
+    )
+    rfp = F.greatest(
+        F.least(F.col("ratio_fp"), F.lit(_LOG_CLAMP_MAX)), F.lit(1)
+    )
+    return (
+        dsir_ratio_table(spark, sf_dir)
+        .select("bucket", rfp.alias("_rfp"))
+        .join(
+            F.broadcast(levels),
+            (F.col("_rfp") >= F.col("lo")) & (F.col("_rfp") < F.col("hi")),
+        )
+        .select("bucket", F.col("ln_fp").alias("log_ratio_fp"))
+    )
+
+
+def dsir_log_weight_docs(tok_docs: DataFrame, log_ratios: DataFrame) -> DataFrame:
+    """Per-document paper-fidelity DSIR log-weights over ANY (doc_id,
+    tok) frame against a frozen (bucket, log_ratio_fp) table — batch or
+    a streaming micro-batch (per-doc independent). Returns (doc_id,
+    n_features, log_weight_fp); weights are exact BIGINT sums (possibly
+    negative: ln of a sub-1 ratio)."""
+    feats = tok_docs.select(
+        "doc_id",
+        F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
+    ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
+    return (
+        feats.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .join(F.broadcast(log_ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_features"),
+            F.sum(F.col("occ") * F.col("log_ratio_fp"))
+            .cast("long")
+            .alias("log_weight_fp"),
+        )
+    )
+
+
+def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR sampling plan, paper-fidelity ranking (Xie et al. 2023):
+    per-document weight = Σ occ · fixed-point ln(bucket ratio), globally
+    ranked (log-weight desc, doc_id asc) through the scalable exact
+    ranker, keeping the top DSIR_KEEP_SHARE. Identical join shape to
+    dsir_importance_sample — the log form swaps ONE broadcast 1024-row
+    table; the linear form stays registered as the documented fast path.
+
+    Scale: the corpus-scale passes are the same explode → hash-agg →
+    broadcast-join as dsir_weight_docs; the level lookup happens on the
+    1024-row ratio table only."""
+    from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
+
+    lab = labeled_docs_table(spark, sf_dir)
+    dw = dsir_log_weight_docs(lab, dsir_log_ratio_table(spark, sf_dir))
+    ranked = with_global_rank(
+        lab.select("doc_id", "source", "seed_hi")
+        .join(dw, "doc_id")
+        .withColumn("_neg_w", -F.col("log_weight_fp")),
+        ["_neg_w", "doc_id"],
+    )
+    keep_n = F.ceil(F.lit(DSIR_KEEP_SHARE) * F.col(TOTAL_COL))
+    return (
+        ranked.select(
+            "doc_id",
+            "source",
+            "seed_hi",
+            "n_features",
+            "log_weight_fp",
+            F.col(RANK_COL).alias("dsir_log_rank"),
+            (F.col(RANK_COL) <= keep_n).alias("selected"),
+        )
+        .orderBy("dsir_log_rank")
+    )
+
+
+def _log_level_values_sql() -> str:
+    rows = ", ".join(f"({lo},{hi},{lnfp})" for lo, hi, lnfp in _LOG_LEVELS)
+    return (
+        "SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, "
+        f"CAST(ln_fp AS BIGINT) AS ln_fp FROM (VALUES {rows}) t(lo, hi, ln_fp)"
+    )
+
+
+DSIR_LOG_WEIGHTS_SQL = f"""{_LAB_CTE}{_DSIR_CTE},
+lvl AS ({_log_level_values_sql()}),
+lratios AS (
+  SELECT bucket, l.ln_fp AS log_ratio_fp
+  FROM ratios r JOIN lvl l
+    ON GREATEST(LEAST(r.ratio_fp, {_LOG_CLAMP_MAX}), 1) >= l.lo
+   AND GREATEST(LEAST(r.ratio_fp, {_LOG_CLAMP_MAX}), 1) < l.hi
+),
+ldw AS (
+  SELECT d.doc_id, CAST(SUM(d.occ) AS BIGINT) AS n_features,
+         CAST(SUM(d.occ * log_ratio_fp) AS BIGINT) AS log_weight_fp
+  FROM dfeat d JOIN lratios USING (bucket) GROUP BY d.doc_id
+),
+lranked AS (
+  SELECT l.doc_id, l.source, l.seed_hi, w.n_features, w.log_weight_fp,
+    CAST(ROW_NUMBER() OVER (ORDER BY w.log_weight_fp DESC, l.doc_id ASC) AS BIGINT)
+      AS dsir_log_rank,
+    COUNT(*) OVER () AS n_docs
+  FROM lab l JOIN ldw w ON l.doc_id = w.doc_id
+)
+SELECT doc_id, source, seed_hi, n_features, log_weight_fp, dsir_log_rank,
+       dsir_log_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
+FROM lranked ORDER BY dsir_log_rank
 """

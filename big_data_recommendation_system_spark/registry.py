@@ -301,6 +301,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "scrub_dup_spans": packing.scrub_dup_spans,
     "incremental_dup_spans": packing.incremental_dup_spans,
     "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
+    "dsir_log_weights": quality_models.dsir_log_weights,
     "winnowing_fingerprints": text_analysis.winnowing_fingerprints,
 }
 
@@ -377,9 +378,10 @@ _PRIORITY_ORDER = [
     "ann_ivf_topk",
     "attribution_delay_stats",
     # ---- driver window ends here (50) ------------------------------------
-    # -- NEW r11 registrations go here (never driver-checked;
-    # verified by oracle compares + pytest gate + strict sweep,
-    # and they co-lead the r12 window with the r8 block below):
+    # -- NEW r11 registrations (never driver-checked; verified by
+    # oracle compares + pytest gate + strict sweep, and they co-lead
+    # the r12 window with the r8 block below):
+    "dsir_log_weights",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -731,6 +733,7 @@ ORACLES: dict[str, str] = {
     "scrub_dup_spans": packing.SCRUB_DUP_SPANS_SQL,
     "incremental_dup_spans": packing.INCREMENTAL_DUP_SPANS_SQL,
     "ccnet_perplexity_buckets": quality_models.CCNET_PERPLEXITY_BUCKETS_SQL,
+    "dsir_log_weights": quality_models.DSIR_LOG_WEIGHTS_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

@@ -174,6 +174,96 @@ def test_dsir_sample_size_rank_and_target_preference(spark, sf_dir_small):
     assert hi > lo, f"target docs should out-weigh non-target: {hi} <= {lo}"
 
 
+def test_dsir_log_level_table_accuracy_and_coverage():
+    """The literal geometric level table is exhaustive over the clamp
+    range (contiguous, no gaps) and its looked-up fixed-point ln is
+    within the documented ±ln(2)/32 quantization of the true
+    ln(ratio_fp / FP_SCALE) for ratio values across the whole range."""
+    lv = qm._LOG_LEVELS
+    assert lv[0][0] == 1 and lv[-1][1] > qm._LOG_CLAMP_MAX
+    for (lo, hi, _), (lo2, _, _) in zip(lv, lv[1:]):
+        assert hi == lo2 and lo < hi  # contiguous, increasing
+    tol = math.log(2) / (2 * qm._LOG_LEVELS_PER_OCTAVE) + 1e-9
+    import bisect
+
+    los = [lo for lo, _, _ in lv]
+    for rfp in [1, 2, 3, 7, 99, 1000, 10**6, 10**6 + 1, 5 * 10**8,
+                10**12, qm._LOG_CLAMP_MAX]:
+        i = bisect.bisect_right(los, rfp) - 1
+        lo, hi, ln_fp = lv[i]
+        assert lo <= rfp < hi
+        true_ln = math.log(rfp / qm.DSIR_FP_SCALE)
+        # midpoint of level (lo, hi) is within half a level width of
+        # any member; allow one extra ulp of the fixed-pointing
+        assert abs(ln_fp / qm.LOG_FP_SCALE - true_ln) <= tol + 1.0 / (
+            min(lo, 10**6)  # integer boundaries are coarse below FP_SCALE
+        ), (rfp, ln_fp)
+
+
+def test_dsir_log_weights_paper_semantics(spark, sf_dir_small):
+    """Pins WHY dsir_log_weights exists: (a) plan shape — keeps exactly
+    ceil(share·n), rank is a permutation, target preference holds (same
+    pins as the linear form); (b) the log ranking is the log of the
+    SAME per-bucket ratios the linear form uses — per-doc recompute from
+    the two broadcast tables agrees; (c) the semantic difference is
+    real: a single dominant-ratio bucket outweighs many moderate buckets
+    linearly but NOT logarithmically (the Xie et al. motivation)."""
+    ds = qm.dsir_log_weights(spark, sf_dir_small).toPandas()
+    n = len(ds)
+    assert sorted(ds.dsir_log_rank) == list(range(1, n + 1))
+    assert int(ds.selected.sum()) == math.ceil(qm.DSIR_KEEP_SHARE * n)
+    hi = ds[ds.seed_hi].log_weight_fp.mean()
+    lo = ds[~ds.seed_hi].log_weight_fp.mean()
+    assert hi > lo, f"target docs should out-weigh non-target: {hi} <= {lo}"
+
+    # (b) recompute a sample of docs from the two model tables
+    ratios = qm.dsir_log_ratio_table(spark, sf_dir_small).toPandas()
+    lookup = dict(zip(ratios.bucket, ratios.log_ratio_fp))
+    from pyspark.sql import functions as F
+    from big_data_recommendation_system_spark.functions.text import (
+        hash_bucket,
+        ngrams as _ng,
+    )
+
+    lab = qm.labeled_docs_table(spark, sf_dir_small)
+    occ = (
+        lab.select(
+            "doc_id",
+            F.explode(F.concat(F.col("tok"), _ng("tok", 2))).alias("feat"),
+        )
+        .select(
+            "doc_id", hash_bucket(F.col("feat"), qm.DSIR_BUCKETS).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .count()
+        .toPandas()
+    )
+    want = occ.assign(w=lambda d: d["count"] * d.b.map(lookup)).groupby(
+        "doc_id"
+    ).w.sum()
+    got = dict(zip(ds.doc_id, ds.log_weight_fp))
+    sample = list(want.items())[:50]
+    assert sample and all(got[d] == w for d, w in sample)
+
+    # (c) ordering flip: doc A = 1 occurrence in a ratio-e^8 bucket;
+    # doc B = 4 occurrences in ratio-e^3 buckets. Linear: A(e^8=2981)
+    # beats B(4·e^3=80). Log: B(12) beats A(8).
+    import math as _m
+
+    def lvl_ln(rfp):
+        import bisect
+
+        los = [lo for lo, _, _ in qm._LOG_LEVELS]
+        i = bisect.bisect_right(los, max(1, min(rfp, qm._LOG_CLAMP_MAX))) - 1
+        return qm._LOG_LEVELS[i][2]
+
+    r_hot = int(_m.e**8 * qm.DSIR_FP_SCALE)
+    r_mod = int(_m.e**3 * qm.DSIR_FP_SCALE)
+    lin_a, lin_b = 1 * r_hot, 4 * r_mod
+    log_a, log_b = 1 * lvl_ln(r_hot), 4 * lvl_ln(r_mod)
+    assert lin_a > lin_b and log_b > log_a
+
+
 def test_lm_model_substrate_consistency(spark, sf_dir_small):
     """The pre-joined context count in the bigram table must equal the
     unigram table's count for the bigram's first word."""
