@@ -19,6 +19,7 @@ from ..operators.text_dedup import (
     JACCARD_THRESHOLD,
     SHINGLE_N,
     _shingled_docs,
+    ngram_jaccard_pairs,
 )
 
 
@@ -79,3 +80,79 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# Recall floor for the driver-visible agreement row, as an exact integer
+# comparison (DEN * n_common >= NUM * n_exact) — same 0.9 floor the
+# pytest pin enforces (tests/test_scale_paths.py).
+MINHASH_AGREE_RECALL_NUM = 9
+MINHASH_AGREE_RECALL_DEN = 10
+
+
+def mllib_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable correctness row for the MLlib MinHashLSH path —
+    third application of the agreement-companion trick
+    (cosine_topk_agreement, als_topk_agreement): the seeded-internals
+    query itself stays rows-only, but its AGREEMENT with the
+    hash-verified exact baseline is a constant-shape, SQL-expressible
+    row.
+
+        n_exact_pairs    — |exact jaccard>=τ pairs| on the audit slice
+                           (SQL-expressible: the ngram_jaccard_pairs
+                           oracle count — hashes real data);
+        recall_ge_90pct  — 1 iff 10·|mllib ∩ exact| >= 9·|exact|
+                           (exact integer comparison, no division);
+        verified_subset  — 1 iff every mllib pair IS an exact pair
+                           (the post-join exact-jaccard verification
+                           guarantees no false positives — a broken
+                           verify filter drives this to 0).
+
+    A wrong hash family, a broken approxSimilarityJoin explode, or a
+    dropped verification filter flips a certificate to 0 and fails the
+    driver hash; a legitimately-noisy LSH draw below the 0.9 floor also
+    flags (documented tolerance-breach semantics, README "Verification
+    model").
+
+    Scale shape: both inputs are audit-slice bounded (EXACT_PAIRS_MAX_
+    DOC_ID); the agreement join is pair-key equi-join on the slice's
+    pair set — this is a cross-check row, not a production path."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    got = (
+        mllib_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    n_exact = truth.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    n_got = got.agg(F.count(F.lit(1)).cast("long").alias("_n_got"))
+    n_common = (
+        got.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_common"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_got))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_exact_pairs",
+            (
+                F.lit(MINHASH_AGREE_RECALL_DEN) * F.col("_n_common")
+                >= F.lit(MINHASH_AGREE_RECALL_NUM) * F.col("n_exact_pairs")
+            )
+            .cast("long")
+            .alias("recall_ge_90pct"),
+            (F.col("_n_got") == F.col("_n_common"))
+            .cast("long")
+            .alias("verified_subset"),
+        )
+    )
+
+
+def _minhash_agreement_sql() -> str:
+    from ..operators.text_dedup import NGRAM_JACCARD_PAIRS_SQL
+
+    return f"""WITH exact_pairs AS ({NGRAM_JACCARD_PAIRS_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ge_90pct,
+       CAST(1 AS BIGINT) AS verified_subset
+FROM exact_pairs
+"""
+
+
+MLLIB_MINHASH_AGREEMENT_SQL = _minhash_agreement_sql()

@@ -293,6 +293,9 @@ SUBSTRATE_CONSUMERS = frozenset(
         # band table moved from per-call .cache() to session registration
         "ngram_jaccard_pairs",
         "simhash_near_dup_pairs",
+        # r11: the MLlib agreement row reads the exact-jaccard audit
+        # slice (ngram_slice session frame) next to the MLlib pairs
+        "mllib_minhash_agreement",
     }
 )
 

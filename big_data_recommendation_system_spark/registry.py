@@ -284,6 +284,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": joins.small_quantity_revenue,
     "events_with_last_signup": asof.events_with_last_signup,
     "mllib_minhash_pairs": ml_similarity.mllib_minhash_pairs,
+    "mllib_minhash_agreement": ml_similarity.mllib_minhash_agreement,
     "nb_quality_model": quality_models.nb_quality_model,
     "nb_classifier_scores": quality_models.nb_classifier_scores,
     "nb_classifier_eval": quality_models.nb_classifier_eval,
@@ -382,6 +383,7 @@ _PRIORITY_ORDER = [
     # oracle compares + pytest gate + strict sweep, and they co-lead
     # the r12 window with the r8 block below):
     "dsir_log_weights",
+    "mllib_minhash_agreement",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -522,7 +524,9 @@ _PRIORITY_ORDER = [
     #   popularity baseline; the SERVING path is hash-anchored by
     #   als_topk_agreement (oracled);
     # mllib_minhash_pairs: approxSimilarityJoin internals — pytest pins
-    #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs;
+    #   recall >= 0.9 vs the hash-verified minhash_lsh_pairs; as of r11
+    #   also hash-anchored by the ORACLED mllib_minhash_agreement
+    #   (exact-side pair count + recall/subset certificates);
     # approx_distinct_daily / approx_percentiles_by_type: sketches
     #   differ across engines — rows carry exact-count / RANK
     #   certificates, additionally pytest-pinned vs exact twins; each
@@ -734,6 +738,7 @@ ORACLES: dict[str, str] = {
     "incremental_dup_spans": packing.INCREMENTAL_DUP_SPANS_SQL,
     "ccnet_perplexity_buckets": quality_models.CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_log_weights": quality_models.DSIR_LOG_WEIGHTS_SQL,
+    "mllib_minhash_agreement": ml_similarity.MLLIB_MINHASH_AGREEMENT_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

@@ -183,7 +183,16 @@ def test_mllib_minhash_recall_vs_exact(spark, sf_dir):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, len(got), len(truth))
     # verification guarantees no false positives above threshold
-    assert all(p in got for p in (got & truth))
+    assert got <= truth, got - truth
+    # the driver-visible agreement row must say exactly what the sets say
+    from big_data_recommendation_system_spark.ml.similarity import (
+        mllib_minhash_agreement,
+    )
+
+    row = mllib_minhash_agreement(spark, sf_dir).collect()[0]
+    assert row.n_exact_pairs == len(truth)
+    assert row.recall_ge_90pct == int(10 * len(got & truth) >= 9 * len(truth))
+    assert row.verified_subset == int(got <= truth) == 1
 
 
 def test_approx_percentiles_certified(spark, sf_dir):
