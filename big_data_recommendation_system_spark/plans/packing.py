@@ -1423,3 +1423,184 @@ ORDER BY doc_id, span_start
 
 
 INCREMENTAL_DUP_SPANS_SQL = _incremental_dup_spans_sql()
+
+
+# --- dup-span threshold calibration ------------------------------------------
+#
+# The measure-then-choose companion the span family lacked (r10 VERDICT
+# next-round #6, mirroring lsh_band_tuning_report / key_skew_report):
+# before a 100 TB scrub commits to an (anchor n-gram size, minimum span
+# length) policy, ONE calibration pass reports what each candidate cell
+# would scrub — spans, affected docs, scrubbed tokens — so
+# DUP_SPAN_NGRAM=6 becomes a measured choice, not a hard-coded one
+# (Lee et al. 2022 use 50-token spans; the right n/L depends on the
+# corpus's duplication texture).
+
+SPAN_CAL_NGRAMS = (4, 6, 8)
+SPAN_CAL_MIN_LENS = (10, 25, 50, 100)
+
+
+def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ngram_n, min_span_len, n_spans, docs_affected, scrubbed_tokens,
+    total_tokens) for every cell of the SPAN_CAL_NGRAMS ×
+    SPAN_CAL_MIN_LENS grid — scrub cost if spans were anchored on
+    ngram_n-grams and only spans of >= min_span_len tokens removed.
+
+    Scale shape: ONE tokenize, then |SPAN_CAL_NGRAMS| gram explodes
+    unioned with an ngram_n tag (linear in corpus tokens × the small
+    grid's n count); shared-gram detection and the island merge run
+    exactly as dup_span_frame but keyed (ngram_n, doc_id) — the window
+    still covers DUP ANCHORS ONLY. The min-length dimension NEVER
+    rescans: merged spans join a broadcast literal threshold list on
+    span_tokens >= min_span_len and aggregate per cell; empty cells are
+    restored by a left join from the literal grid. Output = |grid| rows."""
+    from pyspark.sql import Window
+
+    from ..functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    grams = None
+    for n in SPAN_CAL_NGRAMS:
+        g = docs.select(
+            F.lit(n).cast("long").alias("ngram_n"),
+            "doc_id",
+            F.posexplode(ngrams("tok", n)).alias("pos", "g"),
+        ).select("ngram_n", "doc_id", "pos", F.md5("g").alias("gh"))
+        grams = g if grams is None else grams.unionByName(g)
+    shared = (
+        grams.groupBy("ngram_n", "gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= DUP_SPAN_MIN_DOCS)
+        .select("ngram_n", "gh")
+    )
+    dup = grams.join(shared, ["ngram_n", "gh"]).select(
+        "ngram_n", "doc_id", "pos"
+    )
+    w = Window.partitionBy("ngram_n", "doc_id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(lag.isNull() | (F.col("pos") > lag + F.col("ngram_n")), 1)
+            .otherwise(0),
+        )
+        .withColumn("span_id", F.sum("brk").over(w))
+        .groupBy("ngram_n", "doc_id", "span_id")
+        .agg(
+            (F.max("pos") + F.first("ngram_n") - F.min("pos"))
+            .cast("long")
+            .alias("span_tokens")
+        )
+        .select("ngram_n", "doc_id", "span_tokens")
+    )
+    cells = spark.createDataFrame(
+        [(n, l) for n in SPAN_CAL_NGRAMS for l in SPAN_CAL_MIN_LENS],
+        "ngram_n: bigint, min_span_len: bigint",
+    )
+    agg = (
+        spans.join(
+            F.broadcast(cells),
+            (spans.ngram_n == cells.ngram_n)
+            & (spans.span_tokens >= cells.min_span_len),
+        )
+        .drop(cells.ngram_n)
+        .groupBy("ngram_n", "min_span_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct("doc_id").cast("long").alias("docs_affected"),
+            F.sum("span_tokens").cast("long").alias("scrubbed_tokens"),
+        )
+    )
+    total = docs.agg(
+        F.sum(F.size("tok")).cast("long").alias("total_tokens")
+    )
+    return (
+        cells.join(agg, ["ngram_n", "min_span_len"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram_n",
+            "min_span_len",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("docs_affected", F.lit(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.coalesce("scrubbed_tokens", F.lit(0))
+            .cast("long")
+            .alias("scrubbed_tokens"),
+            "total_tokens",
+        )
+        .orderBy("ngram_n", "min_span_len")
+    )
+
+
+def _span_calibration_sql() -> str:
+    gram_selects = []
+    for n in SPAN_CAL_NGRAMS:
+        gram_selects.append(
+            f"""SELECT CAST({n} AS BIGINT) AS ngram_n, doc_id,
+    unnest(range(0, greatest(len(tok) - {n - 1}, 0))) AS pos,
+    unnest(list_transform(
+      range(1, greatest(len(tok) - {n - 1}, 0) + 1),
+      i -> md5(array_to_string(tok[i:i+{n - 1}], ' ')))) AS gh
+  FROM tokd"""
+        )
+    cell_rows = ", ".join(
+        f"(CAST({n} AS BIGINT), CAST({l} AS BIGINT))"
+        for n in SPAN_CAL_NGRAMS
+        for l in SPAN_CAL_MIN_LENS
+    )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {tokens_sql()} AS tok FROM documents
+),
+grams AS (
+  {" UNION ALL ".join(gram_selects)}
+),
+shared AS (
+  SELECT ngram_n, gh FROM grams GROUP BY ngram_n, gh
+  HAVING COUNT(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+),
+dup AS (
+  SELECT g.ngram_n, doc_id, pos FROM grams g JOIN shared USING (ngram_n, gh)
+),
+isl AS (
+  SELECT ngram_n, doc_id, pos,
+    CASE WHEN LAG(pos) OVER w IS NULL
+              OR pos > LAG(pos) OVER w + ngram_n
+         THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY ngram_n, doc_id ORDER BY pos)
+),
+spans0 AS (
+  SELECT ngram_n, doc_id, pos,
+    SUM(brk) OVER (PARTITION BY ngram_n, doc_id ORDER BY pos) AS span_id
+  FROM isl
+),
+spans AS (
+  SELECT ngram_n, doc_id,
+    CAST(MAX(pos) + ngram_n - MIN(pos) AS BIGINT) AS span_tokens
+  FROM spans0 GROUP BY ngram_n, doc_id, span_id
+),
+cells AS (SELECT * FROM (VALUES {cell_rows}) t(ngram_n, min_span_len)),
+tot AS (SELECT CAST(SUM(len(tok)) AS BIGINT) AS total_tokens FROM tokd),
+agg AS (
+  SELECT s.ngram_n, c.min_span_len,
+    CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS docs_affected,
+    CAST(SUM(s.span_tokens) AS BIGINT) AS scrubbed_tokens
+  FROM spans s JOIN cells c
+    ON s.ngram_n = c.ngram_n AND s.span_tokens >= c.min_span_len
+  GROUP BY s.ngram_n, c.min_span_len
+)
+SELECT c.ngram_n, c.min_span_len,
+  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(a.docs_affected, 0) AS BIGINT) AS docs_affected,
+  CAST(COALESCE(a.scrubbed_tokens, 0) AS BIGINT) AS scrubbed_tokens,
+  total_tokens
+FROM cells c LEFT JOIN agg a USING (ngram_n, min_span_len) CROSS JOIN tot
+ORDER BY ngram_n, min_span_len
+"""
+
+
+DUP_SPAN_CALIBRATION_SQL = _span_calibration_sql()

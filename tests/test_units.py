@@ -1065,6 +1065,50 @@ def test_scrub_dup_spans_consistent_with_plan(spark, sf_dir_small):
         assert r["n_kept_tokens"] + r["n_removed_tokens"] == r["n_tokens"]
 
 
+def test_dup_span_calibration_consistent_with_plan(spark, sf_dir_small):
+    """The calibration grid's ngram_n = DUP_SPAN_NGRAM column must equal
+    what filtering the production removal plan by each min-span-length
+    gives (same anchors, same island merge — only the threshold moves),
+    and each (n fixed) column must be monotone non-increasing in
+    min_span_len."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        DUP_SPAN_NGRAM,
+        SPAN_CAL_MIN_LENS,
+        SPAN_CAL_NGRAMS,
+        dup_span_calibration,
+        dup_span_removal_plan,
+    )
+
+    assert DUP_SPAN_NGRAM in SPAN_CAL_NGRAMS
+    spans = [
+        r["span_tokens"]
+        for r in dup_span_removal_plan(spark, sf_dir_small).collect()
+    ]
+    docs = {}
+    for r in dup_span_removal_plan(spark, sf_dir_small).collect():
+        docs.setdefault(r["doc_id"], []).append(r["span_tokens"])
+    grid = {
+        (r.ngram_n, r.min_span_len): r
+        for r in dup_span_calibration(spark, sf_dir_small).collect()
+    }
+    assert set(grid) == {
+        (n, l) for n in SPAN_CAL_NGRAMS for l in SPAN_CAL_MIN_LENS
+    }
+    for l in SPAN_CAL_MIN_LENS:
+        cell = grid[(DUP_SPAN_NGRAM, l)]
+        want = [s for s in spans if s >= l]
+        assert cell.n_spans == len(want)
+        assert cell.scrubbed_tokens == sum(want)
+        assert cell.docs_affected == sum(
+            1 for ss in docs.values() if any(s >= l for s in ss)
+        )
+    for n in SPAN_CAL_NGRAMS:
+        col = [grid[(n, l)] for l in sorted(SPAN_CAL_MIN_LENS)]
+        for a, b in zip(col, col[1:]):
+            assert a.n_spans >= b.n_spans
+            assert a.scrubbed_tokens >= b.scrubbed_tokens
+
+
 def test_dedup_retention_keeps_longest_per_cluster(spark, sf_dir_small):
     """Exactly one survivor per cluster; the survivor is a member of its
     own cluster and has the maximal n_chars (ties to lowest doc_id);
