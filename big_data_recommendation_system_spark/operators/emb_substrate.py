@@ -67,6 +67,7 @@ EMB_SUBSTRATE_CONSUMERS = frozenset(
         "embedding_near_dup_pairs",
         "embedding_clusters",
         "semdedup_plan",
+        "semdedup_incremental",
         # the SemDeDup-extended assembly funnel consumes the semdedup
         # keep frame (plus the text-side asm:staged substrate)
         "corpus_assembly_semdedup",

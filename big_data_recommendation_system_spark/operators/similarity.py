@@ -620,6 +620,53 @@ ORDER BY l.vec_id
 )
 
 
+def _centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, centroid_cos) over the audit slice: each
+    vector's exact cosine to its ASSIGNED IVF centroid — decimal-folded
+    dot cast double once, divided by one IEEE product of the two norms
+    (bit-identical across engines). Shared by :func:`semdedup_plan` and
+    :func:`semdedup_incremental`; all inputs are persisted substrates,
+    the new work is one pos-keyed join against 8 broadcast centroid
+    rows."""
+    dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    assign = ivf_assign_table(spark, sf_dir).filter(
+        F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
+    )
+    cdims = emb_dims(spark, sf_dir).filter(F.col("vid") < IVF_CENTROIDS)
+    dots = (
+        dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+        .join(
+            F.broadcast(
+                cdims.select(
+                    F.col("vid").alias("centroid_id"),
+                    "pos",
+                    F.col("x").alias("cx"),
+                )
+            ),
+            ["centroid_id", "pos"],
+        )
+        .groupBy("vid", "centroid_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(nrm.withColumnRenamed("nrm", "vnrm"), "vid")
+        .join(
+            F.broadcast(
+                nrm.filter(F.col("vid") < IVF_CENTROIDS).select(
+                    F.col("vid").alias("centroid_id"), F.col("nrm").alias("cnrm")
+                )
+            ),
+            "centroid_id",
+        )
+        .select(
+            F.col("vid").alias("vec_id"),
+            "centroid_id",
+            (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("centroid_cos"),
+        )
+    )
+
+
 def semdedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic-dedup retention plan: the
     corpus is coarse-clustered by k-means (the IVF assignment — SemDeDup
@@ -646,43 +693,7 @@ def semdedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; a degenerate giant component is the documented CC
     caveat, not a window regression)."""
     clusters = emb_clusters_table(spark, sf_dir)
-    dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
-    nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
-    assign = ivf_assign_table(spark, sf_dir).filter(
-        F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
-    )
-    cdims = emb_dims(spark, sf_dir).filter(F.col("vid") < IVF_CENTROIDS)
-    dots = (
-        dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
-        .join(
-            F.broadcast(
-                cdims.select(
-                    F.col("vid").alias("centroid_id"),
-                    "pos",
-                    F.col("x").alias("cx"),
-                )
-            ),
-            ["centroid_id", "pos"],
-        )
-        .groupBy("vid", "centroid_id")
-        .agg(F.sum((F.col("x") * F.col("cx")).cast(_DEC)).cast("double").alias("dot"))
-    )
-    ccos = (
-        dots.join(nrm.withColumnRenamed("nrm", "vnrm"), "vid")
-        .join(
-            F.broadcast(
-                nrm.filter(F.col("vid") < IVF_CENTROIDS).select(
-                    F.col("vid").alias("centroid_id"), F.col("nrm").alias("cnrm")
-                )
-            ),
-            "centroid_id",
-        )
-        .select(
-            F.col("vid").alias("vec_id"),
-            "centroid_id",
-            (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("centroid_cos"),
-        )
-    )
+    ccos = _centroid_cosines(spark, sf_dir)
     w = Window.partitionBy("cluster_id").orderBy(
         F.asc("centroid_cos"), F.asc("vec_id")
     )
@@ -722,6 +733,187 @@ JOIN ccos c ON c.vec_id = l.vec_id
 ORDER BY l.vec_id
 """
 )
+
+
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the semantic-group member of the engine's
+    O(batch) incremental family (document level: incremental_near_dup;
+    vector level: srp_incremental_pairs; substring level:
+    incremental_dup_spans; THIS closes the fourth granularity). Batch
+    vectors (the SRP batch convention, vec_id % SRP_BATCH_MOD ==
+    SRP_BATCH_REM) are assigned to the PERSISTED IVF centroids, cosine-
+    scored against INDEXED same-cell members only (never batch × batch,
+    never cross-cell — the same recall trade the full plan documents),
+    and kept/dropped by the frozen-index centroid-outlier rule: a batch
+    vector is dropped iff some indexed near-match (cosine >= tau) sits
+    closer to the group's outlier position — (centroid_cos, vec_id)
+    strictly below the batch vector's. Dropping is SOUND w.r.t. the
+    full plan: a direct match shares the batch vector's CC group there,
+    so an outranking match means the batch vector cannot be that
+    group's row_number-1 keeper (pinned in pytest on the cross-boundary
+    slice).
+
+    Per batch vector: assigned centroid + exact centroid cosine, match
+    stats (count, best match by cosine desc / id asc — NULL when
+    clean), is_dup, keep.
+
+    Scale shape: the batch side assigns via one pos-keyed join against
+    8 broadcast centroid rows; the scoring join is ASYMMETRIC (batch
+    dims ⋈ indexed dims on (cell, pos)) so per-batch work is O(batch ×
+    cell occupancy); at production the indexed side reads the persisted
+    assignment/dims snapshot. All decimal-exact, fully oracled."""
+    from .srp import SRP_BATCH_MOD, SRP_BATCH_REM
+
+    def is_batch(c):  # noqa: ANN001 — Column predicate
+        return c % SRP_BATCH_MOD == SRP_BATCH_REM
+
+    dims = emb_dims(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    nrm = emb_norms(spark, sf_dir).filter(F.col("vid") < NEAR_DUP_MAX_VEC_ID)
+    assign = ivf_assign_table(spark, sf_dir).filter(
+        F.col("vec_id") < NEAR_DUP_MAX_VEC_ID
+    )
+    vd = dims.join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    b = vd.filter(is_batch(F.col("vid"))).select(
+        F.col("vid").alias("vec_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("bx"),
+    )
+    ix = vd.filter(~is_batch(F.col("vid"))).select(
+        F.col("vid").alias("match_id"),
+        F.col("centroid_id").alias("cell"),
+        "pos",
+        F.col("x").alias("mx"),
+    )
+    pdots = (
+        b.join(ix, ["cell", "pos"])
+        .groupBy("vec_id", "match_id")
+        .agg(
+            F.sum((F.col("bx") * F.col("mx")).cast(_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    matches = (
+        pdots.join(
+            nrm.select(F.col("vid").alias("vec_id"), F.col("nrm").alias("bn")),
+            "vec_id",
+        )
+        .join(
+            nrm.select(
+                F.col("vid").alias("match_id"), F.col("nrm").alias("mn")
+            ),
+            "match_id",
+        )
+        .withColumn("cosine", F.col("dot") / (F.col("bn") * F.col("mn")))
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .select("vec_id", "match_id", "cosine")
+    )
+    ccos = _centroid_cosines(spark, sf_dir)
+    enriched = matches.join(
+        ccos.select("vec_id", F.col("centroid_cos").alias("b_cos")), "vec_id"
+    ).join(
+        F.broadcast(
+            ccos.select(
+                F.col("vec_id").alias("match_id"),
+                F.col("centroid_cos").alias("m_cos"),
+            )
+        ),
+        "match_id",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    outranks = (F.col("m_cos") < F.col("b_cos")) | (
+        (F.col("m_cos") == F.col("b_cos"))
+        & (F.col("match_id") < F.col("vec_id"))
+    )
+    agg = (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max(F.when(F.col("_rn") == 1, F.col("match_id")))
+            .cast("long")
+            .alias("best_match_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("cosine"))).alias(
+                "best_match_cos"
+            ),
+            F.max(outranks.cast("int")).cast("long").alias("_outranked"),
+        )
+    )
+    batch_cc = ccos.filter(is_batch(F.col("vec_id")))
+    return (
+        batch_cc.join(F.broadcast(agg), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_cos",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_match_id",
+            "best_match_cos",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+            (F.coalesce("_outranked", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_incremental_sql() -> str:
+    from .srp import SRP_BATCH_MOD, SRP_BATCH_REM
+
+    mod, rem = SRP_BATCH_MOD, SRP_BATCH_REM
+    return (
+        _EMBEDDING_NEAR_DUP_CTE
+        + f"""
+, ccos AS (
+  SELECT a.vec_id, a.centroid_id,
+         cd.dot / (vn.nrm * cn.nrm) AS centroid_cos
+  FROM assign a
+  JOIN cdots cd ON cd.vec_id = a.vec_id AND cd.centroid_id = a.centroid_id
+  JOIN norms vn ON vn.vec_id = a.vec_id
+  JOIN norms cn ON cn.vec_id = a.centroid_id
+),
+inc AS (
+  SELECT
+    CASE WHEN vec_a % {mod} = {rem} THEN vec_a ELSE vec_b END AS vec_id,
+    CASE WHEN vec_a % {mod} = {rem} THEN vec_b ELSE vec_a END AS match_id,
+    cosine
+  FROM pairs
+  WHERE (vec_a % {mod} = {rem}) != (vec_b % {mod} = {rem})
+),
+enriched AS (
+  SELECT i.vec_id, i.match_id, i.cosine,
+         bc.centroid_cos AS b_cos, mc.centroid_cos AS m_cos
+  FROM inc i
+  JOIN ccos bc ON bc.vec_id = i.vec_id
+  JOIN ccos mc ON mc.vec_id = i.match_id
+),
+agg AS (
+  SELECT vec_id,
+    CAST(COUNT(*) AS BIGINT) AS n_matches,
+    CAST(FIRST(match_id ORDER BY cosine DESC, match_id ASC) AS BIGINT)
+      AS best_match_id,
+    FIRST(cosine ORDER BY cosine DESC, match_id ASC) AS best_match_cos,
+    CAST(MAX(CASE WHEN m_cos < b_cos
+                    OR (m_cos = b_cos AND match_id < vec_id)
+             THEN 1 ELSE 0 END) AS BIGINT) AS outranked
+  FROM enriched GROUP BY vec_id
+)
+SELECT c.vec_id, c.centroid_id, c.centroid_cos,
+  COALESCE(a.n_matches, 0) AS n_matches,
+  a.best_match_id,
+  a.best_match_cos,
+  COALESCE(a.n_matches, 0) > 0 AS is_dup,
+  COALESCE(a.outranked, 0) = 0 AS keep
+FROM ccos c LEFT JOIN agg a ON a.vec_id = c.vec_id
+WHERE c.vec_id % {mod} = {rem}
+ORDER BY c.vec_id
+"""
+    )
+
+
+SEMDEDUP_INCREMENTAL_SQL = _semdedup_incremental_sql()
 
 
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:

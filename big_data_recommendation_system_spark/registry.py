@@ -302,6 +302,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "scrub_dup_spans": packing.scrub_dup_spans,
     "incremental_dup_spans": packing.incremental_dup_spans,
     "dup_span_calibration": packing.dup_span_calibration,
+    "semdedup_incremental": similarity.semdedup_incremental,
     "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
     "dsir_log_weights": quality_models.dsir_log_weights,
     "winnowing_fingerprints": text_analysis.winnowing_fingerprints,
@@ -386,6 +387,7 @@ _PRIORITY_ORDER = [
     "dsir_log_weights",
     "mllib_minhash_agreement",
     "dup_span_calibration",
+    "semdedup_incremental",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -742,6 +744,7 @@ ORACLES: dict[str, str] = {
     "dsir_log_weights": quality_models.DSIR_LOG_WEIGHTS_SQL,
     "mllib_minhash_agreement": ml_similarity.MLLIB_MINHASH_AGREEMENT_SQL,
     "dup_span_calibration": packing.DUP_SPAN_CALIBRATION_SQL,
+    "semdedup_incremental": similarity.SEMDEDUP_INCREMENTAL_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

@@ -694,6 +694,54 @@ def test_incremental_near_dup_matches_symmetric_pipeline(spark, sf_dir_small):
     assert set(inc) >= set(sym)  # no cross pair lost
 
 
+def test_semdedup_incremental_sound_and_consistent(spark, sf_dir_small):
+    """Cross-boundary equivalence pins for the incremental SemDeDup:
+    (a) its matches are exactly the cross-boundary subset of the full
+    pair substrate (same cells, same tau, re-oriented to the batch
+    side); (b) DROP SOUNDNESS vs the full plan — an incremental drop
+    means a direct match outranks the batch vector in (centroid_cos,
+    vec_id), which puts that match in the same CC group of
+    semdedup_plan, so the full plan cannot keep the batch vector
+    either; (c) a batch vector with no matches AT ALL in the substrate
+    (not even batch×batch) is a singleton group and kept by BOTH."""
+    from big_data_recommendation_system_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semdedup_incremental,
+        semdedup_plan,
+    )
+    from big_data_recommendation_system_spark.operators.srp import (
+        SRP_BATCH_MOD,
+        SRP_BATCH_REM,
+    )
+
+    def is_batch(i):
+        return i % SRP_BATCH_MOD == SRP_BATCH_REM
+
+    cross, touched = {}, set()
+    for r in embedding_near_dup_pairs(spark, sf_dir_small).collect():
+        touched.update((r.vec_a, r.vec_b))
+        if is_batch(r.vec_a) != is_batch(r.vec_b):
+            v, m = (r.vec_a, r.vec_b) if is_batch(r.vec_a) else (r.vec_b, r.vec_a)
+            cross.setdefault(v, []).append((m, r.cosine))
+
+    inc = {r.vec_id: r for r in semdedup_incremental(spark, sf_dir_small).collect()}
+    full = {r.vec_id: r for r in semdedup_plan(spark, sf_dir_small).collect()}
+    assert all(is_batch(v) for v in inc) and inc
+    assert any(r.is_dup for r in inc.values()), "slice should exercise matches"
+    for v, row in inc.items():
+        want = sorted(cross.get(v, []), key=lambda m: (-m[1], m[0]))
+        assert row.n_matches == len(want)
+        assert row.is_dup == bool(want)
+        if want:
+            assert (row.best_match_id, row.best_match_cos) == want[0]
+        else:
+            assert row.best_match_id is None and row.best_match_cos is None
+        if not row.keep:  # (b) drop soundness
+            assert not full[v].is_kept, v
+        if v not in touched:  # (c) fully-clean vectors kept by both
+            assert row.keep and full[v].is_kept and full[v].cluster_size == 1
+
+
 def test_registry_window_integrity():
     """The driver hash-checks only the first 50 registry entries; guard
     the properties that make that window worth its slots: no duplicates,
