@@ -22,12 +22,29 @@ _ONLY = {
     n for n in os.environ.get("SPARK_GRAFT_ORACLE_ONLY", "").split(",") if n
 }
 
+# Process-level sharding for the serialized oracle gate (pytest-xdist is
+# not available in this environment): SPARK_GRAFT_ORACLE_SHARD="i/N"
+# keeps only every N-th parametrization (by sorted position, offset i),
+# so N shells running `SPARK_GRAFT_ORACLE_SHARD=$i/N pytest -m oracle`
+# cover the gate with disjoint, deterministic slices. The driver/CI path
+# (no env var) is unchanged — everything runs in one process.
+_SHARD = os.environ.get("SPARK_GRAFT_ORACLE_SHARD", "")
+
+
+def _in_shard(name: str) -> bool:
+    if not _SHARD:
+        return True
+    idx, n = (int(x) for x in _SHARD.split("/"))
+    return sorted(ORACLES).index(name) % n == idx
+
 
 @pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     if _ONLY and name not in _ONLY:
         pytest.skip(f"SPARK_GRAFT_ORACLE_ONLY set; {name} not in it")
+    if not _in_shard(name):
+        pytest.skip(f"SPARK_GRAFT_ORACLE_SHARD={_SHARD}; not this shard")
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
 
 
