@@ -1446,9 +1446,13 @@ def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPAN_CAL_MIN_LENS grid — scrub cost if spans were anchored on
     ngram_n-grams and only spans of >= min_span_len tokens removed.
 
-    Scale shape: ONE tokenize, then |SPAN_CAL_NGRAMS| gram explodes
-    unioned with an ngram_n tag (linear in corpus tokens × the small
-    grid's n count); shared-gram detection and the island merge run
+    Scale shape: the per-n gram streams are (n, pos, gram) struct
+    arrays over ONE tokenization, concatenated and exploded in a single
+    generator (a per-n union would re-scan documents once per n per
+    side). The whole plan reads the corpus 3×: the gram frame's two
+    consumers (shared-gram detection + the join-back — the
+    dup_span_frame trade: re-scanning beats materializing the exploded
+    gram frame) and the total-token agg. Everything downstream runs
     exactly as dup_span_frame but keyed (ngram_n, doc_id) — the window
     still covers DUP ANCHORS ONLY. The min-length dimension NEVER
     rescans: merged spans join a broadcast literal threshold list on
@@ -1461,14 +1465,31 @@ def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("tok")
     )
-    grams = None
-    for n in SPAN_CAL_NGRAMS:
-        g = docs.select(
-            F.lit(n).cast("long").alias("ngram_n"),
-            "doc_id",
-            F.posexplode(ngrams("tok", n)).alias("pos", "g"),
-        ).select("ngram_n", "doc_id", "pos", F.md5("g").alias("gh"))
-        grams = g if grams is None else grams.unionByName(g)
+    # ONE corpus scan: per-n (n, pos, gram) struct arrays built from the
+    # same tokenization, concatenated and exploded ONCE (a per-n union
+    # would re-scan + re-tokenize documents |grid_n| times — 3 corpus
+    # passes for nothing at 100 TB)
+    def _tagger(n: int):
+        def tag(g, i):  # noqa: ANN001 — Column lambda (2-arg transform)
+            return F.struct(
+                F.lit(n).cast("long").alias("n"),
+                i.cast("long").alias("pos"),
+                g.alias("g"),
+            )
+
+        return tag
+
+    tagged = [
+        F.transform(ngrams("tok", n), _tagger(n)) for n in SPAN_CAL_NGRAMS
+    ]
+    grams = docs.select(
+        "doc_id", F.explode(F.concat(*tagged)).alias("s")
+    ).select(
+        F.col("s.n").alias("ngram_n"),
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.md5(F.col("s.g")).alias("gh"),
+    )
     shared = (
         grams.groupBy("ngram_n", "gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
