@@ -762,6 +762,25 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims ⋈ indexed dims on (cell, pos)) so per-batch work is O(batch ×
     cell occupancy); at production the indexed side reads the persisted
     assignment/dims snapshot. All decimal-exact, fully oracled."""
+    return _semdedup_incremental_impl(spark, sf_dir, None)
+
+
+def semdedup_incremental_for(
+    spark: SparkSession, sf_dir: str, incoming: DataFrame
+) -> DataFrame:
+    """Frame-level incremental SemDeDup over an EXPLICIT incoming-id
+    frame (vec_id column) — the streaming micro-batch entry point: the
+    same asymmetric joins as :func:`semdedup_incremental`, restricted to
+    the given vectors. Decisions are per-vector independent (each batch
+    vector only ever compares against the FROZEN index), so the union
+    over micro-batches equals the batch operator exactly — pinned by the
+    streaming e2e twin."""
+    return _semdedup_incremental_impl(spark, sf_dir, incoming)
+
+
+def _semdedup_incremental_impl(
+    spark: SparkSession, sf_dir: str, incoming: DataFrame | None
+) -> DataFrame:
     from .srp import SRP_BATCH_MOD, SRP_BATCH_REM
 
     def is_batch(c):  # noqa: ANN001 — Column predicate
@@ -779,6 +798,8 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.col("x").alias("bx"),
     )
+    if incoming is not None:
+        b = b.join(F.broadcast(incoming.select("vec_id")), "vec_id")
     ix = vd.filter(~is_batch(F.col("vid"))).select(
         F.col("vid").alias("match_id"),
         F.col("centroid_id").alias("cell"),
@@ -843,6 +864,8 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     batch_cc = ccos.filter(is_batch(F.col("vec_id")))
+    if incoming is not None:
+        batch_cc = batch_cc.join(F.broadcast(incoming.select("vec_id")), "vec_id")
     return (
         batch_cc.join(F.broadcast(agg), "vec_id", "left")
         .select(

@@ -1188,3 +1188,78 @@ def test_incremental_dup_spans_streaming_batches(spark, stream_env, sf_dir_small
     assert set(found) == want and want
     grams.unpersist()
     index_set.unpersist()
+
+
+def test_incremental_semdedup_streaming_batches(spark, stream_env, sf_dir_small):
+    """Continuous-ingestion form of semdedup_incremental — the FOURTH
+    incremental granularity's streaming twin (document/vector/substring
+    have one each above): incoming vectors arrive across micro-batches;
+    each batch assigns to the frozen IVF centroids and scores against
+    the STATIC indexed members only via semdedup_incremental_for. Keep
+    decisions are per-vector independent, so the union over
+    micro-batches must reproduce the batch operator row-for-row."""
+    import json
+
+    from big_data_recommendation_system_spark.operators.similarity import (
+        semdedup_incremental,
+        semdedup_incremental_for,
+    )
+    from big_data_recommendation_system_spark.operators.srp import (
+        SRP_BATCH_MOD,
+        SRP_BATCH_REM,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    incoming_ids = sorted(
+        r.vec_id
+        for r in load_table(spark, sf_dir_small, "embeddings")
+        .filter(F.col("vec_id") % SRP_BATCH_MOD == SRP_BATCH_REM)
+        .select("vec_id")
+        .collect()
+    )
+    half = len(incoming_ids) // 2
+    src = os.path.join(stream_env["tmp"], "inc_semdedup_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, ids in [
+        ("b0.json", incoming_ids[:half]),
+        ("b1.json", incoming_ids[half:]),
+    ]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"vec_id": i}) + "\n")
+
+    found = []
+
+    def handle(batch_df, _bid):
+        found.extend(
+            semdedup_incremental_for(spark, sf_dir_small, batch_df).collect()
+        )
+
+    q = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(rows):
+        return {
+            r.vec_id: (
+                r.centroid_id,
+                r.centroid_cos,
+                r.n_matches,
+                r.best_match_id,
+                r.best_match_cos,
+                r.is_dup,
+                r.keep,
+            )
+            for r in rows
+        }
+
+    got = key(found)
+    want = key(semdedup_incremental(spark, sf_dir_small).collect())
+    assert got == want
+    assert any(v[5] for v in want.values()), "slice should exercise matches"
