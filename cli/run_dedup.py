@@ -9,8 +9,9 @@ recomputing the shingle→minhash→band→verify pipeline per report.
 
 ``build`` writes OUT/dup_pairs, OUT/dup_clusters, OUT/retention_plan and
 OUT/dup_spans — the substring-granularity removal plan — plus, with
-``--scrub``, OUT/scrubbed_docs (the plan APPLIED) and run metadata in
-OUT/_pipeline_runs. ``report`` READS those tables back (never recomputes
+``--scrub``, OUT/scrubbed_docs (the plan APPLIED), with
+``--calibration``, OUT/span_calibration (the (ngram n, min span len)
+policy grid), and run metadata in OUT/_pipeline_runs. ``report`` READS those tables back (never recomputes
 them) and writes OUT/reports/{dedup_rate_by_source,dedup_token_savings,
 cluster_size_histogram,dup_span_savings}; the report logic is the same
 frame-level builders the registered queries use
@@ -97,6 +98,19 @@ def run_build(args: argparse.Namespace) -> None:
             "overwrite"
         ).parquet(os.path.join(args.out_dir, "lsh_band_tuning"))
         print(f"band tuning report -> {args.out_dir}/lsh_band_tuning")
+    if getattr(args, "calibration", False):
+        # Span-policy calibration artifact: what each (anchor n-gram
+        # size, min span length) cell would scrub — read this before
+        # committing DUP_SPAN_NGRAM / a min-length policy for the next
+        # snapshot (one extra multi-n gram pass over the corpus).
+        from big_data_recommendation_system_spark.plans.packing import (
+            dup_span_calibration,
+        )
+
+        dup_span_calibration(spark, args.sf_dir).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out_dir, "span_calibration"))
+        print(f"span calibration grid -> {args.out_dir}/span_calibration")
     info = {
         "stage": "dedup_build",
         "sf_dir": os.path.abspath(args.sf_dir),
@@ -183,6 +197,11 @@ def main() -> None:
         "--scrub",
         action="store_true",
         help="also apply the dup-span plan and write scrubbed_docs",
+    )
+    b.add_argument(
+        "--calibration",
+        action="store_true",
+        help="also write the (ngram n, min span len) span-policy grid",
     )
     b.set_defaults(fn=run_build)
     r = sub.add_parser("report")

@@ -1494,7 +1494,11 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
 
     out = str(tmp_path / "dedup_out")
     ns = argparse.Namespace(
-        sf_dir=sf_dir_small, out_dir=out, tuning_report=True, scrub=True
+        sf_dir=sf_dir_small,
+        out_dir=out,
+        tuning_report=True,
+        scrub=True,
+        calibration=True,
     )
     run_dedup.run_build(ns)
     run_dedup.run_report(ns)
@@ -1583,6 +1587,28 @@ def test_run_dedup_cli_end_to_end(spark, sf_dir_small, tmp_path):
         for r in packing.scrub_dup_spans(spark, sf_dir_small).collect()
     }
     assert scrub_written == scrub_inline
+
+    cal_written = {
+        (r.ngram_n, r.min_span_len): (
+            r.n_spans,
+            r.docs_affected,
+            r.scrubbed_tokens,
+            r.total_tokens,
+        )
+        for r in spark.read.parquet(
+            os.path.join(out, "span_calibration")
+        ).collect()
+    }
+    cal_inline = {
+        (r.ngram_n, r.min_span_len): (
+            r.n_spans,
+            r.docs_affected,
+            r.scrubbed_tokens,
+            r.total_tokens,
+        )
+        for r in packing.dup_span_calibration(spark, sf_dir_small).collect()
+    }
+    assert cal_written == cal_inline and cal_written
 
     runs = spark.read.parquet(os.path.join(out, "_pipeline_runs"))
     stages = {r.stage for r in runs.collect()}
