@@ -108,6 +108,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "nb_calibration_sweep",
     "ccnet_perplexity_buckets",
     "dsir_log_weights",
+    "doremi_domain_weights",
 }
 
 
@@ -1233,4 +1234,192 @@ lranked AS (
 SELECT doc_id, source, seed_hi, n_features, log_weight_fp, dsir_log_rank,
        dsir_log_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
 FROM lranked ORDER BY dsir_log_rank
+"""
+
+
+# --- 4. DoReMi-style domain reweighting ---------------------------------------
+#
+# DoReMi (Xie et al. 2023, "Doremi: Optimizing Data Mixtures Speeds Up
+# Language Model Pretraining") computes domain mixture weights by
+# upweighting domains with high EXCESS LOSS under a proxy model via
+# multiplicative weights: alpha_i ∝ baseline_share_i · exp(eta ·
+# excess_i). The engine's deterministic instantiation ("DoReMi-lite"):
+# the proxy is the already-trained stupid-backoff LM; a domain's loss
+# proxy is its mean bigram probability shortfall vs the corpus mean
+# (harder domain ⇒ lower mean probability ⇒ positive excess ⇒
+# upweighted — the paper's direction); one multiplicative-weights round
+# from the baseline token shares, eta = 1 on the probability scale.
+# exp() is engine-unstable, so — the ln-table trick in reverse
+# (dsir_log_weights §3b) — exp comes from a PYTHON-LITERAL 256-level
+# linear table over the clamped excess range: integer boundaries,
+# midpoint exp as a fixed-point literal, broadcast range-join. Both
+# engines do only integer compares/multiplies/sums + ONE final
+# division of two exact BIGINTs per domain.
+
+DOREMI_EXP_FP_SCALE = 1_000_000  # exp fixed point: round(exp(x) * 1e6)
+_DOREMI_EXP_LEVELS_PER_OCTAVE = 16
+# excess is measured in LM rate units (floor(mean_prob * LM_FP_SCALE));
+# the full possible range is [-LM_FP_SCALE, LM_FP_SCALE] = exp arg in
+# [-1, 1] at eta = 1
+_DOREMI_CLAMP = int(LM_FP_SCALE)
+
+
+def _exp_level_table() -> list[tuple[int, int, int]]:
+    """[(lo, hi, exp_fp)] SYMMETRIC GEOMETRIC levels covering clamped
+    excess_fp in [-CLAMP, CLAMP): boundary magnitudes ceil(1e6 ·
+    2^(j/16)) mirrored around a [-1e6, 1e6) center level, exp_fp =
+    fixed-point exp(level midpoint / CLAMP). Geometric spacing makes
+    the exp-argument quantization PROPORTIONAL to |excess| (≈ ±2.2% of
+    the argument; ±1e-6 absolute at the center), so close-to-corpus-mean
+    domains still get distinct weights — a uniform grid wasted its
+    resolution on the rarely-hit extremes. ~640 rows of Python
+    literals, identical in both engines."""
+    import math
+
+    mags = [_DOREMI_CLAMP // 1_000_000]  # center half-width: 1e-6 of the arg range
+    while mags[-1] < _DOREMI_CLAMP:
+        nxt = math.ceil(mags[-1] * 2 ** (1 / _DOREMI_EXP_LEVELS_PER_OCTAVE))
+        mags.append(min(_DOREMI_CLAMP, nxt))
+    bounds = [-m for m in reversed(mags)] + mags
+    out = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        mid = (lo + hi) / 2 / _DOREMI_CLAMP
+        out.append((lo, hi, round(math.exp(mid) * DOREMI_EXP_FP_SCALE)))
+    return out
+
+
+_EXP_LEVELS = _exp_level_table()
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DoReMi-lite mixture weights: (source, n_docs,
+    n_tokens, domain_rate_fp, excess_fp, exp_w_fp, doremi_weight) —
+    domain_rate_fp = integer-division mean bigram probability (LM fixed
+    point) over ALL the domain's bigrams, excess_fp = corpus rate −
+    domain rate, exp_w_fp = the literal-table exp of the clamped
+    excess, doremi_weight = n_tokens·exp_w_fp normalized over domains
+    (the multiplicative-weights posterior a mixture_plan consumes
+    instead of hand-set target shares).
+
+    Documents too short to score (no bigrams) contribute 0 to the
+    domain's sums but their tokens still count in the baseline share —
+    a domain of unscorable docs gets rate 0 (hardest), matching the
+    fail-closed convention of model_gate_report.
+
+    Scale shape: one LM serving pass (keyed hash join against the
+    vocabulary-bounded model substrates), one |sources|-grain rollup,
+    then literal-table lookups on |sources| rows. Nothing beyond the
+    serving join touches corpus-scale data."""
+    levels = spark.createDataFrame(
+        _EXP_LEVELS, "lo: bigint, hi: bigint, exp_fp: bigint"
+    )
+    lab = labeled_docs_table(spark, sf_dir)
+    lm = lm_score_docs(
+        lab, lm_bigram_table(spark, sf_dir), lm_unigram_table(spark, sf_dir)
+    ).select("doc_id", "n_bigrams", "lm_score_fp")
+    src = lab.select("doc_id", "source", "n_tokens").join(lm, "doc_id", "left")
+    dom = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("n_bigrams", F.lit(0))).cast("long").alias("_sum_big"),
+        F.sum(F.coalesce("lm_score_fp", F.lit(0)))
+        .cast("long")
+        .alias("_sum_fp"),
+    )
+    corp = dom.agg(
+        F.expr("CAST(sum(_sum_fp) div sum(_sum_big) AS BIGINT)").alias(
+            "_corpus_rate_fp"
+        )
+    )
+    rate = F.when(
+        F.col("_sum_big") > 0, F.expr("_sum_fp div _sum_big")
+    ).otherwise(F.lit(0))
+    ex = (
+        dom.crossJoin(F.broadcast(corp))
+        .withColumn("domain_rate_fp", rate.cast("long"))
+        .withColumn(
+            "excess_fp",
+            (F.col("_corpus_rate_fp") - F.col("domain_rate_fp")).cast("long"),
+        )
+    )
+    clamped = F.greatest(
+        F.least(F.col("excess_fp"), F.lit(_DOREMI_CLAMP - 1)),
+        F.lit(-_DOREMI_CLAMP),
+    )
+    wtd = (
+        ex.withColumn("_cl", clamped)
+        .join(
+            F.broadcast(levels),
+            (F.col("_cl") >= F.col("lo")) & (F.col("_cl") < F.col("hi")),
+        )
+        .withColumn("exp_w_fp", F.col("exp_fp").cast("long"))
+        .withColumn("_w", (F.col("n_tokens") * F.col("exp_w_fp")).cast("long"))
+    )
+    tot = wtd.agg(F.sum("_w").cast("long").alias("_tot_w"))
+    return (
+        wtd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "domain_rate_fp",
+            "excess_fp",
+            "exp_w_fp",
+            (F.col("_w").cast("double") / F.col("_tot_w").cast("double")).alias(
+                "doremi_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _exp_level_values_sql() -> str:
+    rows = ", ".join(f"({lo},{hi},{ef})" for lo, hi, ef in _EXP_LEVELS)
+    return (
+        "SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, "
+        f"CAST(exp_fp AS BIGINT) AS exp_fp FROM (VALUES {rows}) t(lo, hi, exp_fp)"
+    )
+
+
+DOREMI_DOMAIN_WEIGHTS_SQL = f"""{_LAB_CTE}{_LM_CTE},
+dsrc AS (
+  SELECT l.source, l.n_tokens,
+         COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         COALESCE(a.lm_score_fp, 0) AS lm_score_fp
+  FROM lab l LEFT JOIN lm_agg a ON a.doc_id = l.doc_id
+),
+dom AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(SUM(n_bigrams) AS BIGINT) AS sum_big,
+    CAST(SUM(lm_score_fp) AS BIGINT) AS sum_fp
+  FROM dsrc GROUP BY source
+),
+corp AS (
+  SELECT CAST(CAST(SUM(sum_fp) AS BIGINT) // CAST(SUM(sum_big) AS BIGINT)
+              AS BIGINT) AS corpus_rate_fp
+  FROM dom
+),
+ex AS (
+  SELECT d.*, corpus_rate_fp,
+    CAST(CASE WHEN sum_big > 0 THEN sum_fp // sum_big ELSE 0 END AS BIGINT)
+      AS domain_rate_fp
+  FROM dom d CROSS JOIN corp
+),
+lvl AS ({_exp_level_values_sql()}),
+wtd AS (
+  SELECT e.source, e.n_docs, e.n_tokens, e.domain_rate_fp,
+    CAST(e.corpus_rate_fp - e.domain_rate_fp AS BIGINT) AS excess_fp,
+    l.exp_fp AS exp_w_fp,
+    CAST(e.n_tokens * l.exp_fp AS BIGINT) AS w
+  FROM ex e JOIN lvl l
+    ON GREATEST(LEAST(e.corpus_rate_fp - e.domain_rate_fp,
+                      {_DOREMI_CLAMP - 1}), {-_DOREMI_CLAMP}) >= l.lo
+   AND GREATEST(LEAST(e.corpus_rate_fp - e.domain_rate_fp,
+                      {_DOREMI_CLAMP - 1}), {-_DOREMI_CLAMP}) < l.hi
+),
+dtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM wtd)
+SELECT source, n_docs, n_tokens, domain_rate_fp, excess_fp, exp_w_fp,
+  CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) AS doremi_weight
+FROM wtd CROSS JOIN dtot ORDER BY source
 """

@@ -305,6 +305,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "semdedup_incremental": similarity.semdedup_incremental,
     "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
     "dsir_log_weights": quality_models.dsir_log_weights,
+    "doremi_domain_weights": quality_models.doremi_domain_weights,
     "winnowing_fingerprints": text_analysis.winnowing_fingerprints,
 }
 
@@ -388,6 +389,7 @@ _PRIORITY_ORDER = [
     "mllib_minhash_agreement",
     "dup_span_calibration",
     "semdedup_incremental",
+    "doremi_domain_weights",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -745,6 +747,7 @@ ORACLES: dict[str, str] = {
     "mllib_minhash_agreement": ml_similarity.MLLIB_MINHASH_AGREEMENT_SQL,
     "dup_span_calibration": packing.DUP_SPAN_CALIBRATION_SQL,
     "semdedup_incremental": similarity.SEMDEDUP_INCREMENTAL_SQL,
+    "doremi_domain_weights": quality_models.DOREMI_DOMAIN_WEIGHTS_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

@@ -434,3 +434,39 @@ def test_ccnet_buckets_are_ordered_terciles(spark, sf_dir_small):
             assert min(means["head"]) >= max(means["middle"]) - 1e-15
         if means["middle"] and means["tail"]:
             assert min(means["middle"]) >= max(means["tail"]) - 1e-15
+
+
+def test_doremi_weights_semantics(spark, sf_dir_small):
+    """Pins the DoReMi-lite contract: weights form a distribution;
+    exp_w is monotone in excess (harder domain ⇒ weight up, eta > 0);
+    the weight recomputes from (n_tokens, exp_w_fp); and the domain
+    rates recompute from a per-doc LM-score rollup."""
+    import pandas as pd
+
+    ds = qm.doremi_domain_weights(spark, sf_dir_small).toPandas()
+    assert len(ds) > 1
+    assert abs(ds.doremi_weight.sum() - 1.0) < 1e-9
+    assert (ds.doremi_weight > 0).all()
+    srt = ds.sort_values("excess_fp")
+    assert srt.exp_w_fp.is_monotonic_increasing
+    w = ds.n_tokens * ds.exp_w_fp
+    pd.testing.assert_series_equal(
+        ds.doremi_weight, w / w.sum(), check_names=False
+    )
+    # rates from a per-doc recompute
+    lab = qm.labeled_docs_table(spark, sf_dir_small).toPandas()
+    lm = qm.lm_score_docs(
+        qm.labeled_docs_table(spark, sf_dir_small),
+        qm.lm_bigram_table(spark, sf_dir_small),
+        qm.lm_unigram_table(spark, sf_dir_small),
+    ).toPandas()
+    j = lab[["doc_id", "source", "n_tokens"]].merge(lm, on="doc_id", how="left")
+    g = j.groupby("source").agg(
+        sum_fp=("lm_score_fp", lambda s: int(s.fillna(0).sum())),
+        sum_big=("n_bigrams", lambda s: int(s.fillna(0).sum())),
+        n_tok=("n_tokens", "sum"),
+    )
+    for r in ds.itertuples():
+        grow = g.loc[r.source]
+        assert r.domain_rate_fp == grow.sum_fp // grow.sum_big
+        assert r.n_tokens == grow.n_tok
