@@ -1070,6 +1070,7 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     bi = qm.lm_bigram_table(spark, sf_dir_small)
     uni = qm.lm_unigram_table(spark, sf_dir_small)
     ratios = qm.dsir_ratio_table(spark, sf_dir_small)
+    log_ratios = qm.dsir_log_ratio_table(spark, sf_dir_small)
 
     src = os.path.join(stream_env["tmp"], "qm_serving_src")
     load_table(spark, sf_dir_small, "documents").select(
@@ -1080,6 +1081,7 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     nb_rows: list[tuple] = []
     lm_rows: list[tuple] = []
     dw_rows: list[tuple] = []
+    lw_rows: list[tuple] = []
     batch_ids: list[int] = []
 
     def handle(batch_df, _bid):
@@ -1088,6 +1090,9 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
         nb_rows.extend(map(tuple, qm.nb_score_docs(tok, nb).collect()))
         lm_rows.extend(map(tuple, qm.lm_score_docs(tok, bi, uni).collect()))
         dw_rows.extend(map(tuple, qm.dsir_weight_docs(tok, ratios).collect()))
+        lw_rows.extend(
+            map(tuple, qm.dsir_log_weight_docs(tok, log_ratios).collect())
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -1108,6 +1113,9 @@ def test_streaming_model_serving_matches_batch(spark, stream_env, sf_dir_small):
     )
     assert sorted(dw_rows) == sorted(
         map(tuple, qm.dsir_weight_docs(lab, ratios).collect())
+    )
+    assert sorted(lw_rows) == sorted(
+        map(tuple, qm.dsir_log_weight_docs(lab, log_ratios).collect())
     )
     # the stream really was incremental, not one big batch
     assert len(batch_ids) > 1
