@@ -245,3 +245,36 @@ def test_r10_ops_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.catalog.clearCache()
+
+
+def test_r11_ops_partitioning_invariant(spark, sf_dir):
+    """Same property as the r10 twin above, for the round-11 operators:
+    the fixed-point log/exp level lookups, the global ranker behind the
+    log-weight ranking, the multi-n island merge, the asymmetric
+    in-cell SemDeDup join and the agreement aggregates must all return
+    identical rows under a deliberately awkward shuffle-partition count
+    (7) vs the default, with substrates rebuilt at the perturbed
+    parallelism."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    names = [
+        "dsir_log_weights",
+        "doremi_domain_weights",
+        "dup_span_calibration",
+        "semdedup_incremental",
+        "mllib_minhash_agreement",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = {}
+        for n in names:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            baseline[n] = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+        spark.catalog.clearCache()  # drop substrates so they rebuild at 7
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
