@@ -1625,3 +1625,166 @@ ORDER BY ngram_n, min_span_len
 
 
 DUP_SPAN_CALIBRATION_SQL = _span_calibration_sql()
+
+
+# --- UniMax budget allocation -------------------------------------------------
+#
+# UniMax (Chung et al. 2023, "UniMax: Fairer and More Effective Language
+# Sampling for Large-Scale Multilingual Pretraining"): given a total
+# token budget, allocate it as UNIFORMLY as possible across sources,
+# except no source may repeat more than N epochs — small sources get
+# capped at N·their size and the leftover budget waterfills uniformly
+# over the rest. The third published member of the mixture family
+# (mixture_plan: hand-set target shares; doremi_domain_weights:
+# excess-loss multiplicative weights; this: epoch-capped uniform).
+#
+# Exact-integer waterfilling, closed-form via one sort: with caps
+# sorted ascending, the capped set is a PREFIX — source at rank r is
+# capped iff cap_r · (m - r + 1) <= budget - prefix_cap_{<r} (its cap
+# fits under the uniform share of the remaining budget). Everything is
+# BIGINT arithmetic over |sources| rows; the only double is the final
+# epochs ratio (one division).
+
+UNIMAX_MAX_EPOCHS = 2
+UNIMAX_BUDGET_NUM = 1  # budget = corpus tokens × NUM/DEN (exact integer)
+UNIMAX_BUDGET_DEN = 2
+
+
+def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs): the UniMax allocation of an integer token budget
+    (corpus_tokens // 2) across sources with a 2-epoch repeat cap.
+    Capped sources receive exactly cap_tokens; uncapped sources split
+    the remaining budget evenly (floor division — the sub-|sources|
+    remainder is deliberately unallocated and recoverable as
+    budget − Σ alloc).
+
+    Scale shape: ONE token-count rollup keyed on source (map-side
+    combined); the waterfill is window arithmetic over |sources| rows
+    (a broadcast-size frame — the single-partition window is on ~20
+    rows, not corpus data)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "cap_tokens",
+            (F.lit(UNIMAX_MAX_EPOCHS) * F.col("n_tokens")).cast("long"),
+        )
+    )
+    budget = per_src.agg(
+        F.expr(
+            f"CAST(sum(n_tokens) * {UNIMAX_BUDGET_NUM} div "
+            f"{UNIMAX_BUDGET_DEN} AS BIGINT)"
+        ).alias("_budget")
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    ranked = (
+        per_src.crossJoin(F.broadcast(budget))
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "_prefix_cap",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "_fits",
+            F.col("cap_tokens") * (F.col("_m") - F.col("_r") + 1)
+            <= F.col("_budget") - F.col("_prefix_cap"),
+        )
+    )
+    # the capped set is the maximal all-fits prefix: a rank is capped
+    # iff EVERY rank up to and including it fits (min-over-prefix of
+    # the fits flag — guards the non-monotone edge where a later cap
+    # fits only because an earlier one was skipped)
+    ranked = ranked.withColumn(
+        "capped",
+        F.min(F.col("_fits").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        == 1,
+    )
+    spent = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0))
+        .cast("long")
+        .alias("_spent"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .cast("long")
+        .alias("_n_uncapped"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr("(_budget - _spent) div greatest(_n_uncapped, 1)")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spent))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            alloc.cast("long").alias("alloc_tokens"),
+            (
+                alloc.cast("double") / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIMAX_MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len({tokens_sql()})) AS BIGINT) AS n_tokens,
+    CAST({UNIMAX_MAX_EPOCHS} * SUM(len({tokens_sql()})) AS BIGINT) AS cap_tokens
+  FROM documents GROUP BY source
+),
+bud AS (
+  SELECT CAST(SUM(n_tokens) * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN}
+              AS BIGINT) AS budget
+  FROM per_src
+),
+ranked AS (
+  SELECT p.*, budget,
+    ROW_NUMBER() OVER w AS r,
+    COUNT(*) OVER () AS m,
+    CAST(COALESCE(SUM(cap_tokens) OVER (
+      w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS prefix_cap
+  FROM per_src p CROSS JOIN bud
+  WINDOW w AS (ORDER BY cap_tokens, source)
+),
+flagged AS (
+  SELECT *,
+    MIN(CASE WHEN cap_tokens * (m - r + 1) <= budget - prefix_cap
+             THEN 1 ELSE 0 END)
+      OVER (ORDER BY cap_tokens, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+  FROM ranked
+),
+sp AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) AS BIGINT)
+           AS spent,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_uncapped
+  FROM flagged
+)
+SELECT source, n_docs, n_tokens, cap_tokens, capped,
+  CAST(CASE WHEN capped THEN cap_tokens
+       ELSE (budget - spent) // GREATEST(n_uncapped, 1) END AS BIGINT)
+    AS alloc_tokens,
+  CAST(CASE WHEN capped THEN cap_tokens
+       ELSE (budget - spent) // GREATEST(n_uncapped, 1) END AS DOUBLE)
+    / CAST(n_tokens AS DOUBLE) AS epochs
+FROM flagged CROSS JOIN sp ORDER BY source
+"""

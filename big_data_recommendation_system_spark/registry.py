@@ -302,6 +302,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "scrub_dup_spans": packing.scrub_dup_spans,
     "incremental_dup_spans": packing.incremental_dup_spans,
     "dup_span_calibration": packing.dup_span_calibration,
+    "unimax_mixture_plan": packing.unimax_mixture_plan,
     "semdedup_incremental": similarity.semdedup_incremental,
     "ccnet_perplexity_buckets": quality_models.ccnet_perplexity_buckets,
     "dsir_log_weights": quality_models.dsir_log_weights,
@@ -390,6 +391,7 @@ _PRIORITY_ORDER = [
     "dup_span_calibration",
     "semdedup_incremental",
     "doremi_domain_weights",
+    "unimax_mixture_plan",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -748,6 +750,7 @@ ORACLES: dict[str, str] = {
     "dup_span_calibration": packing.DUP_SPAN_CALIBRATION_SQL,
     "semdedup_incremental": similarity.SEMDEDUP_INCREMENTAL_SQL,
     "doremi_domain_weights": quality_models.DOREMI_DOMAIN_WEIGHTS_SQL,
+    "unimax_mixture_plan": packing.UNIMAX_MIXTURE_PLAN_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

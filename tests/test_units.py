@@ -2555,3 +2555,42 @@ def test_run_curation_cli_end_to_end(spark, sf_dir_small, tmp_path):
     n_docs = _lt(spark, sf_dir_small, "documents").count()
     assert manifest.count() == n_docs
     assert manifest.filter("weight_fp IS NULL OR vote_sum IS NULL").count() == 0
+
+
+def test_unimax_waterfill_caps_and_level(spark, tmp_path):
+    """Constructed skewed corpus exercising the UniMax branches the
+    balanced synthetic corpus never hits: one tiny source whose 2-epoch
+    cap binds, two big sources splitting the remainder evenly. Budget =
+    total//2; caps/allocs recomputed exactly, plus the self-consistency
+    invariants: capped allocs == caps, uncapped allocs equal and above
+    no source's cap, total alloc <= budget by less than one per-source
+    share."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_MAX_EPOCHS,
+        unimax_mixture_plan,
+    )
+
+    def doc(i, src, n_words):
+        return (i, " ".join(f"w{i}x{j}" for j in range(n_words)), "en", src, 7)
+
+    rows = [doc(0, "tiny", 10)]
+    rows += [doc(1 + i, "big_a", 100) for i in range(10)]
+    rows += [doc(11 + i, "big_b", 100) for i in range(10)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.source: r for r in unimax_mixture_plan(spark, str(tmp_path)).collect()}
+    total = 10 + 1000 + 1000
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN  # 1005
+    assert out["tiny"].capped and out["tiny"].alloc_tokens == 10 * UNIMAX_MAX_EPOCHS
+    assert abs(out["tiny"].epochs - UNIMAX_MAX_EPOCHS) < 1e-12
+    level = (budget - 10 * UNIMAX_MAX_EPOCHS) // 2
+    for s in ("big_a", "big_b"):
+        assert not out[s].capped
+        assert out[s].alloc_tokens == level
+        assert out[s].alloc_tokens <= out[s].cap_tokens
+    spent = sum(r.alloc_tokens for r in out.values())
+    assert 0 <= budget - spent < 2  # floor remainder < n_uncapped
