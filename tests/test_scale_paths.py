@@ -263,6 +263,7 @@ def test_r11_ops_partitioning_invariant(spark, sf_dir):
         "dup_span_calibration",
         "semdedup_incremental",
         "mllib_minhash_agreement",
+        "unimax_mixture_plan",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
