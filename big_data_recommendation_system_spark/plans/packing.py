@@ -1038,7 +1038,7 @@ def dup_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     token span — (doc_id, span_id, span_start, span_end, span_tokens,
     n_anchors), span_id numbering spans 1..n within each doc in order.
 
-    Scale shape: posexplode to (doc_id, pos, gram-md5) — linear in
+    Scale shape: posexplode to (doc_id, pos, gram-hash) — linear in
     corpus tokens; one hash-keyed distinct-doc count with map-side
     combine + HAVING >= 2 (the shared-gram set is the small side); one
     join back; then the island merge runs per-doc over DUP ANCHORS ONLY
@@ -1062,9 +1062,16 @@ def dup_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, gh): md5 of the DUP_SPAN_NGRAM gram starting at each
-    token position — the shared anchor frame of the full and incremental
-    span detectors."""
+    """(doc_id, pos, gh): 64-bit hash of the DUP_SPAN_NGRAM gram starting
+    at each token position — the shared anchor frame of the full and
+    incremental span detectors. The hash is INTERNAL (it keys the
+    shared-gram agg and the join-back; it never reaches an output
+    column), so each engine may use its own: Spark takes xxhash64 — a
+    BIGINT key shuffles/aggregates far cheaper than a 32-char md5 hex
+    string — while the DuckDB twin keeps md5. Cross-engine agreement
+    only needs both pipelines to be SELF-consistent; a disagreement
+    would require a 64-bit collision among one corpus's distinct grams
+    (~2^-64 per pair, negligible at any realistic gram count)."""
     from ..functions.text import ngrams
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1073,7 +1080,7 @@ def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.posexplode(ngrams("tok", DUP_SPAN_NGRAM)).alias("pos", "g"),
-    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+    ).select("doc_id", "pos", F.xxhash64("g").alias("gh"))
 
 
 def _merge_anchor_spans(dup: DataFrame) -> DataFrame:
@@ -1286,7 +1293,13 @@ FROM src ORDER BY source
 
 # bench grouping: both queries share the spans:dup session substrate
 SPAN_SUBSTRATE_CONSUMERS = frozenset(
-    {"dup_span_removal_plan", "dup_span_savings", "scrub_dup_spans"}
+    {
+        "dup_span_removal_plan",
+        "dup_span_savings",
+        "scrub_dup_spans",
+        # r11: the calibration grid reuses spans:dup for its n=6 column
+        "dup_span_calibration",
+    }
 )
 
 
@@ -1446,13 +1459,17 @@ def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPAN_CAL_MIN_LENS grid — scrub cost if spans were anchored on
     ngram_n-grams and only spans of >= min_span_len tokens removed.
 
-    Scale shape: the per-n gram streams are (n, pos, gram) struct
-    arrays over ONE tokenization, concatenated and exploded in a single
-    generator (a per-n union would re-scan documents once per n per
-    side). The whole plan reads the corpus 3×: the gram frame's two
-    consumers (shared-gram detection + the join-back — the
-    dup_span_frame trade: re-scanning beats materializing the exploded
-    gram frame) and the total-token agg. Everything downstream runs
+    Scale shape: the production n's column comes straight from the
+    persisted spans:dup substrate (zero recompute — the unit test
+    proves the equality); only the OTHER grid n's gram streams are
+    extracted, as (n, pos, gram) struct arrays over ONE tokenization
+    concatenated and exploded in a single generator (a per-n union
+    would re-scan documents once per n per side). The whole plan reads
+    the corpus 3×: the fresh-n gram frame's two consumers (shared-gram
+    detection + the join-back — the dup_span_frame trade: re-scanning
+    beats materializing the exploded gram frame) and the total-token
+    agg. Gram keys are internal xxhash64 BIGINTs (see _gram_positions).
+    Everything downstream runs
     exactly as dup_span_frame but keyed (ngram_n, doc_id) — the window
     still covers DUP ANCHORS ONLY. The min-length dimension NEVER
     rescans: merged spans join a broadcast literal threshold list on
@@ -1479,16 +1496,16 @@ def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return tag
 
-    tagged = [
-        F.transform(ngrams("tok", n), _tagger(n)) for n in SPAN_CAL_NGRAMS
-    ]
+    fresh_ns = [n for n in SPAN_CAL_NGRAMS if n != DUP_SPAN_NGRAM]
+    tagged = [F.transform(ngrams("tok", n), _tagger(n)) for n in fresh_ns]
     grams = docs.select(
         "doc_id", F.explode(F.concat(*tagged)).alias("s")
     ).select(
         F.col("s.n").alias("ngram_n"),
         "doc_id",
         F.col("s.pos").alias("pos"),
-        F.md5(F.col("s.g")).alias("gh"),
+        F.xxhash64(F.col("s.g")).alias("gh"),  # internal key — see
+        # _gram_positions for the xxhash64-vs-md5 argument
     )
     shared = (
         grams.groupBy("ngram_n", "gh")
@@ -1516,6 +1533,17 @@ def dup_span_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ngram_n", "doc_id", "span_tokens")
     )
+    if DUP_SPAN_NGRAM in SPAN_CAL_NGRAMS:
+        # the production n's spans ARE the persisted spans:dup substrate
+        # (proven equal by the calibration unit test) — reuse it instead
+        # of re-extracting that n's grams
+        spans = spans.unionByName(
+            dup_span_frame(spark, sf_dir).select(
+                F.lit(DUP_SPAN_NGRAM).cast("long").alias("ngram_n"),
+                "doc_id",
+                "span_tokens",
+            )
+        )
     cells = spark.createDataFrame(
         [(n, l) for n in SPAN_CAL_NGRAMS for l in SPAN_CAL_MIN_LENS],
         "ngram_n: bigint, min_span_len: bigint",
