@@ -109,6 +109,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "ccnet_perplexity_buckets",
     "dsir_log_weights",
     "doremi_domain_weights",
+    "model_gate_disagreement",
 }
 
 
@@ -756,6 +757,39 @@ ORDER BY dsir_rank
 LM_GATE_MIN_FP_PER_BIGRAM = 100_000_000
 
 
+def _gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, nb_pass, lm_pass, dsir_pass) for EVERY
+    document — the shared serving frame behind model_gate_report and
+    model_gate_disagreement. Unscoreable docs fail the affected gate
+    (left joins + coalesce-to-false); all three scorers read the qm:*
+    session substrates."""
+    lab = labeled_docs_table(spark, sf_dir)
+    nb = nb_score_docs(lab, nb_model_table(spark, sf_dir)).select(
+        "doc_id", "predicted_hi"
+    )
+    lm = lm_score_docs(
+        lab, lm_bigram_table(spark, sf_dir), lm_unigram_table(spark, sf_dir)
+    ).select("doc_id", "n_bigrams", "lm_score_fp")
+    ds = dsir_importance_sample(spark, sf_dir).select("doc_id", "selected")
+    lm_pass = (F.col("n_bigrams") > 0) & (
+        F.col("lm_score_fp")
+        >= F.col("n_bigrams") * F.lit(LM_GATE_MIN_FP_PER_BIGRAM)
+    )
+    return (
+        lab.select("doc_id", "source", "n_tokens")
+        .join(nb, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("predicted_hi"), F.lit(False)).alias("nb_pass"),
+            F.coalesce(lm_pass, F.lit(False)).alias("lm_pass"),
+            F.coalesce(F.col("selected"), F.lit(False)).alias("dsir_pass"),
+        )
+    )
+
+
 def model_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone of the model-curation loop: every document served
     through ALL THREE trained gates — NB classifier (predicted_hi),
@@ -774,31 +808,7 @@ def model_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited above) + one |sources|-grain rollup; the DSIR global rank is
     the exact ranker. Nothing here rescans the corpus beyond the serving
     joins."""
-    lab = labeled_docs_table(spark, sf_dir)
-    nb = nb_score_docs(lab, nb_model_table(spark, sf_dir)).select(
-        "doc_id", "predicted_hi"
-    )
-    lm = lm_score_docs(
-        lab, lm_bigram_table(spark, sf_dir), lm_unigram_table(spark, sf_dir)
-    ).select("doc_id", "n_bigrams", "lm_score_fp")
-    ds = dsir_importance_sample(spark, sf_dir).select("doc_id", "selected")
-    lm_pass = (F.col("n_bigrams") > 0) & (
-        F.col("lm_score_fp")
-        >= F.col("n_bigrams") * F.lit(LM_GATE_MIN_FP_PER_BIGRAM)
-    )
-    j = (
-        lab.select("doc_id", "source", "n_tokens")
-        .join(nb, "doc_id", "left")
-        .join(lm, "doc_id", "left")
-        .join(ds, "doc_id", "left")
-        .select(
-            "source",
-            "n_tokens",
-            F.coalesce(F.col("predicted_hi"), F.lit(False)).alias("nb_pass"),
-            F.coalesce(lm_pass, F.lit(False)).alias("lm_pass"),
-            F.coalesce(F.col("selected"), F.lit(False)).alias("dsir_pass"),
-        )
-    )
+    j = _gate_flags(spark, sf_dir)
     all_pass = F.col("nb_pass") & F.col("lm_pass") & F.col("dsir_pass")
     g = j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -862,6 +872,66 @@ SELECT source,
 FROM gates
 GROUP BY source
 ORDER BY source
+"""
+
+
+def model_gate_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint NB×LM×DSIR cell breakdown model_gate_report's marginals
+    hide: per (source, nb_pass, lm_pass, dsir_pass) cell, the doc and
+    token counts. The disagreement cells (exactly one or two gates
+    passing) are where a curation team spends labeling budget — a
+    document all three gates agree on teaches nothing, one they split
+    on localizes which model is miscalibrated for that source. Same
+    serving passes as model_gate_report (the shared _gate_flags frame);
+    the rollup key just keeps the gate bits instead of collapsing them.
+
+    Scale: identical to model_gate_report plus a ≤8×|sources|-row
+    output; nothing rescans the corpus."""
+    return (
+        _gate_flags(spark, sf_dir)
+        .groupBy("source", "nb_pass", "lm_pass", "dsir_pass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "n_gates_passed",
+            (
+                F.col("nb_pass").cast("int")
+                + F.col("lm_pass").cast("int")
+                + F.col("dsir_pass").cast("int")
+            ).cast("long"),
+        )
+        .orderBy("source", "nb_pass", "lm_pass", "dsir_pass")
+    )
+
+
+MODEL_GATE_DISAGREEMENT_SQL = f"""{_LAB_CTE}{_NB_MODEL_CTE}{_NB_SCORES_CTE}{_LM_CTE}{_DSIR_CTE}
+, dsir_sel AS (
+  SELECT doc_id, dsir_rank <= CEIL({DSIR_KEEP_SHARE} * n_docs) AS selected
+  FROM ranked
+),
+gates AS (
+  SELECT l.source, l.n_tokens,
+    COALESCE(nb.predicted_hi, FALSE) AS nb_pass,
+    COALESCE(a.n_bigrams > 0
+             AND a.lm_score_fp >= a.n_bigrams * {LM_GATE_MIN_FP_PER_BIGRAM},
+             FALSE) AS lm_pass,
+    COALESCE(d.selected, FALSE) AS dsir_pass
+  FROM lab l
+  LEFT JOIN nb_scores nb ON nb.doc_id = l.doc_id
+  LEFT JOIN lm_agg a ON a.doc_id = l.doc_id
+  LEFT JOIN dsir_sel d ON d.doc_id = l.doc_id
+)
+SELECT source, nb_pass, lm_pass, dsir_pass,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST((CASE WHEN nb_pass THEN 1 ELSE 0 END)
+     + (CASE WHEN lm_pass THEN 1 ELSE 0 END)
+     + (CASE WHEN dsir_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gates_passed
+FROM gates
+GROUP BY source, nb_pass, lm_pass, dsir_pass
+ORDER BY source, nb_pass, lm_pass, dsir_pass
 """
 
 

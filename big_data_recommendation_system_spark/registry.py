@@ -291,6 +291,7 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "ngram_lm_scores": quality_models.ngram_lm_scores,
     "dsir_importance_sample": quality_models.dsir_importance_sample,
     "model_gate_report": quality_models.model_gate_report,
+    "model_gate_disagreement": quality_models.model_gate_disagreement,
     "nb_calibration_sweep": quality_models.nb_calibration_sweep,
     "pca_invariants": linalg.pca_invariants,
     "approx_distinct_agreement": skew.approx_distinct_agreement,
@@ -392,6 +393,7 @@ _PRIORITY_ORDER = [
     "semdedup_incremental",
     "doremi_domain_weights",
     "unimax_mixture_plan",
+    "model_gate_disagreement",
     # -- r8-checked remainder (26; 3 rounds stale after r11 —
     # EVERY one must be in the r12 window to hold the invariant):
     "bpe_pair_counts",
@@ -751,6 +753,7 @@ ORACLES: dict[str, str] = {
     "semdedup_incremental": similarity.SEMDEDUP_INCREMENTAL_SQL,
     "doremi_domain_weights": quality_models.DOREMI_DOMAIN_WEIGHTS_SQL,
     "unimax_mixture_plan": packing.UNIMAX_MIXTURE_PLAN_SQL,
+    "model_gate_disagreement": quality_models.MODEL_GATE_DISAGREEMENT_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)

@@ -470,3 +470,31 @@ def test_doremi_weights_semantics(spark, sf_dir_small):
         grow = g.loc[r.source]
         assert r.domain_rate_fp == grow.sum_fp // grow.sum_big
         assert r.n_tokens == grow.n_tok
+
+
+def test_gate_disagreement_partitions_and_matches_report(spark, sf_dir_small):
+    """The joint-cell breakdown must PARTITION each source's documents
+    (cell doc counts sum to the report's n_docs) and its marginals/
+    all-pass cell must recompose model_gate_report exactly."""
+    cells = qm.model_gate_disagreement(spark, sf_dir_small).toPandas()
+    rep = {
+        r.source: r
+        for r in qm.model_gate_report(spark, sf_dir_small).collect()
+    }
+    assert (
+        cells.n_gates_passed
+        == cells.nb_pass.astype(int)
+        + cells.lm_pass.astype(int)
+        + cells.dsir_pass.astype(int)
+    ).all()
+    for src, grp in cells.groupby("source"):
+        r = rep[src]
+        assert int(grp.n_docs.sum()) == r.n_docs
+        assert int(grp[grp.nb_pass].n_docs.sum()) == r.n_nb_pass
+        assert int(grp[grp.lm_pass].n_docs.sum()) == r.n_lm_pass
+        assert int(grp[grp.dsir_pass].n_docs.sum()) == r.n_dsir_pass
+        allp = grp[grp.n_gates_passed == 3]
+        assert int(allp.n_docs.sum()) == r.n_pass_all
+        assert int(allp.n_tokens.sum()) == r.n_tokens_pass_all
+        # no duplicate cells
+        assert not grp.duplicated(["nb_pass", "lm_pass", "dsir_pass"]).any()
