@@ -2556,6 +2556,31 @@ def test_run_curation_cli_end_to_end(spark, sf_dir_small, tmp_path):
     assert manifest.count() == n_docs
     assert manifest.filter("weight_fp IS NULL OR vote_sum IS NULL").count() == 0
 
+    # r11 artifacts: frozen log-ratio model + disk-served log weights
+    assert rows(
+        spark.read.parquet(_os.path.join(out, "dsir_log_ratios"))
+    ) == rows(qm.dsir_log_ratio_table(spark, sf_dir_small))
+    lw_q = qm.dsir_log_weights(spark, sf_dir_small).select(
+        "doc_id", "n_features", "log_weight_fp"
+    )
+    got_lw = spark.read.parquet(_os.path.join(out, "dsir_log_weights"))
+    assert rows(got_lw.select("doc_id", "n_features", "log_weight_fp")) == rows(
+        lw_q
+    )
+
+    # mix stage: written planners == registered (oracle-hashed) queries
+    run_curation.run_mix(ns)
+    from big_data_recommendation_system_spark.plans.packing import (
+        unimax_mixture_plan as _ump,
+    )
+
+    assert rows(spark.read.parquet(_os.path.join(out, "doremi_weights"))) == rows(
+        qm.doremi_domain_weights(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "unimax_plan"))) == rows(
+        _ump(spark, sf_dir_small)
+    )
+
 
 def test_unimax_waterfill_caps_and_level(spark, tmp_path):
     """Constructed skewed corpus exercising the UniMax branches the
