@@ -204,45 +204,57 @@ def main() -> None:
     # line in BENCH_r{N}.json, so the per-query map (which exceeds the
     # truncation budget) goes FIRST and every summary total goes LAST —
     # the surviving fragment then always carries the headline numbers.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                # shared-substrate build cost, split out per substrate
-                # (consumer timings above are consume-only as of r9;
-                # "value" still includes builds, so totals stay
-                # comparable across rounds)
-                "substrates": sub_timings,
-                "metric": "total_query_wall_seconds",
-                "value": round(
-                    sum(timings.values()) + sum(sub_timings.values()), 3
-                ),
-                "unit": "sec",
-                # the registry grows every round — normalize before
-                # comparing totals across rounds
-                "n_queries": len(timings),
-                "avg_query_sec": round(
-                    sum(timings.values()) / max(len(timings), 1), 3
-                ),
-                "substrate_build_sec": round(sum(sub_timings.values()), 3),
-                # fixed-workload machine-speed canary (min over passes);
-                # divide a round's avg_query_sec by the ratio of probe
-                # times to normalize out box drift before comparing
-                "drift_probe_sec": drift_probe_sec,
-                # r9 VERDICT "What's wrong #3": from r9 onward "value"
-                # = consume + attributed substrate builds, while r8 and
-                # earlier bundled builds into whichever consumer ran
-                # first — compare rounds on avg_query_sec (consume-only),
-                # not on "value".
-                "comparable_note": (
-                    "value includes substrate_build_sec (r9+); compare "
-                    "across rounds on avg_query_sec"
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "passes": passes,
-            }
-        )
+    payload = {
+        "queries": timings,
+        # shared-substrate build cost, split out per substrate
+        # (consumer timings above are consume-only as of r9;
+        # "value" still includes builds, so totals stay
+        # comparable across rounds)
+        "substrates": sub_timings,
+        "metric": "total_query_wall_seconds",
+        "value": round(
+            sum(timings.values()) + sum(sub_timings.values()), 3
+        ),
+        "unit": "sec",
+        # the registry grows every round — normalize before
+        # comparing totals across rounds
+        "n_queries": len(timings),
+        "avg_query_sec": round(
+            sum(timings.values()) / max(len(timings), 1), 3
+        ),
+        "substrate_build_sec": round(sum(sub_timings.values()), 3),
+        # fixed-workload machine-speed canary (min over passes);
+        # divide a round's avg_query_sec by the ratio of probe
+        # times to normalize out box drift before comparing
+        "drift_probe_sec": drift_probe_sec,
+        # r9 VERDICT "What's wrong #3": from r9 onward "value"
+        # = consume + attributed substrate builds, while r8 and
+        # earlier bundled builds into whichever consumer ran
+        # first — compare rounds on avg_query_sec (consume-only),
+        # not on "value".
+        "comparable_note": (
+            "value includes substrate_build_sec (r9+); compare "
+            "across rounds on avg_query_sec"
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
+    }
+    line = json.dumps(payload)
+    # The driver's BENCH_r{N}.json truncates this line to its tail (r11's
+    # preserved only 33 of 190 per-query entries), which forced
+    # round-over-round forensics onto a common-subset geomean. Also write
+    # the COMPLETE line to bench_last.json so the full per-query map can
+    # be committed each round as BENCH_LOCAL_r{N}.json (r11 VERDICT
+    # next-round #3).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench_last.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

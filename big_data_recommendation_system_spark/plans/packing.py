@@ -148,13 +148,13 @@ ORDER BY pack_id
 # --- mixture sampling -------------------------------------------------------
 
 
-def _mix_bucket_spark(doc_id: Column) -> Column:
-    h = F.md5(F.concat(F.lit(_MIX_SALT), doc_id.cast("string")))
+def _mix_bucket_spark(doc_id: Column, salt: str = _MIX_SALT) -> Column:
+    h = F.md5(F.concat(F.lit(salt), doc_id.cast("string")))
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 10_000
 
 
-def _mix_bucket_sql() -> str:
-    h = f"md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR))"
+def _mix_bucket_sql(salt: str = _MIX_SALT) -> str:
+    h = f"md5('{salt}' || CAST(doc_id AS VARCHAR))"
     digit = "(strpos('{hex}', substr({h},{i},1)) - 1)"
     terms = " + ".join(
         digit.format(hex=_HEX, h=h, i=i + 1) + f" * {16 ** (3 - i)}"
@@ -1691,10 +1691,12 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined); the waterfill is window arithmetic over |sources| rows
     (a broadcast-size frame — the single-partition window is on ~20
     rows, not corpus data)."""
-    from pyspark.sql import Window
+    return _unimax_plan_from(_unimax_per_src(spark, sf_dir))
 
+
+def _unimax_per_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    per_src = (
+    return (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
         .groupBy("source")
         .agg(
@@ -1706,6 +1708,14 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(UNIMAX_MAX_EPOCHS) * F.col("n_tokens")).cast("long"),
         )
     )
+
+
+def _unimax_plan_from(per_src: DataFrame) -> DataFrame:
+    """The closed-form waterfill over a (source, n_docs, n_tokens,
+    cap_tokens) rollup — split out so ``unimax_budget_draw`` and the
+    CLI artifact share the exact allocation arithmetic."""
+    from pyspark.sql import Window
+
     budget = per_src.agg(
         F.expr(
             f"CAST(sum(n_tokens) * {UNIMAX_BUDGET_NUM} div "
@@ -1770,7 +1780,7 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-UNIMAX_MIXTURE_PLAN_SQL = f"""
+_UNIMAX_CTE = f"""
 WITH per_src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(len({tokens_sql()})) AS BIGINT) AS n_tokens,
@@ -1806,7 +1816,9 @@ sp AS (
          CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
            AS n_uncapped
   FROM flagged
-)
+)"""
+
+UNIMAX_MIXTURE_PLAN_SQL = f"""{_UNIMAX_CTE}
 SELECT source, n_docs, n_tokens, cap_tokens, capped,
   CAST(CASE WHEN capped THEN cap_tokens
        ELSE (budget - spent) // GREATEST(n_uncapped, 1) END AS BIGINT)
@@ -1815,4 +1827,124 @@ SELECT source, n_docs, n_tokens, cap_tokens, capped,
        ELSE (budget - spent) // GREATEST(n_uncapped, 1) END AS DOUBLE)
     / CAST(n_tokens AS DOUBLE) AS epochs
 FROM flagged CROSS JOIN sp ORDER BY source
+"""
+
+
+# --- UniMax allocation → deterministic document draw --------------------------
+#
+# Closes the measure→decide→assemble loop for the epoch-capped planner:
+# where corpus_prep.token_budget_sample draws "the first N tokens' worth"
+# of the shuffled corpus against ONE hand-set budget, this draws each
+# source's slice against ITS UniMax allocation — walk each source's docs
+# in salted-shuffle order and keep every doc whose per-source exclusive
+# token prefix sum is still under alloc_tokens (document-granular; the
+# last kept doc may straddle, the loader truncates — the
+# token_budget_sample / sequence_packing convention). For capped sources
+# alloc = 2 epochs ≥ corpus, so every doc is kept once and the loader
+# repeats — the draw is the single-pass membership set.
+
+_UNIMAX_SALT = "unimax0"
+
+
+def unimax_budget_draw_from(docs: DataFrame, plan: DataFrame) -> DataFrame:
+    """Apply a UniMax plan to a document frame. ``docs`` needs (doc_id,
+    source, text); ``plan`` needs the EXACT integer columns (source,
+    alloc_tokens) — both present in the WRITTEN ``unimax_plan`` artifact
+    (cli/run_curation.py mix), so the CLI manifest and the inline query
+    share this derivation verbatim.
+
+    Scale shape: the per-source prefix sum rides the range-repartition
+    machinery (operators/ranking.py) over the total order (source,
+    shuffle_key, doc_id) — NO per-source window, so a 10 TB source never
+    funnels through one WindowExec task; the per-source base offsets and
+    the plan join are |sources|-row broadcasts."""
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit(_UNIMAX_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    pref = with_global_prefix_sum(
+        t, ["source", "shuffle_key", "doc_id"], "n_tokens"
+    )
+    src_tot = t.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("_src_tok")
+    )
+    # per-source base = tokens of all sources ordered strictly before —
+    # triangular self-join over |sources| rows (same no-window trick as
+    # the ranking machinery's partition offsets)
+    base = (
+        src_tot.alias("a")
+        .join(
+            src_tot.alias("b"),
+            F.col("b.source") < F.col("a.source"),
+            "left",
+        )
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(
+            F.coalesce(F.sum("b._src_tok"), F.lit(0))
+            .cast("long")
+            .alias("_base")
+        )
+    )
+    return (
+        pref.join(F.broadcast(base), "source")
+        .withColumn(
+            "tokens_before",
+            (F.col(PREFIX_COL) - F.col("_base")).cast("long"),
+        )
+        .join(
+            F.broadcast(plan.select("source", "alloc_tokens")), "source"
+        )
+        .filter(F.col("tokens_before") < F.col("alloc_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "tokens_before",
+            "alloc_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unimax_budget_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: (doc_id, source, n_tokens, tokens_before,
+    alloc_tokens) — the deterministic per-source document draw under the
+    UniMax allocation. The planner grid (unimax_mixture_plan) is an
+    INPUT here, not a leaf: the same consumption path
+    token_budget_sample provides for the hand-set budget, closing the
+    measure→decide→assemble loop for the epoch-capped planner."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_budget_draw_from(docs, unimax_mixture_plan(spark, sf_dir))
+
+
+UNIMAX_BUDGET_DRAW_SQL = f"""{_UNIMAX_CTE},
+alloc AS (
+  SELECT source,
+    CAST(CASE WHEN capped THEN cap_tokens
+         ELSE (budget - spent) // GREATEST(n_uncapped, 1) END AS BIGINT)
+      AS alloc_tokens
+  FROM flagged CROSS JOIN sp
+),
+t AS (
+  SELECT doc_id, source,
+    md5('{_UNIMAX_SALT}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+    CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tokens_before
+  FROM t
+)
+SELECT p.doc_id, p.source, p.n_tokens, p.tokens_before, a.alloc_tokens
+FROM p JOIN alloc a USING (source)
+WHERE p.tokens_before < a.alloc_tokens
+ORDER BY doc_id
 """

@@ -110,6 +110,7 @@ QM_SUBSTRATE_CONSUMERS = {
     "dsir_log_weights",
     "doremi_domain_weights",
     "model_gate_disagreement",
+    "doremi_mixture_sample",
 }
 
 
@@ -1361,25 +1362,15 @@ def _exp_level_table() -> list[tuple[int, int, int]]:
 _EXP_LEVELS = _exp_level_table()
 
 
-def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source DoReMi-lite mixture weights: (source, n_docs,
-    n_tokens, domain_rate_fp, excess_fp, exp_w_fp, doremi_weight) —
-    domain_rate_fp = integer-division mean bigram probability (LM fixed
-    point) over ALL the domain's bigrams, excess_fp = corpus rate −
-    domain rate, exp_w_fp = the literal-table exp of the clamped
-    excess, doremi_weight = n_tokens·exp_w_fp normalized over domains
-    (the multiplicative-weights posterior a mixture_plan consumes
-    instead of hand-set target shares).
-
-    Documents too short to score (no bigrams) contribute 0 to the
-    domain's sums but their tokens still count in the baseline share —
-    a domain of unscorable docs gets rate 0 (hardest), matching the
-    fail-closed convention of model_gate_report.
-
-    Scale shape: one LM serving pass (keyed hash join against the
-    vocabulary-bounded model substrates), one |sources|-grain rollup,
-    then literal-table lookups on |sources| rows. Nothing beyond the
-    serving join touches corpus-scale data."""
+def _doremi_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal per-source weighted frame behind both DoReMi queries:
+    one row per source carrying the EXACT integer substrate of the
+    posterior — (source, n_docs, n_tokens, domain_rate_fp, excess_fp,
+    exp_w_fp, _w, _tot_w) where _w = n_tokens·exp_w_fp and _tot_w =
+    Σ_w, both DECIMAL(38,0) so the products survive 100 TB token
+    counts. ``doremi_domain_weights`` divides once for the published
+    weight; ``doremi_mixture_sample`` turns the same integers into
+    per-source keep rates without ever touching the double."""
     levels = spark.createDataFrame(
         _EXP_LEVELS, "lo: bigint, hi: bigint, exp_fp: bigint"
     )
@@ -1423,11 +1414,40 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_cl") >= F.col("lo")) & (F.col("_cl") < F.col("hi")),
         )
         .withColumn("exp_w_fp", F.col("exp_fp").cast("long"))
-        .withColumn("_w", (F.col("n_tokens") * F.col("exp_w_fp")).cast("long"))
+        # n_tokens*exp_fp can exceed int64 at 100 TB scale (~1e13 tokens x
+        # exp_fp up to ~2.7e6): fold the products and their sum through
+        # DECIMAL(38,0) — the same exactness pattern the dot products use —
+        # before the single final double division.
+        .withColumn(
+            "_w",
+            F.col("n_tokens").cast("decimal(38,0)") * F.col("exp_w_fp"),
+        )
     )
-    tot = wtd.agg(F.sum("_w").cast("long").alias("_tot_w"))
+    tot = wtd.agg(F.sum("_w").cast("decimal(38,0)").alias("_tot_w"))
+    return wtd.crossJoin(F.broadcast(tot))
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DoReMi-lite mixture weights: (source, n_docs,
+    n_tokens, domain_rate_fp, excess_fp, exp_w_fp, doremi_weight) —
+    domain_rate_fp = integer-division mean bigram probability (LM fixed
+    point) over ALL the domain's bigrams, excess_fp = corpus rate −
+    domain rate, exp_w_fp = the literal-table exp of the clamped
+    excess, doremi_weight = n_tokens·exp_w_fp normalized over domains
+    (the multiplicative-weights posterior a mixture_plan consumes
+    instead of hand-set target shares).
+
+    Documents too short to score (no bigrams) contribute 0 to the
+    domain's sums but their tokens still count in the baseline share —
+    a domain of unscorable docs gets rate 0 (hardest), matching the
+    fail-closed convention of model_gate_report.
+
+    Scale shape: one LM serving pass (keyed hash join against the
+    vocabulary-bounded model substrates), one |sources|-grain rollup,
+    then literal-table lookups on |sources| rows. Nothing beyond the
+    serving join touches corpus-scale data."""
     return (
-        wtd.crossJoin(F.broadcast(tot))
+        _doremi_weighted(spark, sf_dir)
         .select(
             "source",
             "n_docs",
@@ -1451,7 +1471,11 @@ def _exp_level_values_sql() -> str:
     )
 
 
-DOREMI_DOMAIN_WEIGHTS_SQL = f"""{_LAB_CTE}{_LM_CTE},
+# The shared doremi CTE chain (through the decimal-weighted wtd/dtot
+# frames) — composed by both DOREMI_DOMAIN_WEIGHTS_SQL and
+# DOREMI_MIXTURE_SAMPLE_SQL, mirroring _doremi_weighted on the Spark
+# side.
+_DOREMI_WTD_CTE = f""",
 dsrc AS (
   SELECT l.source, l.n_tokens,
          COALESCE(a.n_bigrams, 0) AS n_bigrams,
@@ -1481,15 +1505,163 @@ wtd AS (
   SELECT e.source, e.n_docs, e.n_tokens, e.domain_rate_fp,
     CAST(e.corpus_rate_fp - e.domain_rate_fp AS BIGINT) AS excess_fp,
     l.exp_fp AS exp_w_fp,
-    CAST(e.n_tokens * l.exp_fp AS BIGINT) AS w
+    CAST(e.n_tokens AS DECIMAL(38,0)) * l.exp_fp AS w
   FROM ex e JOIN lvl l
     ON GREATEST(LEAST(e.corpus_rate_fp - e.domain_rate_fp,
                       {_DOREMI_CLAMP - 1}), {-_DOREMI_CLAMP}) >= l.lo
    AND GREATEST(LEAST(e.corpus_rate_fp - e.domain_rate_fp,
                       {_DOREMI_CLAMP - 1}), {-_DOREMI_CLAMP}) < l.hi
 ),
-dtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM wtd)
+dtot AS (SELECT CAST(SUM(w) AS DECIMAL(38,0)) AS tot_w FROM wtd)"""
+
+DOREMI_DOMAIN_WEIGHTS_SQL = f"""{_LAB_CTE}{_LM_CTE}{_DOREMI_WTD_CTE}
 SELECT source, n_docs, n_tokens, domain_rate_fp, excess_fp, exp_w_fp,
   CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) AS doremi_weight
 FROM wtd CROSS JOIN dtot ORDER BY source
 """
+
+
+# --- DoReMi posterior → deterministic document draw ---------------------------
+#
+# Closes the measure→decide→assemble loop for the data-derived mixture
+# planner: where plans/packing.mixture_sample draws per-LANGUAGE documents
+# from the HAND-SET MIXTURE_RATES map, this draws per-SOURCE documents at
+# rates derived from doremi_domain_weights' posterior — same salted-md5
+# bucket gate (reproducible under any partitioning/cluster size; a new
+# doc never flips an old doc's keep decision), rates computed in exact
+# integer arithmetic from the planner's own BIGINT/DECIMAL substrate so
+# the draw is hash-identical on both engines.
+
+DOREMI_BUDGET_NUM = 1  # sample budget = corpus tokens × NUM/DEN
+DOREMI_BUDGET_DEN = 2
+_DMIX_SALT = "dmix:"
+_DMIX_BUCKETS = 10_000
+
+
+def doremi_sample_rates_from(weights: DataFrame) -> DataFrame:
+    """Per-source fixed-point keep rates (source, n_tokens, rate_fp in
+    0..10000) from a DoReMi planner frame. Needs only the EXACT integer
+    columns (source, n_tokens, exp_w_fp) — all present in the WRITTEN
+    ``doremi_weights`` artifact (cli/run_curation.py mix), so the CLI
+    manifest and the inline query share this derivation verbatim:
+
+        w_s       = n_tokens_s · exp_w_fp_s          (DECIMAL(38,0))
+        budget    = Σ n_tokens × NUM div DEN          (BIGINT)
+        target_s  = (budget · w_s) div Σ w            (BIGINT)
+        rate_fp_s = min(10000, target_s·10000 div max(n_tokens_s, 1))
+
+    so the expected kept-token mass per source matches the posterior's
+    share of the budget, saturating at keep-everything. All floor
+    divisions of non-negative integers — engine-neutral."""
+    w = weights.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.col("n_tokens").cast("decimal(38,0)") * F.col("exp_w_fp")
+        ).alias("_w"),
+    )
+    tot = w.agg(
+        F.sum("_w").cast("decimal(38,0)").alias("_tot_w"),
+        F.expr(
+            f"CAST(sum(n_tokens) * {DOREMI_BUDGET_NUM} div "
+            f"{DOREMI_BUDGET_DEN} AS BIGINT)"
+        ).alias("_budget"),
+    )
+    target = F.expr(
+        "CAST((CAST(_budget AS DECIMAL(38,0)) * _w) div _tot_w AS BIGINT)"
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("_target", target)
+        .select(
+            "source",
+            "n_tokens",
+            F.least(
+                F.lit(_DMIX_BUCKETS),
+                F.expr(
+                    f"CAST((_target * {_DMIX_BUCKETS}) div "
+                    "greatest(n_tokens, 1) AS BIGINT)"
+                ),
+            )
+            .cast("long")
+            .alias("rate_fp"),
+        )
+    )
+
+
+def doremi_mixture_sample_from(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Apply the DoReMi-derived rates to a document frame: keep a doc iff
+    its salted md5 bucket (0..9999) falls under its source's rate_fp.
+    ``docs`` needs (doc_id, source); ``weights`` is a planner frame per
+    :func:`doremi_sample_rates_from`. One broadcast join (|sources|
+    rows) over a pure map stage — no shuffle on corpus data, linear
+    scan, same scale shape as packing.mixture_sample."""
+    from .packing import _mix_bucket_spark
+
+    rates = doremi_sample_rates_from(weights)
+    bucket = _mix_bucket_spark(F.col("doc_id"), _DMIX_SALT)
+    return (
+        docs.select("doc_id", "source", bucket.alias("mix_bucket"))
+        .join(F.broadcast(rates.select("source", "rate_fp")), "source")
+        .filter(F.col("mix_bucket") < F.col("rate_fp"))
+        .select(
+            "doc_id",
+            "source",
+            "mix_bucket",
+            "rate_fp",
+            (
+                F.lit(float(_DMIX_BUCKETS)) / F.col("rate_fp").cast("double")
+            ).alias("sample_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doremi_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the deterministic per-source document draw under
+    the data-derived DoReMi posterior — (doc_id, source, mix_bucket,
+    rate_fp, sample_weight). The planner grid (doremi_domain_weights) is
+    an INPUT here, not a leaf: this is the same consumption path
+    mixture_sample provides for the hand-set plan, so the
+    measure→decide→assemble loop is closed for the multiplicative-
+    weights planner. sample_weight = 10000/rate_fp (Horvitz-Thompson,
+    one division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doremi_mixture_sample_from(docs, _doremi_weighted(spark, sf_dir))
+
+
+def _dmix_bucket_sql() -> str:
+    from .packing import _mix_bucket_sql
+
+    return _mix_bucket_sql(_DMIX_SALT)
+
+
+DOREMI_MIXTURE_SAMPLE_SQL = f"""{_LAB_CTE}{_LM_CTE}{_DOREMI_WTD_CTE},
+bud AS (
+  SELECT CAST(SUM(n_tokens) * {DOREMI_BUDGET_NUM} // {DOREMI_BUDGET_DEN}
+              AS BIGINT) AS budget
+  FROM wtd
+),
+rates AS (
+  SELECT w.source,
+    CAST(LEAST({_DMIX_BUCKETS},
+      (CAST((CAST(b.budget AS HUGEINT) * CAST(w.w AS HUGEINT))
+            // CAST(d.tot_w AS HUGEINT) AS BIGINT) * {_DMIX_BUCKETS})
+        // GREATEST(w.n_tokens, 1)) AS BIGINT) AS rate_fp
+  FROM wtd w CROSS JOIN dtot d CROSS JOIN bud b
+)
+SELECT doc_id, source, mix_bucket, rate_fp,
+  CAST({_DMIX_BUCKETS} AS DOUBLE) / CAST(rate_fp AS DOUBLE) AS sample_weight
+FROM (
+  SELECT doc_id, source, CAST({{DMIX_BUCKET}} AS BIGINT) AS mix_bucket
+  FROM documents
+) d JOIN rates USING (source)
+WHERE mix_bucket < rate_fp
+ORDER BY doc_id
+"""
+
+# late-bound to keep the packing import function-local (same pattern as
+# _dmix_bucket_sql itself)
+DOREMI_MIXTURE_SAMPLE_SQL = DOREMI_MIXTURE_SAMPLE_SQL.replace(
+    "{DMIX_BUCKET}", _dmix_bucket_sql()
+)

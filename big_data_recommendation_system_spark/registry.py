@@ -309,28 +309,124 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     "dsir_log_weights": quality_models.dsir_log_weights,
     "doremi_domain_weights": quality_models.doremi_domain_weights,
     "winnowing_fingerprints": text_analysis.winnowing_fingerprints,
+    # r12: planner→sampler loop closed — the data-derived mixture
+    # planners drive the same deterministic draw paths the hand-set
+    # plans do (r11 VERDICT next-round #2)
+    "doremi_mixture_sample": quality_models.doremi_mixture_sample,
+    "unimax_budget_draw": packing.unimax_budget_draw,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
-# cosmetics (see the r2-r10 rotation history in git). Round-11 rotation
-# (r10 VERDICT next-round #1, verbatim): `mixture_plan` (the one r6-stale
-# row that missed the r10 window) + the 11 never-driver-checked r10
-# registrations + the 35 r7-checked rows (4 rounds stale by r11) + the 3
-# oldest r8 rows. After this window runs, nothing oracled is staler than
-# 3 driver rounds for a second consecutive round. New r11 registrations
-# go AFTER the window per the standing convention (verified this round by
-# direct oracle compares + the pytest oracle gate + the closing sf0.1
-# strict sweep); they lead the r12 queue TOGETHER WITH the 26 remaining
-# r8-checked rows below, which hit the 4-round staleness boundary at r12
-# and must all be taken (26 + new regs, balance from the r9 block).
+# cosmetics (see the r2-r11 rotation history in git). Round-12 rotation
+# (r11 VERDICT next-round #1, verbatim): the 7 never-driver-checked r11
+# registrations + ALL 26 remaining r8-checked rows (4 rounds stale at
+# r12) + 17 from the head of the r9 block to fill 50. After this window
+# runs, nothing oracled is staler than 3 driver rounds for a fourth
+# consecutive round. New r12 registrations go AFTER the window per the
+# standing convention (verified by direct oracle compares + the pytest
+# oracle gate + the closing strict sweep); they lead the r13 queue
+# TOGETHER WITH the 33 remaining r9-checked rows below, which hit the
+# 4-round staleness boundary at r13 and must all be taken (33 + new
+# regs, balance from the r11 block head).
 _PRIORITY_ORDER = [
-    # -- the r6-stale leftover (position 51 in r10, now first):
+    # -- the 7 r11 registrations (never driver-checked before r12):
+    "dsir_log_weights",
+    "mllib_minhash_agreement",
+    "dup_span_calibration",
+    "semdedup_incremental",
+    "doremi_domain_weights",
+    "unimax_mixture_plan",
+    "model_gate_disagreement",
+    # -- r8-checked remainder (26; last driver exposure round 8):
+    "bpe_pair_counts",
+    "cluster_label_purity",
+    "cosine_topk_agreement",
+    "daily_burst_detection",
+    "daily_event_pivot",
+    "embedding_near_dup_pairs",
+    "embedding_quantize",
+    "epoch_repeat_plan",
+    "frequent_ngrams",
+    "ivf_probe_sweep",
+    "kmeans_step",
+    "knn_label_eval",
+    "lang_confusion",
+    "media_features",
+    "media_preprocess_plan",
+    "pq_codes",
+    "pq_topk_agreement",
+    "price_quantity_corr",
+    "quality_threshold_sweep",
+    "rare_token_quality",
+    "ref_user_summary",
+    "sentence_dedup_stats",
+    "session_funnel_paths",
+    "tfidf_top_terms",
+    "user_tier_scd2",
+    "value_outliers_by_type",
+    # -- the 17 oldest r9-checked rows (alphabetical head of the
+    # r9 block; the other 33 lead the r13 queue):
+    "als_topk_agreement",
+    "bloom_decon_prefilter",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "cluster_size_histogram",
+    "contrastive_triplets",
+    "corpus_assembly_funnel",
+    "corpus_assembly_weighted",
+    "corpus_split",
+    "cross_detector_dup_clusters",
+    "cross_source_dup_matrix",
+    "decontamination_report",
+    "dedup_rate_by_source",
+    "dedup_retention_plan",
+    "dedup_token_savings",
+    "dsir_importance_sample",
+    "dup_detector_overlap",
+    # ---- driver window ends here (50) ------------------------------------
+    # -- NEW r12 registrations (never driver-checked; verified by
+    # oracle compares + pytest gate + strict sweep; co-lead the r13
+    # window with the r9 remainder below):
+    "doremi_mixture_sample",
+    "unimax_budget_draw",
+    # -- r9-checked remainder (33; 3 rounds stale after r12 —
+    # EVERY one must be in the r13 window to hold the invariant):
+    "dup_graph_degrees",
+    "dup_graph_pagerank",
+    "embedding_clusters",
+    "embedding_covariance",
+    "incremental_near_dup",
+    "kmeans_refine",
+    "lsh_band_tuning_report",
+    "lsh_recall_report",
+    "media_decoded_features",
+    "media_decoded_preprocess_plan",
+    "minhash_lsh_pairs",
+    "model_gate_report",
+    "nb_calibration_sweep",
+    "nb_classifier_eval",
+    "nb_classifier_scores",
+    "nb_quality_model",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_lm_scores",
+    "order_backlog_daily",
+    "ref_daily_stats",
+    "semdedup_plan",
+    "sequence_packing",
+    "shingle_containment_pairs",
+    "simhash_near_dup_pairs",
+    "srp_incremental_pairs",
+    "srp_lsh_pairs",
+    "srp_signatures",
+    "text_stats",
+    "token_budget_sample",
+    "tokenizer_fertility_by_source",
+    "train_contamination_scan",
+    "user_rfm_segments",
+    # -- r11-checked (the CORRECTNESS_r11 window):
     "mixture_plan",
-    # -- the 11 r10 registrations (never driver-checked; each was
-    # verified in r10 by direct oracle compares at sf0.001/0.01/0.1,
-    # the pytest oracle gate, the closing 0/183 sf0.1 strict sweep,
-    # and the r10 judge's independent 0-flagged-of-183 sweep):
     "pca_invariants",
     "approx_distinct_agreement",
     "approx_percentile_agreement",
@@ -342,7 +438,6 @@ _PRIORITY_ORDER = [
     "incremental_dup_spans",
     "ccnet_perplexity_buckets",
     "winnowing_fingerprints",
-    # -- r7-checked rows (35; last driver exposure round 7):
     "als_input_matrix",
     "balanced_sample",
     "bpe_token_stats",
@@ -378,102 +473,9 @@ _PRIORITY_ORDER = [
     "value_percentiles_by_type",
     "view_purchase_attribution",
     "vocab_df_stats",
-    # -- the 3 oldest r8-checked rows (alphabetical head of the
-    # r8 block; the other 26 lead the r12 queue):
     "ann_cosine_topk",
     "ann_ivf_topk",
     "attribution_delay_stats",
-    # ---- driver window ends here (50) ------------------------------------
-    # -- NEW r11 registrations (never driver-checked; verified by
-    # oracle compares + pytest gate + strict sweep, and they co-lead
-    # the r12 window with the r8 block below):
-    "dsir_log_weights",
-    "mllib_minhash_agreement",
-    "dup_span_calibration",
-    "semdedup_incremental",
-    "doremi_domain_weights",
-    "unimax_mixture_plan",
-    "model_gate_disagreement",
-    # -- r8-checked remainder (26; 3 rounds stale after r11 —
-    # EVERY one must be in the r12 window to hold the invariant):
-    "bpe_pair_counts",
-    "cluster_label_purity",
-    "cosine_topk_agreement",
-    "daily_burst_detection",
-    "daily_event_pivot",
-    "embedding_near_dup_pairs",
-    "embedding_quantize",
-    "epoch_repeat_plan",
-    "frequent_ngrams",
-    "ivf_probe_sweep",
-    "kmeans_step",
-    "knn_label_eval",
-    "lang_confusion",
-    "media_features",
-    "media_preprocess_plan",
-    "pq_codes",
-    "pq_topk_agreement",
-    "price_quantity_corr",
-    "quality_threshold_sweep",
-    "rare_token_quality",
-    "ref_user_summary",
-    "sentence_dedup_stats",
-    "session_funnel_paths",
-    "tfidf_top_terms",
-    "user_tier_scd2",
-    "value_outliers_by_type",
-    # -- r9-checked (2 rounds stale after r11; r12 window balance
-    # comes from the head of this block):
-    "als_topk_agreement",
-    "bloom_decon_prefilter",
-    "bpe_apply_merges",
-    "bpe_learn_merges",
-    "cluster_size_histogram",
-    "contrastive_triplets",
-    "corpus_assembly_funnel",
-    "corpus_assembly_weighted",
-    "corpus_split",
-    "cross_detector_dup_clusters",
-    "cross_source_dup_matrix",
-    "decontamination_report",
-    "dedup_rate_by_source",
-    "dedup_retention_plan",
-    "dedup_token_savings",
-    "dsir_importance_sample",
-    "dup_detector_overlap",
-    "dup_graph_degrees",
-    "dup_graph_pagerank",
-    "embedding_clusters",
-    "embedding_covariance",
-    "incremental_near_dup",
-    "kmeans_refine",
-    "lsh_band_tuning_report",
-    "lsh_recall_report",
-    "media_decoded_features",
-    "media_decoded_preprocess_plan",
-    "minhash_lsh_pairs",
-    "model_gate_report",
-    "nb_calibration_sweep",
-    "nb_classifier_eval",
-    "nb_classifier_scores",
-    "nb_quality_model",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "ngram_lm_scores",
-    "order_backlog_daily",
-    "ref_daily_stats",
-    "semdedup_plan",
-    "sequence_packing",
-    "shingle_containment_pairs",
-    "simhash_near_dup_pairs",
-    "srp_incremental_pairs",
-    "srp_lsh_pairs",
-    "srp_signatures",
-    "text_stats",
-    "token_budget_sample",
-    "tokenizer_fertility_by_source",
-    "train_contamination_scan",
-    "user_rfm_segments",
     # -- r10-checked (the CORRECTNESS_r10 window; freshest):
     "user_features_batch",
     "product_features_batch",
@@ -755,6 +757,8 @@ ORACLES: dict[str, str] = {
     "unimax_mixture_plan": packing.UNIMAX_MIXTURE_PLAN_SQL,
     "model_gate_disagreement": quality_models.MODEL_GATE_DISAGREEMENT_SQL,
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
+    "doremi_mixture_sample": quality_models.DOREMI_MIXTURE_SAMPLE_SQL,
+    "unimax_budget_draw": packing.UNIMAX_BUDGET_DRAW_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

@@ -168,13 +168,23 @@ def run_mix(args: argparse.Namespace) -> None:
     alternatives to hand-set target shares that a downstream sampling
     stage (mixture_sample / token_budget_sample) consumes. Both are the
     registered (oracle-hashed) queries, so the written grids equal the
-    driver-checked outputs by construction."""
+    driver-checked outputs by construction.
+
+    The planner grids are then CONSUMED, not left as leaves: the per-doc
+    sampling manifests (doremi_sample, unimax_draw) are derived by
+    reading the WRITTEN grids back and feeding them through the same
+    ``_from`` helpers the registered sampling queries use inline — the
+    frozen-planner serving path, mirroring how ``score`` reads the
+    written models (written == inline pinned by the CLI e2e test)."""
     from big_data_recommendation_system_spark.plans.packing import (
+        unimax_budget_draw_from,
         unimax_mixture_plan,
     )
     from big_data_recommendation_system_spark.plans.quality_models import (
+        doremi_mixture_sample_from,
         doremi_domain_weights,
     )
+    from big_data_recommendation_system_spark.sources.tables import load_table
 
     spark = get_spark("bdrs-curation")
     t0 = time.time()
@@ -184,6 +194,22 @@ def run_mix(args: argparse.Namespace) -> None:
     }
     sizes = {}
     for name, df in outputs.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out_dir, name))
+        sizes[f"n_{name}"] = spark.read.parquet(
+            os.path.join(args.out_dir, name)
+        ).count()
+    docs = load_table(spark, args.sf_dir, "documents")
+    manifests = {
+        "doremi_sample": doremi_mixture_sample_from(
+            docs,
+            spark.read.parquet(os.path.join(args.out_dir, "doremi_weights")),
+        ),
+        "unimax_draw": unimax_budget_draw_from(
+            docs,
+            spark.read.parquet(os.path.join(args.out_dir, "unimax_plan")),
+        ),
+    }
+    for name, df in manifests.items():
         df.write.mode("overwrite").parquet(os.path.join(args.out_dir, name))
         sizes[f"n_{name}"] = spark.read.parquet(
             os.path.join(args.out_dir, name)

@@ -279,3 +279,32 @@ def test_r11_ops_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.catalog.clearCache()
+
+
+def test_r12_ops_partitioning_invariant(spark, sf_dir):
+    """Same property as the r10/r11 twins, for the round-12 sampler
+    operators: the decimal budget-share rate derivation, the salted
+    bucket gate, and the range-repartitioned per-source prefix walk must
+    return identical rows under a deliberately awkward shuffle-partition
+    count (7) vs the default, with substrates rebuilt at the perturbed
+    parallelism."""
+    from big_data_recommendation_system_spark.registry import QUERIES
+
+    names = [
+        "doremi_mixture_sample",
+        "unimax_budget_draw",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = {}
+        for n in names:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            baseline[n] = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+        spark.catalog.clearCache()  # drop substrates so they rebuild at 7
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, sf_dir).collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()

@@ -2581,6 +2581,20 @@ def test_run_curation_cli_end_to_end(spark, sf_dir_small, tmp_path):
         _ump(spark, sf_dir_small)
     )
 
+    # r12: the planner grids are consumed, not leaves — the written
+    # sampling manifests (derived from the WRITTEN grids via the _from
+    # helpers) must equal the registered inline queries exactly
+    from big_data_recommendation_system_spark.plans.packing import (
+        unimax_budget_draw as _ubd,
+    )
+
+    assert rows(spark.read.parquet(_os.path.join(out, "doremi_sample"))) == rows(
+        qm.doremi_mixture_sample(spark, sf_dir_small)
+    )
+    assert rows(spark.read.parquet(_os.path.join(out, "unimax_draw"))) == rows(
+        _ubd(spark, sf_dir_small)
+    )
+
 
 def test_unimax_waterfill_caps_and_level(spark, tmp_path):
     """Constructed skewed corpus exercising the UniMax branches the
@@ -2619,3 +2633,163 @@ def test_unimax_waterfill_caps_and_level(spark, tmp_path):
         assert out[s].alloc_tokens <= out[s].cap_tokens
     spent = sum(r.alloc_tokens for r in out.values())
     assert 0 <= budget - spent < 2  # floor remainder < n_uncapped
+
+
+def test_doremi_mixture_sample_rates_and_membership(spark, sf_dir_small):
+    """The planner→sampler loop, doremi side: rate_fp must be the exact
+    integer derivation from the planner's own BIGINT columns (budget
+    share → per-source keep rate, saturating at 10000), membership must
+    be exactly the salted-md5 bucket gate, and sample_weight the single
+    division — all recomputed independently in Python."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.plans.quality_models import (
+        _DMIX_SALT,
+        DOREMI_BUDGET_DEN,
+        DOREMI_BUDGET_NUM,
+        doremi_domain_weights,
+        doremi_mixture_sample,
+        doremi_sample_rates_from,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    w = doremi_domain_weights(spark, sf_dir_small).collect()
+    tot_w = sum(r.n_tokens * r.exp_w_fp for r in w)
+    budget = sum(r.n_tokens for r in w) * DOREMI_BUDGET_NUM // DOREMI_BUDGET_DEN
+    expect_rate = {}
+    for r in w:
+        target = budget * (r.n_tokens * r.exp_w_fp) // tot_w
+        expect_rate[r.source] = min(10_000, target * 10_000 // max(r.n_tokens, 1))
+
+    got_rates = {
+        r.source: r.rate_fp
+        for r in doremi_sample_rates_from(
+            doremi_domain_weights(spark, sf_dir_small)
+        ).collect()
+    }
+    assert got_rates == expect_rate
+
+    def bucket(doc_id):
+        h = hashlib.md5((_DMIX_SALT + str(doc_id)).encode()).hexdigest()
+        return int(h[:4], 16) % 10_000
+
+    docs = load_table(spark, sf_dir_small, "documents").select("doc_id", "source")
+    expect_kept = {
+        (r.doc_id, r.source, bucket(r.doc_id), expect_rate[r.source])
+        for r in docs.collect()
+        if bucket(r.doc_id) < expect_rate[r.source]
+    }
+    sample = doremi_mixture_sample(spark, sf_dir_small).collect()
+    assert {
+        (r.doc_id, r.source, r.mix_bucket, r.rate_fp) for r in sample
+    } == expect_kept
+    for r in sample:
+        assert r.sample_weight == 10_000.0 / r.rate_fp
+
+    # expected kept-token mass tracks the posterior share of the budget:
+    # per source, n_tokens·rate/10000 is within one doc-rounding of target
+    for r in w:
+        target = budget * (r.n_tokens * r.exp_w_fp) // tot_w
+        implied = r.n_tokens * expect_rate[r.source] // 10_000
+        assert implied <= min(target, r.n_tokens)
+
+
+def test_unimax_budget_draw_membership_and_bounds(spark, sf_dir_small):
+    """The planner→sampler loop, unimax side: membership must equal the
+    per-source shuffled-order prefix walk against alloc_tokens,
+    recomputed independently in Python; per-source kept token mass may
+    exceed alloc only by the one straddling document."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_recommendation_system_spark.functions.text import tokens
+    from big_data_recommendation_system_spark.plans.packing import (
+        _UNIMAX_SALT,
+        unimax_budget_draw,
+        unimax_mixture_plan,
+    )
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    alloc = {
+        r.source: r.alloc_tokens
+        for r in unimax_mixture_plan(spark, sf_dir_small).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir_small, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+
+    def key(r):
+        return (
+            hashlib.md5((_UNIMAX_SALT + str(r.doc_id)).encode()).hexdigest(),
+            r.doc_id,
+        )
+
+    expect = {}
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows_ in by_src.items():
+        run = 0
+        for r in sorted(rows_, key=key):
+            if run < alloc[src]:
+                expect[r.doc_id] = (src, r.n_tokens, run, alloc[src])
+            run += r.n_tokens
+
+    got = unimax_budget_draw(spark, sf_dir_small).collect()
+    assert {
+        r.doc_id: (r.source, r.n_tokens, r.tokens_before, r.alloc_tokens)
+        for r in got
+    } == expect
+
+    # per-source kept mass exceeds alloc only via the last straddler
+    kept_mass = {}
+    last_straddle = {}
+    for r in got:
+        kept_mass[r.source] = kept_mass.get(r.source, 0) + r.n_tokens
+        last_straddle[r.source] = max(last_straddle.get(r.source, 0), r.n_tokens)
+    for src, mass in kept_mass.items():
+        assert mass < alloc[src] + last_straddle[src]
+
+
+def test_unimax_budget_draw_capped_source_keeps_all(spark, tmp_path):
+    """Constructed skew (the waterfill test's corpus): the capped tiny
+    source's alloc is 2 epochs ≥ its corpus, so the draw must keep every
+    one of its documents; the uncapped big sources must be cut to their
+    level."""
+    from big_data_recommendation_system_spark.plans.packing import (
+        unimax_budget_draw,
+        unimax_mixture_plan,
+    )
+
+    def doc(i, src, n_words):
+        return (i, " ".join(f"w{i}x{j}" for j in range(n_words)), "en", src, 7)
+
+    rows = [doc(0, "tiny", 10)]
+    rows += [doc(1 + i, "big_a", 100) for i in range(10)]
+    rows += [doc(11 + i, "big_b", 100) for i in range(10)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    plan = {r.source: r for r in unimax_mixture_plan(spark, str(tmp_path)).collect()}
+    got = unimax_budget_draw(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    assert plan["tiny"].capped
+    assert len(by_src["tiny"]) == 1  # all docs of the capped source
+    for s in ("big_a", "big_b"):
+        # level = 497 tokens → 5 docs of 100 fit (4 fully, 5th straddles)
+        kept = len(by_src[s])
+        assert kept == plan[s].alloc_tokens // 100 + (
+            1 if plan[s].alloc_tokens % 100 else 0
+        )
