@@ -268,6 +268,7 @@ SUBSTRATE_CONSUMERS = frozenset(
     {
         "minhash_lsh_pairs",
         "near_dup_clusters",
+        "bounded_cc_certificate",
         "dedup_retention_plan",
         "dedup_rate_by_source",
         "cross_source_dup_matrix",
@@ -816,6 +817,182 @@ ORDER BY l.doc_id
 NEAR_DUP_CLUSTERS_SQL = _near_dup_clusters_sql()
 
 
+# --- bounded label propagation (giant-component hardening) ------------------
+#
+# The generic connected_components loop converges in O(log diameter)
+# rounds and caps at 50 — but a pathological near-dup graph (one
+# accidental super-hub, an adversarial chain) degrades SILENTLY: the cap
+# fires a warning the driver hash never sees. This variant makes the
+# degradation measurable and hash-anchored: propagate min-labels for a
+# FIXED K rounds over a DEGREE-CAPPED edge set and emit a one-row
+# certificate — how many edges the cap kept, how many components the
+# bounded labels see, and whether one more round would still change any
+# label (converged_within_k: the 1/0 driver-hashed convergence
+# certificate). Deterministic by construction (no loop-until-fixpoint),
+# so the DuckDB twin is the same K rounds unrolled as chained CTEs over
+# real data — nothing pinned to a constant.
+
+BCC_ROUNDS = 3
+BCC_DEGREE_CAP = 8
+
+
+def _bcc_edges(pairs: DataFrame, degree_cap: int) -> DataFrame:
+    """Directed, deduped, degree-capped edge set (u, v): each node keeps
+    its ``degree_cap`` smallest neighbors."""
+    directed = pairs.select("doc_a", "doc_b").union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    w = Window.partitionBy("doc_a").orderBy("doc_b")
+    return (
+        directed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= degree_cap)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+
+def bounded_cc_labels_from(
+    pairs: DataFrame, rounds: int = BCC_ROUNDS, degree_cap: int = BCC_DEGREE_CAP
+) -> DataFrame:
+    """K-round degree-capped min-label propagation over an undirected
+    pair frame (doc_a, doc_b). Returns one row per PAIRED doc:
+    (doc_id, label, next_label) where label is the round-K min-label
+    and next_label is one additional round — equal everywhere iff the
+    bounded propagation reached its fixpoint on the capped graph.
+
+    Degree cap: each node keeps only its ``degree_cap`` smallest
+    neighbors (deterministic — smallest doc ids), so every subsequent
+    round joins at most cap·|paired| edges no matter how pathological a
+    hub is. The cap can split true components (dropped edges) — that is
+    the documented trade-off this operator makes MEASURABLE via the
+    certificate instead of silent. The per-node capping window
+    processes degree-many rows per node; Spark's sort-based WindowExec
+    spills past memory, so a 10^9-degree hub degrades to disk, not OOM,
+    and everything downstream of the cap is bounded."""
+    edges = _bcc_edges(pairs, degree_cap)
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+
+    def step(lab: DataFrame) -> DataFrame:
+        neigh = (
+            edges.join(lab, edges.v == lab.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        return lab.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("_nmin", F.col("label"))
+            ).alias("label"),
+        )
+
+    for _ in range(rounds):
+        labels = step(labels)
+    nxt = step(labels).select(
+        "doc_id", F.col("label").alias("next_label")
+    )
+    return labels.join(nxt, "doc_id")
+
+
+def bounded_cc_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the one-row bounded-propagation certificate over
+    the verified LSH near-dup pairs — (rounds, degree_cap,
+    n_paired_docs, n_capped_edges, n_components, labels_changed_next_
+    round, converged_within_k). converged_within_k = 1 iff round K+1
+    changes no label, i.e. the K-round labels ARE the capped graph's
+    components; 0 means the graph outran the bound (chain longer than K
+    hops, post-cap) and downstream consumers see exactly how far.
+
+    On the synthetic corpus the dup clusters are dense and tiny, so the
+    certificate is 1 — the constructed-chain unit test pins the 0 side
+    where the round cap binds."""
+    pairs = dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cap_cnt = _bcc_edges(pairs, BCC_DEGREE_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("n_capped_edges")
+    )
+    lab = bounded_cc_labels_from(pairs)
+    return (
+        lab.agg(
+            F.lit(BCC_ROUNDS).cast("long").alias("rounds"),
+            F.lit(BCC_DEGREE_CAP).cast("long").alias("degree_cap"),
+            F.count(F.lit(1)).cast("long").alias("n_paired_docs"),
+            F.countDistinct("label").cast("long").alias("n_components"),
+            F.sum((F.col("label") != F.col("next_label")).cast("int"))
+            .cast("long")
+            .alias("labels_changed_next_round"),
+            (
+                F.sum((F.col("label") != F.col("next_label")).cast("int"))
+                == 0
+            )
+            .cast("long")
+            .alias("converged_within_k"),
+        )
+        .crossJoin(F.broadcast(cap_cnt))
+        .select(
+            "rounds",
+            "degree_cap",
+            "n_paired_docs",
+            "n_capped_edges",
+            "n_components",
+            "labels_changed_next_round",
+            "converged_within_k",
+        )
+    )
+
+
+def _bounded_cc_sql() -> str:
+    base = minhash_pairs_cte()
+    assert base.lstrip().startswith("WITH ")
+    # AS MATERIALIZED: each round references the previous level twice
+    # (its own label + the neighbor lookup); without materialization
+    # DuckDB inlines the reference and the plan doubles per round —
+    # 2^K copies of the whole minhash pair pipeline
+    rounds = "".join(
+        f""",
+l{i + 1} AS MATERIALIZED (
+  SELECT l.doc_id,
+    LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+  FROM l{i} l
+  LEFT JOIN edges e ON e.u = l.doc_id
+  LEFT JOIN l{i} n ON n.doc_id = e.v
+  GROUP BY l.doc_id, l.label
+)"""
+        for i in range(BCC_ROUNDS + 1)
+    )
+    return (
+        base
+        + f""",
+directed AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk
+    FROM directed
+  ) WHERE rk <= {BCC_DEGREE_CAP}
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS label FROM edges){rounds}
+SELECT CAST({BCC_ROUNDS} AS BIGINT) AS rounds,
+  CAST({BCC_DEGREE_CAP} AS BIGINT) AS degree_cap,
+  CAST(COUNT(*) AS BIGINT) AS n_paired_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_capped_edges,
+  CAST(COUNT(DISTINCT k.label) AS BIGINT) AS n_components,
+  CAST(SUM(CASE WHEN k.label <> n.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS labels_changed_next_round,
+  CAST(CASE WHEN SUM(CASE WHEN k.label <> n.label THEN 1 ELSE 0 END) = 0
+       THEN 1 ELSE 0 END AS BIGINT) AS converged_within_k
+FROM l{BCC_ROUNDS} k JOIN l{BCC_ROUNDS + 1} n USING (doc_id)
+"""
+    )
+
+
+BOUNDED_CC_CERTIFICATE_SQL = _bounded_cc_sql()
+
+
 def dedup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup *action*: per near-dup cluster, pick the survivor by a
     content policy (longest text wins, ties to the lowest doc_id — i.e.
@@ -1286,20 +1463,26 @@ def dup_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     detectors are redundant (template copies caught by both) or
     complementary (paraphrases only the embedding path sees).
 
-    Scale shape: both inputs are the already-bounded pair sets (text
-    pairs from the materialized substrate), full-outer-joined on the
-    pair key — linear in pairs, nothing quadratic."""
+    r12: the winnowing pair detector (plans/text_analysis.
+    winnowing_dup_pairs) joins the comparison as the third axis —
+    detector labels become the '+'-joined combination of emitting
+    detectors (e.g. 'text+winnowing'), so the report generalizes past
+    two axes without a combinatorial CASE.
+
+    Scale shape: all inputs are already-bounded pair sets (text pairs
+    and the winnow posting list from materialized substrates),
+    full-outer-joined on the pair key — linear in pairs, nothing
+    quadratic."""
+    from ..plans.text_analysis import winnowing_dup_pairs
     from .similarity import NEAR_DUP_MAX_VEC_ID, embedding_near_dup_pairs
 
-    tp = (
-        dup_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .filter(
+    def slice_(df, flag):
+        return df.filter(
             (F.col("doc_a") < NEAR_DUP_MAX_VEC_ID)
             & (F.col("doc_b") < NEAR_DUP_MAX_VEC_ID)
-        )
-        .withColumn("t", F.lit(1))
-    )
+        ).withColumn(flag, F.lit(1))
+
+    tp = slice_(dup_pairs(spark, sf_dir).select("doc_a", "doc_b"), "t")
     ep = (
         embedding_near_dup_pairs(spark, sf_dir)
         .select(
@@ -1307,13 +1490,18 @@ def dup_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("e", F.lit(1))
     )
-    detector = (
-        F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), F.lit("both"))
-        .when(F.col("t").isNotNull(), F.lit("text_only"))
-        .otherwise(F.lit("embedding_only"))
+    wp = slice_(
+        winnowing_dup_pairs(spark, sf_dir).select("doc_a", "doc_b"), "w"
+    )
+    detector = F.expr(
+        "substring(concat("
+        "  CASE WHEN t IS NOT NULL THEN '+text' ELSE '' END,"
+        "  CASE WHEN e IS NOT NULL THEN '+embedding' ELSE '' END,"
+        "  CASE WHEN w IS NOT NULL THEN '+winnowing' ELSE '' END), 2)"
     )
     return (
         tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+        .join(wp, ["doc_a", "doc_b"], "full_outer")
         .select(detector.alias("detector"))
         .groupBy("detector")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -1520,6 +1708,10 @@ ORDER BY l.doc_id
 
 CROSS_DETECTOR_DUP_CLUSTERS_SQL = _cross_detector_clusters_sql()
 
+from ..plans.text_analysis import (  # noqa: E402  (no cycle: text_analysis imports only functions/sources)
+    WINNOWING_DUP_PAIRS_SQL as _WINNOW_PAIRS_SQL,
+)
+
 DUP_DETECTOR_OVERLAP_SQL = f"""
 WITH tp AS (
   SELECT doc_a, doc_b, 1 AS t
@@ -1528,13 +1720,18 @@ WITH tp AS (
 ), ep AS (
   SELECT vec_a AS doc_a, vec_b AS doc_b, 1 AS e
   FROM ({_EMB_ND_SQL})
+), wp AS (
+  SELECT doc_a, doc_b, 1 AS w
+  FROM ({_WINNOW_PAIRS_SQL})
+  WHERE doc_a < {_EMB_ND_MAX} AND doc_b < {_EMB_ND_MAX}
 )
 SELECT detector, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
-  SELECT CASE WHEN t.t IS NOT NULL AND e.e IS NOT NULL THEN 'both'
-              WHEN t.t IS NOT NULL THEN 'text_only'
-              ELSE 'embedding_only' END AS detector
-  FROM tp t FULL OUTER JOIN ep e
-    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+  SELECT substr(concat(
+      CASE WHEN t IS NOT NULL THEN '+text' ELSE '' END,
+      CASE WHEN e IS NOT NULL THEN '+embedding' ELSE '' END,
+      CASE WHEN w IS NOT NULL THEN '+winnowing' ELSE '' END), 2) AS detector
+  FROM tp FULL OUTER JOIN ep USING (doc_a, doc_b)
+  FULL OUTER JOIN wp USING (doc_a, doc_b)
 ) GROUP BY detector ORDER BY detector
 """
 

@@ -1438,6 +1438,9 @@ TA_SUBSTRATE_CONSUMERS = frozenset(
         "corpus_report_card",
         "mixture_weights_by_quality",
         "corpus_assembly_weighted",
+        # r12: both read the winnow:fps session substrate
+        "winnowing_dup_pairs",
+        "dup_detector_overlap",
     }
 )
 
@@ -1637,6 +1640,55 @@ WINNOW_K = 3  # token k-gram size
 WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint pick
 
 
+def _winnow_hashes(docs: DataFrame) -> DataFrame:
+    """Positional k-gram hashes (doc_id, pos, h) over a (doc_id, tok)
+    frame — the linear substrate both the fingerprint report and the
+    pair detector winnow from."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(ngrams("tok", WINNOW_K)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+
+
+def _winnow_picks_from(hashes: DataFrame) -> DataFrame:
+    """The winnowed selection (doc_id, fp_pos, fp_hash): per-window
+    minimum, rightmost position on ties (Schleimer et al. 2003 robust
+    rule). Doc-partitioned ROWS window + one w-bounded self-band-join —
+    never global."""
+    from pyspark.sql import Window
+
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    # windows are complete once pos >= W-1 (the paper slides one window
+    # per new hash; shorter prefixes are not windows)
+    wmins = (
+        hashes.withColumn("wmin", F.min("h").over(wnd))
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("pos").alias("wend"), "wmin")
+    )
+    return (
+        wmins.alias("w")
+        .join(
+            hashes.alias("x"),
+            (F.col("x.doc_id") == F.col("w.doc_id"))
+            & (F.col("x.pos") <= F.col("w.wend"))
+            & (F.col("x.pos") >= F.col("w.wend") - (WINNOW_W - 1))
+            & (F.col("x.h") == F.col("w.wmin")),
+        )
+        .groupBy(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.wend").alias("wend"),
+            F.col("w.wmin").alias("fp_hash"),
+        )
+        .agg(F.max("x.pos").alias("fp_pos"))
+        .select("doc_id", "fp_pos", "fp_hash")
+        .distinct()
+    )
+
+
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     algorithm): hash every token 3-gram, slide a window of 4 consecutive
@@ -1658,47 +1710,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     global); the rightmost-min pick is one w-bounded self-band-join +
     per-window max; the digest is a per-doc bounded
     sort_array(collect_list) like event_sequences."""
-    from pyspark.sql import Window
-
-    from ..functions.text import ngrams
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("tok")
     )
-    hashes = docs.select(
-        "doc_id",
-        F.posexplode(ngrams("tok", WINNOW_K)).alias("pos", "g"),
-    ).select("doc_id", "pos", F.md5("g").alias("h"))
-    wnd = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), 0)
-    )
-    # windows are complete once pos >= W-1 (the paper slides one window
-    # per new hash; shorter prefixes are not windows)
-    wmins = (
-        hashes.withColumn("wmin", F.min("h").over(wnd))
-        .filter(F.col("pos") >= WINNOW_W - 1)
-        .select("doc_id", F.col("pos").alias("wend"), "wmin")
-    )
-    picks = (
-        wmins.alias("w")
-        .join(
-            hashes.alias("x"),
-            (F.col("x.doc_id") == F.col("w.doc_id"))
-            & (F.col("x.pos") <= F.col("w.wend"))
-            & (F.col("x.pos") >= F.col("w.wend") - (WINNOW_W - 1))
-            & (F.col("x.h") == F.col("w.wmin")),
-        )
-        .groupBy(
-            F.col("w.doc_id").alias("doc_id"),
-            F.col("w.wend").alias("wend"),
-            F.col("w.wmin").alias("fp_hash"),
-        )
-        .agg(F.max("x.pos").alias("fp_pos"))
-        .select("doc_id", "fp_pos", "fp_hash")
-        .distinct()
-    )
+    hashes = _winnow_hashes(docs)
+    picks = _winnow_picks_from(hashes)
     per_doc = picks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
         F.md5(
@@ -1734,7 +1750,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOWING_FINGERPRINTS_SQL = f"""{_DOCS_TOK_CTE},
+# Shared winnowing CTE chain through the selected fingerprints —
+# composed by both WINNOWING_FINGERPRINTS_SQL and
+# WINNOWING_DUP_PAIRS_SQL (picks MATERIALIZED: the pair twin references
+# it several times and DuckDB would otherwise inline the whole chain
+# per reference).
+_WINNOW_PICKS_CTE = f"""{_DOCS_TOK_CTE},
 hashes AS (
   SELECT doc_id,
     unnest(range(0, greatest(len(tok) - {WINNOW_K - 1}, 0))) AS pos,
@@ -1750,7 +1771,7 @@ wmins AS (
   FROM hashes
   QUALIFY pos >= {WINNOW_W - 1}
 ),
-picks AS (
+picks AS MATERIALIZED (
   SELECT DISTINCT doc_id, fp_pos, fp_hash FROM (
     SELECT w.doc_id, w.wend, w.wmin AS fp_hash, MAX(x.pos) AS fp_pos
     FROM wmins w
@@ -1759,7 +1780,9 @@ picks AS (
       AND x.h = w.wmin
     GROUP BY w.doc_id, w.wend, w.wmin
   )
-),
+)"""
+
+WINNOWING_FINGERPRINTS_SQL = f"""{_WINNOW_PICKS_CTE},
 per_doc AS (
   SELECT doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
@@ -1782,4 +1805,141 @@ FROM (SELECT doc_id FROM t) d
 LEFT JOIN ng USING (doc_id)
 LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+# --- winnowing pair detector -------------------------------------------------
+#
+# The fifth near-dup detector (MinHash-LSH, SimHash, n-gram Jaccard,
+# embedding-cosine, and now winnowing): join documents on SHARED
+# SELECTED FINGERPRINTS — the Schleimer et al. use-case the fingerprint
+# report computes digests for. Because winnowing guarantees any shared
+# token run of >= w+k-1 yields at least one shared fingerprint, this
+# detector is sensitive to LOCAL verbatim overlap (clone/quote
+# detection) where the global sketches need whole-document similarity.
+
+# fingerprint hashes shared by more docs than this are boilerplate
+# ("stop fingerprints") — dropped from the inverted index, same
+# df-capping as CONTAINMENT_SHINGLE_MAX_DF so no fingerprint fans out
+# quadratically
+WINNOW_MAX_DF = 64
+# pairs must share at least this many distinct selected fingerprints
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the distinct winnowed posting list
+    (doc_id, fp_hash), built once per (session, corpus) — shared by the
+    pair detector and the cross-detector overlap report."""
+    from ..operators.substrate import session_frame
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("tok")
+        )
+        return (
+            _winnow_picks_from(_winnow_hashes(docs))
+            .select("doc_id", "fp_hash")
+            .distinct()
+        )
+
+    return session_frame(spark, sf_dir, "winnow:fps", build)
+
+
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from the winnowed fingerprint inverted
+    index: (doc_a, doc_b, n_shared, n_fp_a, n_fp_b, overlap) for pairs
+    sharing >= WINNOW_MIN_SHARED distinct selected fingerprints after
+    the df-cap; overlap = n_shared / min(n_fp_a, n_fp_b) (containment
+    over the winnowed sketch — one exact division).
+
+    Scale shape: linear winnow substrate → distinct (doc, fp) posting
+    list → df-capped inverted index (every fingerprint fans out to at
+    most WINNOW_MAX_DF docs, so the self-join is bounded per key like
+    the shingle-containment path) → hash-agg on the pair key. Cites
+    reference parity: no counterpart (clone detection absent from the
+    reference); Schleimer et al. 2003 §3."""
+    fps = winnow_fps_table(spark, sf_dir)
+    n_fp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    kept = fps.join(
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("fp_hash"),
+        "fp_hash",
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            n_fp.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            n_fp.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+WINNOWING_DUP_PAIRS_SQL = f"""{_WINNOW_PICKS_CTE},
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp_hash FROM picks
+),
+nfp AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+),
+kept AS MATERIALIZED (
+  SELECT f.doc_id, f.fp_hash
+  FROM fps f JOIN (
+    SELECT fp_hash FROM fps GROUP BY fp_hash
+    HAVING COUNT(*) <= {WINNOW_MAX_DF}
+  ) d USING (fp_hash)
+),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+  na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+  CAST(pr.n_shared AS DOUBLE) / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE)
+    AS overlap
+FROM pr
+JOIN nfp na ON na.doc_id = pr.doc_a
+JOIN nfp nb ON nb.doc_id = pr.doc_b
+ORDER BY pr.doc_a, pr.doc_b
 """

@@ -314,6 +314,12 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     # plans do (r11 VERDICT next-round #2)
     "doremi_mixture_sample": quality_models.doremi_mixture_sample,
     "unimax_budget_draw": packing.unimax_budget_draw,
+    # r12: K-round degree-capped label propagation with a hash-anchored
+    # convergence certificate (giant-component hardening)
+    "bounded_cc_certificate": text_dedup.bounded_cc_certificate,
+    # r12: fifth near-dup detector — winnowed fingerprint inverted-index
+    # pairs (Schleimer et al. 2003), feeding dup_detector_overlap
+    "winnowing_dup_pairs": text_analysis.winnowing_dup_pairs,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -390,6 +396,8 @@ _PRIORITY_ORDER = [
     # window with the r9 remainder below):
     "doremi_mixture_sample",
     "unimax_budget_draw",
+    "bounded_cc_certificate",
+    "winnowing_dup_pairs",
     # -- r9-checked remainder (33; 3 rounds stale after r12 —
     # EVERY one must be in the r13 window to hold the invariant):
     "dup_graph_degrees",
@@ -759,6 +767,8 @@ ORACLES: dict[str, str] = {
     "winnowing_fingerprints": text_analysis.WINNOWING_FINGERPRINTS_SQL,
     "doremi_mixture_sample": quality_models.DOREMI_MIXTURE_SAMPLE_SQL,
     "unimax_budget_draw": packing.UNIMAX_BUDGET_DRAW_SQL,
+    "bounded_cc_certificate": text_dedup.BOUNDED_CC_CERTIFICATE_SQL,
+    "winnowing_dup_pairs": text_analysis.WINNOWING_DUP_PAIRS_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

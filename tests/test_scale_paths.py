@@ -293,6 +293,8 @@ def test_r12_ops_partitioning_invariant(spark, sf_dir):
     names = [
         "doremi_mixture_sample",
         "unimax_budget_draw",
+        "bounded_cc_certificate",
+        "winnowing_dup_pairs",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

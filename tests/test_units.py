@@ -2793,3 +2793,83 @@ def test_unimax_budget_draw_capped_source_keeps_all(spark, tmp_path):
         assert kept == plan[s].alloc_tokens // 100 + (
             1 if plan[s].alloc_tokens % 100 else 0
         )
+
+
+def test_bounded_cc_round_cap_binds_on_chain(spark):
+    """Constructed pathological graphs for the bounded label-propagation
+    certificate: a 10-node chain outruns K=3 rounds (min-label reaches
+    only K hops per round → next round still changes labels, converged
+    certificate must be 0), while a 21-leaf star exceeds the degree cap
+    (the hub keeps only its 8 smallest neighbors) yet stays one
+    component through the leaves' own kept edges."""
+    from big_data_recommendation_system_spark.operators.text_dedup import (
+        BCC_DEGREE_CAP,
+        _bcc_edges,
+        bounded_cc_labels_from,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    lab = {
+        r.doc_id: (r.label, r.next_label)
+        for r in bounded_cc_labels_from(chain).collect()
+    }
+    # node u's round-K label = min over nodes within K hops = u - K
+    assert lab[9][0] == 6 and lab[9][1] == 5  # round 4 still moving
+    assert lab[3][0] == 0 and lab[3][1] == 0
+    changed = sum(1 for l, n in lab.values() if l != n)
+    assert changed > 0  # certificate would be converged_within_k = 0
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], ["doc_a", "doc_b"]
+    )
+    edges = _bcc_edges(star, BCC_DEGREE_CAP).collect()
+    hub_out = [e for e in edges if e.u == 0]
+    assert len(hub_out) == BCC_DEGREE_CAP  # the cap binds on the hub
+    assert len(edges) == BCC_DEGREE_CAP + 20  # each leaf keeps its edge
+    slab = {
+        r.doc_id: (r.label, r.next_label)
+        for r in bounded_cc_labels_from(star).collect()
+    }
+    assert all(l == 0 and n == 0 for l, n in slab.values())
+
+
+def test_winnowing_dup_pairs_guarantee_and_df_cap(spark, tmp_path):
+    """Constructed corpus for the winnowing pair detector: (a) two docs
+    sharing a 30-token varied run must share fingerprints (the
+    Schleimer guarantee: any shared run >= w+k-1 tokens yields at least
+    one common fingerprint — a 30-token run yields far more than
+    MIN_SHARED) and be emitted as a pair with their shared count; (b) a
+    cohort of WINNOW_MAX_DF+6 identical docs makes every one of its
+    fingerprints a stop-fingerprint (df cap binds), so NO pair from the
+    cohort survives."""
+    from big_data_recommendation_system_spark.plans.text_analysis import (
+        WINNOW_MAX_DF,
+        winnowing_dup_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (0, "unique0 " + shared + " tail0 x y z", "en", "a", 1),
+        (1, "other1 prefix " + shared + " different suffix here", "en", "a", 1),
+        (2, "totally unrelated words nothing in common qqq www eee rrr ttt yyy uuu", "en", "a", 1),
+    ]
+    cohort_start = 10
+    for i in range(WINNOW_MAX_DF + 6):
+        rows.append((cohort_start + i, boiler, "en", "b", 1))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = winnowing_dup_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    assert (0, 1) in pairs  # the guaranteed shared-run pair
+    r = pairs[(0, 1)]
+    assert r.n_shared >= 2 and 0 < r.overlap <= 1.0
+    assert r.overlap == r.n_shared / min(r.n_fp_a, r.n_fp_b)
+    # doc 2 shares nothing
+    assert not any(2 in p for p in pairs)
+    # the boilerplate cohort is fully df-capped away
+    assert not any(a >= cohort_start or b >= cohort_start for a, b in pairs)
