@@ -758,12 +758,24 @@ ORDER BY dsir_rank
 LM_GATE_MIN_FP_PER_BIGRAM = 100_000_000
 
 
+# Which DSIR ranking serves the gate's third axis: "linear" (the
+# registered fast path — fixed-point linear ratio sum, what the oracled
+# model_gate_report/disagreement rows pin) or "log" (the paper-fidelity
+# Σ occ·ln(ratio) ranking of dsir_log_weights). Identical serving shape
+# either way — the swap is which 1024-row broadcast table rides the
+# join; the log form is unit-pinned (test_units) rather than re-oracled
+# because it would duplicate two heavy registered queries for a
+# one-table swap.
+DSIR_GATE_FORM = "linear"
+
+
 def _gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_tokens, nb_pass, lm_pass, dsir_pass) for EVERY
     document — the shared serving frame behind model_gate_report and
     model_gate_disagreement. Unscoreable docs fail the affected gate
     (left joins + coalesce-to-false); all three scorers read the qm:*
-    session substrates."""
+    session substrates. The DSIR axis serves whichever ranking
+    DSIR_GATE_FORM selects."""
     lab = labeled_docs_table(spark, sf_dir)
     nb = nb_score_docs(lab, nb_model_table(spark, sf_dir)).select(
         "doc_id", "predicted_hi"
@@ -771,7 +783,10 @@ def _gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = lm_score_docs(
         lab, lm_bigram_table(spark, sf_dir), lm_unigram_table(spark, sf_dir)
     ).select("doc_id", "n_bigrams", "lm_score_fp")
-    ds = dsir_importance_sample(spark, sf_dir).select("doc_id", "selected")
+    dsir_plan = (
+        dsir_log_weights if DSIR_GATE_FORM == "log" else dsir_importance_sample
+    )
+    ds = dsir_plan(spark, sf_dir).select("doc_id", "selected")
     lm_pass = (F.col("n_bigrams") > 0) & (
         F.col("lm_score_fp")
         >= F.col("n_bigrams") * F.lit(LM_GATE_MIN_FP_PER_BIGRAM)

@@ -2873,3 +2873,30 @@ def test_winnowing_dup_pairs_guarantee_and_df_cap(spark, tmp_path):
     assert not any(2 in p for p in pairs)
     # the boilerplate cohort is fully df-capped away
     assert not any(a >= cohort_start or b >= cohort_start for a, b in pairs)
+
+
+def test_model_gate_dsir_form_config(spark, sf_dir_small, monkeypatch):
+    """DSIR_GATE_FORM='log' swaps the gate's DSIR axis to the
+    paper-fidelity log-ratio ranking: per-source n_dsir_pass must equal
+    the recompute from dsir_log_weights' selected flags, and differ from
+    the linear form exactly where the two rankings disagree (the
+    orderings can coincide on easy corpora — assert consistency, not
+    difference)."""
+    from big_data_recommendation_system_spark.plans import quality_models as qm
+
+    def per_source_pass(report):
+        return {r.source: r.n_dsir_pass for r in report.collect()}
+
+    linear = per_source_pass(qm.model_gate_report(spark, sf_dir_small))
+    monkeypatch.setattr(qm, "DSIR_GATE_FORM", "log")
+    log_form = per_source_pass(qm.model_gate_report(spark, sf_dir_small))
+
+    expect = {}
+    for r in qm.dsir_log_weights(spark, sf_dir_small).collect():
+        expect[r.source] = expect.get(r.source, 0) + int(r.selected)
+    # sources with zero log-selected docs still appear in the report
+    assert {s: log_form.get(s, 0) for s in log_form} == {
+        s: expect.get(s, 0) for s in log_form
+    }
+    # both forms keep the same global count (same keep share, same ranker)
+    assert sum(log_form.values()) == sum(linear.values())
