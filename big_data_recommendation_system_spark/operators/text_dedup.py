@@ -1709,7 +1709,9 @@ ORDER BY l.doc_id
 CROSS_DETECTOR_DUP_CLUSTERS_SQL = _cross_detector_clusters_sql()
 
 from ..plans.text_analysis import (  # noqa: E402  (no cycle: text_analysis imports only functions/sources)
+    WINNOW_MIN_SHARED as _WINNOW_MIN_SHARED,
     WINNOWING_DUP_PAIRS_SQL as _WINNOW_PAIRS_SQL,
+    winnow_fps_table as _winnow_fps_table,
 )
 
 DUP_DETECTOR_OVERLAP_SQL = f"""
@@ -1942,4 +1944,141 @@ FROM (
 )
 GROUP BY cluster_size
 ORDER BY cluster_size
+"""
+
+
+def incremental_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental form of the winnowing detector (the fifth detector's
+    batch-vs-index variant, completing the incremental family):
+    per incoming-batch document, how many INDEXED documents share >=
+    WINNOW_MIN_SHARED selected fingerprints, the best match (most shared
+    fingerprints, ties to lowest id) with its winnowed-sketch
+    containment, and the keep/drop flag.
+
+    ASYMMETRIC join — batch postings ⋈ index postings on fp_hash — so
+    candidate work scales with the batch, not the corpus; the
+    stop-fingerprint df-cap is computed over the FULL posting list
+    (corpus statistics, the maintained index state — same convention as
+    incremental_near_dup's stop buckets, letting the DuckDB twin reuse
+    the symmetric pair chain filtered to the cross-boundary
+    orientation)."""
+    fps = _winnow_fps_table(spark, sf_dir)
+    from ..plans.text_analysis import WINNOW_MAX_DF
+
+    kept = fps.join(
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("fp_hash"),
+        "fp_hash",
+    )
+    n_fp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    batch = kept.filter(_is_batch(F.col("doc_id")))
+    index = kept.filter(~_is_batch(F.col("doc_id")))
+    matches = (
+        batch.alias("x")
+        .join(index.alias("y"), F.col("x.fp_hash") == F.col("y.fp_hash"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .join(
+            n_fp.select(
+                F.col("doc_id"), F.col("n_fp").alias("_nfp_doc")
+            ),
+            "doc_id",
+        )
+        .join(
+            n_fp.select(
+                F.col("doc_id").alias("match_id"),
+                F.col("n_fp").alias("_nfp_match"),
+            ),
+            "match_id",
+        )
+        .withColumn(
+            "overlap",
+            F.col("n_shared").cast("double")
+            / F.least("_nfp_doc", "_nfp_match").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared"), F.asc("match_id")
+    )
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_matches",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("match_id").alias("best_match_id"),
+            F.col("n_shared").alias("best_shared"),
+            F.col("overlap").alias("best_overlap"),
+        )
+    )
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(_is_batch(F.col("doc_id")))
+        .select("doc_id")
+    )
+    # best is the matched-dup subset of the batch — broadcast like
+    # incremental_near_dup (drop the hint if a corpus ever outgrows it)
+    return (
+        incoming.join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "best_match_id",
+            "best_shared",
+            "best_overlap",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_WINNOW_SQL = f"""
+WITH sym AS MATERIALIZED (SELECT * FROM ({_WINNOW_PAIRS_SQL})),
+inc AS (
+  -- cross-boundary pairs from the symmetric detector, re-oriented so
+  -- doc_id is always the incoming-batch side
+  SELECT
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN doc_a ELSE doc_b END AS doc_id,
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN doc_b ELSE doc_a END AS match_id,
+    n_shared,
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN n_fp_a ELSE n_fp_b END AS nfp_doc,
+    CASE WHEN doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}
+         THEN n_fp_b ELSE n_fp_a END AS nfp_match
+  FROM sym
+  WHERE (doc_a % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM})
+     != (doc_b % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM})
+),
+best AS (
+  SELECT doc_id, match_id AS best_match_id,
+    CAST(n_shared AS BIGINT) AS best_shared,
+    CAST(n_shared AS DOUBLE) / CAST(LEAST(nfp_doc, nfp_match) AS DOUBLE)
+      AS best_overlap,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY n_shared DESC, match_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+  FROM inc
+)
+SELECT d.doc_id,
+  CAST(COALESCE(b.n_matches, 0) AS BIGINT) AS n_matches,
+  b.best_match_id, b.best_shared, b.best_overlap,
+  COALESCE(b.n_matches, 0) > 0 AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = {INCREMENTAL_BATCH_REM}) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
 """

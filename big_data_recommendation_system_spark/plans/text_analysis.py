@@ -1438,9 +1438,10 @@ TA_SUBSTRATE_CONSUMERS = frozenset(
         "corpus_report_card",
         "mixture_weights_by_quality",
         "corpus_assembly_weighted",
-        # r12: both read the winnow:fps session substrate
+        # r12: all three read the winnow:fps session substrate
         "winnowing_dup_pairs",
         "dup_detector_overlap",
+        "incremental_winnow_matches",
     }
 )
 

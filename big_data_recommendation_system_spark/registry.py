@@ -320,6 +320,8 @@ _RAW_QUERIES: dict[str, QueryFn] = {
     # r12: fifth near-dup detector — winnowed fingerprint inverted-index
     # pairs (Schleimer et al. 2003), feeding dup_detector_overlap
     "winnowing_dup_pairs": text_analysis.winnowing_dup_pairs,
+    # r12: its batch-vs-index incremental form (asymmetric posting join)
+    "incremental_winnow_matches": text_dedup.incremental_winnow_matches,
 }
 
 # The driver's correctness harness checks only the FIRST 50 registry
@@ -398,6 +400,7 @@ _PRIORITY_ORDER = [
     "unimax_budget_draw",
     "bounded_cc_certificate",
     "winnowing_dup_pairs",
+    "incremental_winnow_matches",
     # -- r9-checked remainder (33; 3 rounds stale after r12 —
     # EVERY one must be in the r13 window to hold the invariant):
     "dup_graph_degrees",
@@ -769,6 +772,7 @@ ORACLES: dict[str, str] = {
     "unimax_budget_draw": packing.UNIMAX_BUDGET_DRAW_SQL,
     "bounded_cc_certificate": text_dedup.BOUNDED_CC_CERTIFICATE_SQL,
     "winnowing_dup_pairs": text_analysis.WINNOWING_DUP_PAIRS_SQL,
+    "incremental_winnow_matches": text_dedup.INCREMENTAL_WINNOW_SQL,
     # als_recommendations: iterative MLlib model — no SQL oracle (driver
     # records the rows-only check)
 }

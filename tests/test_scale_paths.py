@@ -295,6 +295,7 @@ def test_r12_ops_partitioning_invariant(spark, sf_dir):
         "unimax_budget_draw",
         "bounded_cc_certificate",
         "winnowing_dup_pairs",
+        "incremental_winnow_matches",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

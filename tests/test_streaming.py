@@ -1271,3 +1271,109 @@ def test_incremental_semdedup_streaming_batches(spark, stream_env, sf_dir_small)
     want = key(semdedup_incremental(spark, sf_dir_small).collect())
     assert got == want
     assert any(v[5] for v in want.values()), "slice should exercise matches"
+
+
+def test_incremental_winnow_streaming_batches(spark, stream_env, sf_dir_small):
+    """Continuous-ingestion form of incremental_winnow_matches: incoming
+    docs arrive across micro-batches; each batch's winnowed postings
+    join the STATIC df-capped index posting list (corpus-wide
+    stop-fingerprint statistics = the maintained index state). The union
+    over batches must reproduce the batch operator's match report
+    exactly — one semantics, two execution models."""
+    import json
+
+    from big_data_recommendation_system_spark.operators import text_dedup as td
+    from big_data_recommendation_system_spark.plans import text_analysis as ta
+    from big_data_recommendation_system_spark.sources.tables import load_table
+
+    is_batch = (
+        F.col("doc_id") % td.INCREMENTAL_BATCH_MOD == td.INCREMENTAL_BATCH_REM
+    )
+    fps = ta.winnow_fps_table(spark, sf_dir_small).cache()
+    kept = fps.join(
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= ta.WINNOW_MAX_DF)
+        .select("fp_hash"),
+        "fp_hash",
+    ).cache()
+    n_fp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    ).cache()
+    index_side = kept.filter(~is_batch).cache()
+    index_side.count()  # materialize the static state once
+
+    incoming_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir_small, "documents")
+        .filter(is_batch)
+        .select("doc_id")
+        .collect()
+    )
+    half = len(incoming_ids) // 2
+    src = os.path.join(stream_env["tmp"], "inc_winnow_src")
+    os.makedirs(src, exist_ok=True)
+    for fname, ids in [
+        ("b0.json", incoming_ids[:half]),
+        ("b1.json", incoming_ids[half:]),
+    ]:
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"doc_id": i}) + "\n")
+
+    found: list[tuple[int, int, int, float]] = []
+
+    def handle(batch_df, _bid):
+        batch_post = kept.join(F.broadcast(batch_df.select("doc_id")), "doc_id")
+        rows = (
+            batch_post.alias("x")
+            .join(index_side.alias("y"), F.col("x.fp_hash") == F.col("y.fp_hash"))
+            .groupBy(
+                F.col("x.doc_id").alias("doc_id"),
+                F.col("y.doc_id").alias("match_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= ta.WINNOW_MIN_SHARED)
+            .join(n_fp.select("doc_id", F.col("n_fp").alias("na")), "doc_id")
+            .join(
+                n_fp.select(
+                    F.col("doc_id").alias("match_id"), F.col("n_fp").alias("nb")
+                ),
+                "match_id",
+            )
+            .withColumn(
+                "overlap",
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double"),
+            )
+            .select("doc_id", "match_id", "n_shared", "overlap")
+            .collect()
+        )
+        found.extend(
+            (r.doc_id, r.match_id, r.n_shared, r.overlap) for r in rows
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    per_doc: dict[int, list[tuple[int, int, float]]] = {}
+    for doc, match, shared, ov in found:
+        per_doc.setdefault(doc, []).append((match, shared, ov))
+    got = {}
+    for doc, matches in per_doc.items():
+        best = sorted(matches, key=lambda m: (-m[1], m[0]))[0]
+        got[doc] = (len(matches), best[0], best[1], best[2])
+
+    want = {
+        r.doc_id: (r.n_matches, r.best_match_id, r.best_shared, r.best_overlap)
+        for r in td.incremental_winnow_matches(spark, sf_dir_small).collect()
+        if r.is_dup
+    }
+    assert got == want and want  # non-vacuous: the detector fires
