@@ -870,9 +870,18 @@ def bounded_cc_labels_from(
     processes degree-many rows per node; Spark's sort-based WindowExec
     spills past memory, so a 10^9-degree hub degrades to disk, not OOM,
     and everything downstream of the cap is bounded."""
-    edges = _bcc_edges(pairs, degree_cap)
-    labels = edges.select(F.col("u").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
+    # localCheckpoint per round (the connected_components discipline):
+    # each step references the previous level TWICE (own label + the
+    # neighbor lookup), so without plan truncation the lineage doubles
+    # per round — 2^K copies of the capped-edge pipeline, the exact
+    # blowup the DuckDB twin needed MATERIALIZED for. The label frame is
+    # paired-docs-only, so the checkpoints are small.
+    edges = _bcc_edges(pairs, degree_cap).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
     )
 
     def step(lab: DataFrame) -> DataFrame:
@@ -886,7 +895,7 @@ def bounded_cc_labels_from(
             F.least(
                 F.col("label"), F.coalesce("_nmin", F.col("label"))
             ).alias("label"),
-        )
+        ).localCheckpoint(eager=True)
 
     for _ in range(rounds):
         labels = step(labels)
