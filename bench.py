@@ -112,6 +112,11 @@ SUBSTRATE_BUILDERS = [
     ("qm:nb_model", _qm.nb_model_table),
     ("qm:lm_uni", _qm.lm_unigram_table),
     ("qm:lm_bi", _qm.lm_bigram_table),
+    # r12: the served score frames became substrates (score the snapshot
+    # once, every report reads the table) — time their builds here so
+    # consumer numbers stay pure consume
+    ("qm:nb_scores", _qm.nb_scores_table),
+    ("qm:lm_scores", _qm.lm_scores_table),
     ("qm:dsir_ratios", _qm.dsir_ratio_table),
     ("qm:dsir_sample", _qm.dsir_sample_table),
     ("spans:dup", _pk.dup_span_frame),

@@ -461,26 +461,43 @@ MINHASH_LSH_PAIRS_SQL = _minhash_sql() + "\nSELECT doc_a, doc_b, jaccard FROM pa
 SIMHASH_BITS = 48
 
 
-def _bit_expr_spark(j: int) -> str:
-    """SQL-expr string: bit j of md5(token) as ±1 contribution."""
-    hex_pos = j // 4 + 1
-    shift = j % 4
-    return (
-        f"2 * (shiftright(locate(substring(md5(tokval), {hex_pos}, 1), '0123456789abcdef') - 1, {shift}) & 1) - 1"
-    )
+def _bit_shift(j: int) -> int:
+    """Bit position of SimHash bit j inside the 48-bit integer parsed
+    from the md5 prefix: the historical per-bit expression read hex
+    digit ``j // 4 + 1`` (1-based from the LEFT of the digest) and took
+    bit ``j % 4`` of its value; in conv(first-12-hex, 16, 10) that hex
+    digit occupies bits [4·(12−pos) .. 4·(12−pos)+3], so the same bit
+    sits at 44 − 4·(j // 4) + (j % 4). Value-identical mapping — the
+    fingerprints hash-match the oracle unchanged."""
+    return 44 - 4 * (j // 4) + (j % 4)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per doc: majority vote over per-token-occurrence md5
-    bits (term frequency = natural weighting since tokens repeat)."""
+    bits (term frequency = natural weighting since tokens repeat).
+
+    r12 (guide §1.2 step 2, per-task work): the 48 bit-sum aggregates
+    previously each embedded ``md5(tokval)`` — 48 digest computations
+    per token occurrence (separate Sum aggregates do not share
+    subexpressions). Hash ONCE per token into a 48-bit integer in the
+    pre-aggregation projection, then each aggregate is two integer ops
+    on that long. Same 48 column sums bit for bit (see _bit_shift)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.withColumn("tok", tokens(F.col("text")))
         .select("doc_id", F.explode("tok").alias("tokval"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(tokval), 1, 12), 16, 10) AS BIGINT)"
+            ).alias("_h"),
+        )
     )
     sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(F.expr(_bit_expr_spark(j))).alias(f"b{j}")
+            F.sum(
+                F.expr(f"2 * (shiftright(_h, {_bit_shift(j)}) & 1) - 1")
+            ).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
@@ -662,15 +679,17 @@ def connected_components(
     al.); the per-round shape — edge join + min-agg on doc_id — is
     already the distributed form. Reusable over any pair source (text
     LSH, SimHash bands, embedding near-dups)."""
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+    # No distinct() on the symmetrized edges: every pair source feeding
+    # this loop emits unique (a < b) pairs by construction (groupBy /
+    # full-outer keyed builds), so the swap union is already dup-free —
+    # and even with duplicate edges the per-round min-aggregation is
+    # idempotent. Dropping it removes a full shuffle of the edge table
+    # before the loop (guide §2.4: remove shuffles outright).
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-        .distinct()
-        .cache()
-    )
+    ).cache()
     paired = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     if init_labels is None:
         labels = paired.select("doc_id", F.col("doc_id").alias("cluster_id"))
@@ -685,7 +704,12 @@ def connected_components(
                 F.col("doc_id"), F.coalesce("_seed", F.col("doc_id"))
             ).alias("cluster_id"),
         )
-    labels = labels.localCheckpoint()
+    # LAZY localCheckpoint + the label-sum action: ONE Spark job per
+    # round (the agg materializes the checkpoint) instead of the two an
+    # eager checkpoint + separate agg cost — on an iterative loop the
+    # per-round job overhead is the dominant fixed cost (guide §1.2:
+    # fewer passes; measured in OPTIMIZATION_r12.md).
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for _ in range(_MAX_CC_ITERS):
@@ -720,7 +744,7 @@ def connected_components(
                     F.coalesce("_cid2", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
@@ -748,11 +772,20 @@ def connected_components(
     full = nodes.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
-    sizes = full.groupBy("cluster_id").agg(
+    # Cluster sizes from the PAIRED labels only: every member of a
+    # multi-doc component is a paired doc, so counting over `labels`
+    # equals counting over the full node set for those clusters, and
+    # every unpaired node is its own size-1 singleton (its doc_id never
+    # appears as a paired component's label). This shuffles only the
+    # paired subgraph — at 100 TB orders of magnitude smaller than the
+    # corpus — instead of a full-corpus groupBy (guide §2.3: shuffle
+    # fewer bytes).
+    sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        full.join(sizes, "cluster_id")
+        full.join(sizes, "cluster_id", "left")
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
         .select(
             "doc_id",
             "cluster_id",
@@ -1225,16 +1258,24 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id", "match_id", "jaccard")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("match_id"))
+    # best-match + match-count in ONE hash aggregation (same rewrite as
+    # srp_incremental_pairs): (jaccard DESC, match_id ASC) tie-break
+    # preserved via min(struct(-jaccard, match_id, jaccard)) — match_id
+    # unique per doc_id, jaccard >= threshold > 0 so no -0.0 (r12,
+    # guide §2.4: one hash agg replaces two windows).
     best = (
-        matches.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_matches", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(F.col("_rn") == 1)
+        matches.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min(
+                F.struct(-F.col("jaccard"), F.col("match_id"), F.col("jaccard"))
+            ).alias("_b"),
+        )
         .select(
             "doc_id",
-            F.col("n_matches").cast("long").alias("n_matches"),
-            F.col("match_id").alias("best_match_id"),
-            F.col("jaccard").alias("best_jaccard"),
+            "n_matches",
+            F.col("_b.match_id").alias("best_match_id"),
+            F.col("_b.jaccard").alias("best_jaccard"),
         )
     )
     incoming = (
@@ -2014,22 +2055,29 @@ def incremental_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least("_nfp_doc", "_nfp_match").cast("double"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("n_shared"), F.asc("match_id")
-    )
+    # best-match + match-count in ONE hash aggregation (the
+    # srp_incremental_pairs rewrite): (n_shared DESC, match_id ASC)
+    # tie-break preserved via min(struct(-n_shared, match_id, ...)) —
+    # match_id unique per doc_id (r12, guide §2.4).
     best = (
-        matches.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "n_matches",
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        matches.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min(
+                F.struct(
+                    -F.col("n_shared"),
+                    F.col("match_id"),
+                    F.col("n_shared"),
+                    F.col("overlap"),
+                )
+            ).alias("_b"),
         )
-        .filter(F.col("_rn") == 1)
         .select(
             "doc_id",
-            F.col("n_matches").cast("long").alias("n_matches"),
-            F.col("match_id").alias("best_match_id"),
-            F.col("n_shared").alias("best_shared"),
-            F.col("overlap").alias("best_overlap"),
+            "n_matches",
+            F.col("_b.match_id").alias("best_match_id"),
+            F.col("_b.n_shared").alias("best_shared"),
+            F.col("_b.overlap").alias("best_overlap"),
         )
     )
     incoming = (

@@ -753,27 +753,53 @@ def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     vocabulary emptying (the r7 crossJoin precondition is gone).
 
     The greedy overlap rule (``aaaa`` + merge ``a a`` -> ``aa aa``, never
-    ``a aa a``) is expressed declaratively: merge-start positions that are
-    CONSECUTIVE form a run (only possible when pa == pb), and within each
-    run greedy keeps every other start beginning with the first — a
-    gaps-and-islands window (pos - row_number), no per-row Python.
+    ``a aa a``) is expressed declaratively as a per-word array fold
+    (aggregate() higher-order function): scan symbols left to right,
+    merge when the accumulator's last element is ``pa`` and the incoming
+    symbol is ``pb`` — leftmost-non-overlapping by construction, no
+    per-row Python. (A merged token can never re-match ``pa`` in the
+    same pass: concat(pa, pb) = pa would require an empty pb.)
 
     Scale shape: everything runs over the VOCABULARY (corpus collapsed to
     distinct words), not raw tokens; the chosen merge is a one-row frame
-    broadcast back, so each step is two small shuffles (pair count, vocab
-    regroup) plus word-partitioned windows. A production trainer would
+    broadcast back, so each step is ONE small shuffle (the map-side-
+    combined pair count) — the merge application itself is a narrow
+    per-row map, no window, no regroup. A production trainer would
     materialize the vocab between steps exactly like the dedup substrate;
     here the 3-step chain stays lazy so the oracle sees one plan.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("word").orderBy("pos")
-    sy = vocab.select(
-        "word", "freq", F.posexplode("syms").alias("pos", "sym")
-    ).withColumn("nxt", F.lead("sym").over(w))
+    # r12 OPTIMIZATION (guide §1.2 step 1 + §2.4): the step previously
+    # posexploded the vocabulary to one row per symbol and ran THREE
+    # word-partitioned sort windows (lead, run-grouping row_numbers, lag)
+    # plus a collect_list regroup shuffle to apply the merge. Both halves
+    # are expressible without any window or regroup:
+    #   - pair counting explodes adjacent (sym, nxt) structs straight
+    #     from each word's array (one hash-agg shuffle, map-side
+    #     combined);
+    #   - the greedy left-to-right non-overlapping merge is a per-row
+    #     array fold (aggregate() higher-order function) — leftmost
+    #     match wins, a merged token never re-matches pa in the same
+    #     pass (concat(pa, pb) = pa would need pb = ''), which is
+    #     exactly the consecutive-run every-other-start rule the window
+    #     version encoded (overlap is only possible between CONSECUTIVE
+    #     start positions, i.e. pa = pb runs).
+    # Per step this removes 3 sort windows + 1 regroup shuffle + the
+    # posexplode; values are bit-identical (strict sweep + oracle gate).
+    pc = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) >= 2 THEN "
+                "transform(slice(syms, 1, size(syms) - 1), "
+                "(s, i) -> struct(s AS sym, syms[i + 1] AS nxt)) "
+                "ELSE CAST(array() AS array<struct<sym:string,nxt:string>>) END"
+            )
+        ).alias("pr"),
+    )
     top1 = (
-        sy.filter(F.col("nxt").isNotNull())
-        .groupBy("sym", "nxt")
+        pc.groupBy(
+            F.col("pr.sym").alias("sym"), F.col("pr.nxt").alias("nxt")
+        )
         .agg(F.sum("freq").alias("n_weighted"))
         .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
         .orderBy(F.desc("n_weighted"), F.asc("pair"))
@@ -786,63 +812,41 @@ def _bpe_merge_step(vocab: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
         )
     )
     # LEFT join on TRUE (not crossJoin): an empty top1 yields NULL
-    # pa/pb, is_start coalesces FALSE everywhere, and the vocabulary
-    # regroups unchanged — the step is total (see docstring).
-    j = sy.join(F.broadcast(top1), F.lit(True), "left").withColumn(
-        "is_start",
-        F.coalesce(
-            (F.col("sym") == F.col("pa")) & (F.col("nxt") == F.col("pb")),
-            F.lit(False),
-        ),
-    )
-    starts = (
-        j.filter("is_start")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("grp", F.col("pos") - F.col("rn"))
+    # pa/pb, the fold's guard passes syms through unchanged, and the
+    # report row survives with NULL pair — the step stays total.
+    j = (
+        vocab.join(F.broadcast(top1), F.lit(True), "left")
         .withColumn(
-            "k2",
-            F.row_number().over(Window.partitionBy("word", "grp").orderBy("pos")),
-        )
-        .filter(F.col("k2") % 2 == 1)
-        .select("word", "pos", F.lit(True).alias("sel"))
-    )
-    m = (
-        j.join(starts, ["word", "pos"], "left")
-        .withColumn("sel", F.coalesce("sel", F.lit(False)))
-        .withColumn("sel_prev", F.coalesce(F.lag("sel").over(w), F.lit(False)))
-        .withColumn(
-            "out_sym",
-            F.when(F.col("sel"), F.concat("pa", "pb")).otherwise(F.col("sym")),
-        )
-    )
-    vocab2 = (
-        m.filter(~F.col("sel_prev"))
-        .groupBy("word", "freq")
-        .agg(
+            "new_syms",
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, out_sym))),"
-                " x -> x.out_sym)"
-            ).alias("syms")
+                "CASE WHEN pa IS NULL THEN syms ELSE "
+                "aggregate("
+                "  slice(syms, 2, size(syms) - 1), "
+                "  array(syms[0]), "
+                "  (acc, x) -> CASE "
+                "    WHEN element_at(acc, -1) = pa AND x = pb "
+                "    THEN concat(slice(acc, 1, size(acc) - 1), "
+                "                array(concat(pa, pb))) "
+                "    ELSE concat(acc, array(x)) END) "
+                "END"
+            ),
         )
+        .withColumn("n_merges", F.size("syms") - F.size("new_syms"))
     )
-    rep = (
-        m.agg(
-            F.first("pair").alias("pair"),
-            F.first("n_weighted").alias("n_weighted"),
-            F.sum(F.when(F.col("sel"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_vocab_merges"),
-            F.sum(F.when(F.col("sel"), F.col("freq")).otherwise(0))
-            .cast("long")
-            .alias("n_weighted_merges"),
-        )
-        .select(
-            F.lit(step).alias("step"),
-            "pair",
-            "n_weighted",
-            "n_vocab_merges",
-            "n_weighted_merges",
-        )
+    vocab2 = j.select("word", "freq", F.col("new_syms").alias("syms"))
+    rep = j.agg(
+        F.first("pair").alias("pair"),
+        F.first("n_weighted").alias("n_weighted"),
+        F.sum("n_merges").cast("long").alias("n_vocab_merges"),
+        F.sum(F.col("freq") * F.col("n_merges"))
+        .cast("long")
+        .alias("n_weighted_merges"),
+    ).select(
+        F.lit(step).alias("step"),
+        "pair",
+        "n_weighted",
+        "n_vocab_merges",
+        "n_weighted_merges",
     )
     return vocab2, rep
 

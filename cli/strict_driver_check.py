@@ -4,8 +4,10 @@ given sf and flag *dtype-kind* drift (int64 vs float64 and friends) that
 the pytest oracle harness deliberately canonicalizes away but the driver's
 value hash counts as a mismatch (the round-2 q12 failure class).
 
-Usage: python cli/strict_driver_check.py [sf_dir] [n_queries]
-Prints one line per query: OK / KIND-DRIFT / ERROR.
+Usage: python cli/strict_driver_check.py [sf_dir] [n_queries | name,name,...]
+Prints one line per query: OK / KIND-DRIFT / ERROR. The second argument
+may be a comma-separated query-name list to narrow the sweep to touched
+queries (r12 optimization workflow).
 """
 
 from __future__ import annotations
@@ -22,10 +24,15 @@ from tests.oracle import canon_rows, duckdb_run  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    sel = sys.argv[2] if len(sys.argv) > 2 else "50"
+    if sel.isdigit():
+        names = list(QUERIES)[: int(sel)]
+    else:
+        names = sel.split(",")
+    n = len(names)
     spark = get_spark("strict-check")
     bad = 0
-    for name in list(QUERIES)[:n]:
+    for name in names:
         if name not in ORACLES:
             print(f"{name:35s} SKIP (rows-only)")
             continue
