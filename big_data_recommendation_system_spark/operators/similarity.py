@@ -253,17 +253,17 @@ def _ivf_assignments(
         .join(vn, "vec_id2")
         .withColumn("cos_c", F.col("dot") / (F.col("vnorm") * F.col("cnorm")))
     )
-    # argmax via min(struct(-cos_c, centroid_id)): ascending -cos_c is
-    # descending cos_c and the double negation is an exact sign flip
-    # (cos_c here is a decimal-sum-derived double, never -0.0), so the
-    # (cos DESC, centroid ASC) tie-break is preserved while the sort-
-    # based row_number window becomes a map-side-combinable hash agg
-    # (guide §2.3/§2.4; r12).
-    return sims.groupBy("vec_id2").agg(
-        F.min(F.struct(-F.col("cos_c"), F.col("centroid_id"))).alias("_b")
-    ).select(
-        F.col("vec_id2").alias("vec_id"),
-        F.col("_b.centroid_id").alias("centroid_id"),
+    # (cos DESC, centroid ASC) argmax as a row_number window. NOT a
+    # min(struct(...)) aggregation: Min over a struct buffer cannot use
+    # HashAggregate and silently plans as SortAggregate — sort by
+    # vec_id2 on BOTH sides of the exchange, strictly worse than this
+    # window's one exchange + one sort (measured 1.3-1.5x slower in the
+    # r12 A/B; see OPTIMIZATION_r12.md "min(struct) postmortem").
+    wc = Window.partitionBy("vec_id2").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select(F.col("vec_id2").alias("vec_id"), "centroid_id")
     )
 
 
@@ -700,30 +700,22 @@ def semdedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     caveat, not a window regression)."""
     clusters = emb_clusters_table(spark, sf_dir)
     ccos = _centroid_cosines(spark, sf_dir)
-    # is_kept = "this row is its cluster's (centroid_cos ASC, vec_id
-    # ASC) argmin", previously a row_number window that exchanged and
-    # sorted the WHOLE frame by cluster_id. Computing the per-cluster
-    # argmin as a min(struct(...)) rollup and joining it back (cluster-
-    # count-sized frame, AQE broadcasts it) leaves the main frame
-    # un-shuffled: one exchange + one sort removed (r12, guide §2.4).
-    # vec_id is unique per cluster, so the equality test marks exactly
-    # the former rank-1 row.
-    j = clusters.join(ccos, "vec_id")
-    mins = j.groupBy("cluster_id").agg(
-        F.min(F.struct("centroid_cos", "vec_id")).alias("_m")
+    # row_number window, not a min(struct) rollup: Min over a struct
+    # buffer falls back to SortAggregate (no HashAggregate for complex
+    # buffers), and the rollup+join-back variant measured 1.7x slower
+    # in the r12 A/B (see OPTIMIZATION_r12.md "min(struct) postmortem").
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("centroid_cos"), F.asc("vec_id")
     )
     return (
-        j.join(mins, "cluster_id")
+        clusters.join(ccos, "vec_id")
         .select(
             "vec_id",
             "cluster_id",
             "cluster_size",
             "centroid_id",
             "centroid_cos",
-            (
-                (F.col("centroid_cos") == F.col("_m.centroid_cos"))
-                & (F.col("vec_id") == F.col("_m.vec_id"))
-            ).alias("is_kept"),
+            (F.row_number().over(w) == 1).alias("is_kept"),
         )
         .orderBy("vec_id")
     )
@@ -860,30 +852,29 @@ def _semdedup_incremental_impl(
         ),
         "match_id",
     )
+    # (cosine DESC, match_id ASC) best-match via row_number + one
+    # grouped rollup. NOT min(struct(...)): struct buffers force a
+    # SortAggregate fallback — slower than this window in the r12 A/B
+    # (OPTIMIZATION_r12.md "min(struct) postmortem").
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
     outranks = (F.col("m_cos") < F.col("b_cos")) | (
         (F.col("m_cos") == F.col("b_cos"))
         & (F.col("match_id") < F.col("vec_id"))
     )
-    # best-match + counts in ONE hash aggregation: min(struct(-cosine,
-    # match_id, cosine)) preserves the former (cosine DESC, match_id
-    # ASC) row_number tie-break (match_id unique per vec_id, cosine >=
-    # tau > 0 so no -0.0) and drops the window's per-partition sort
-    # (r12, guide §2.4).
     agg = (
-        enriched.groupBy("vec_id")
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matches"),
-            F.min(
-                F.struct(-F.col("cosine"), F.col("match_id"), F.col("cosine"))
-            ).alias("_b"),
+            F.max(F.when(F.col("_rn") == 1, F.col("match_id")))
+            .cast("long")
+            .alias("best_match_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("cosine"))).alias(
+                "best_match_cos"
+            ),
             F.max(outranks.cast("int")).cast("long").alias("_outranked"),
-        )
-        .select(
-            "vec_id",
-            "n_matches",
-            F.col("_b.match_id").cast("long").alias("best_match_id"),
-            F.col("_b.cosine").alias("best_match_cos"),
-            "_outranked",
         )
     )
     batch_cc = ccos.filter(is_batch(F.col("vec_id")))
@@ -992,22 +983,18 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
         )
     )
-    # argmax via min(struct(-cosine, dst, cosine)): (cosine DESC, dst
-    # ASC) tie-break preserved (dst is unique per src, the third field
-    # is never consulted; cosines here are decimal-sum-derived doubles,
-    # never -0.0) — hash agg instead of a sort window (r12, guide §2.4).
+    # (cosine DESC, dst ASC) argmax as a row_number window — see the
+    # min(struct) postmortem in OPTIMIZATION_r12.md (struct aggregation
+    # buffers force SortAggregate; the window is faster).
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     neg = (
         neigh.filter(F.col("cosine") < NEAR_DUP_TAU)
-        .groupBy("src")
-        .agg(
-            F.min(
-                F.struct(-F.col("cosine"), F.col("dst"), F.col("cosine"))
-            ).alias("_b")
-        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
         .select(
             F.col("src").alias("anchor_id"),
-            F.col("_b.dst").alias("negative_id"),
-            F.col("_b.cosine").alias("neg_cos"),
+            F.col("dst").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
         )
     )
     return (
@@ -1127,21 +1114,17 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "n_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    # argmax vote via min(struct(-n_votes, n_label, n_votes)): same
-    # (votes DESC, label ASC) tie-break as the former row_number window
-    # (n_label is unique per query after the groupBy), hash agg instead
-    # of a sort window (r12, guide §2.4).
+    # (votes DESC, label ASC) argmax as a row_number window over the
+    # tiny (queries x labels) vote frame — see the min(struct)
+    # postmortem in OPTIMIZATION_r12.md.
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("n_label"))
     pred = (
-        votes.groupBy("query_id")
-        .agg(
-            F.min(
-                F.struct(-F.col("n_votes"), F.col("n_label"), F.col("n_votes"))
-            ).alias("_b")
-        )
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
         .select(
             "query_id",
-            F.col("_b.n_label").alias("predicted_label"),
-            F.col("_b.n_votes").cast("long").alias("n_votes"),
+            F.col("n_label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
         )
     )
     return (
@@ -1358,14 +1341,25 @@ def _kmeans_assign(dims: DataFrame, cdims: DataFrame) -> DataFrame:
     dist = d.groupBy("vid", "cid").agg(
         F.sum(F.round(sq * F.lit(1e12)).cast("long")).alias("dist_fp")
     )
-    # argmin via min(struct(dist_fp, cid)) — lexicographic struct
-    # ordering IS (dist_fp ASC, cid ASC), so the tie-break is identical
-    # to the former row_number window, but the aggregation is map-side
-    # combinable and sort-free: one hash-agg exchange replaces the
-    # window's exchange + per-partition sort (guide §2.3/§2.4; r12).
+    # argmin via ONE plain min() over the packed key dist_fp * 8 + cid:
+    # cid < IVF_CENTROIDS = 8, so the packing is lexicographic
+    # (dist_fp ASC, cid ASC) — the same tie-break as the former
+    # row_number window — and a primitive BIGINT min IS a map-side-
+    # combinable HashAggregate (a min over struct(dist_fp, cid) would
+    # fall back to SortAggregate: complex aggregation buffers are not
+    # hash-aggregable — the r12 A/B measured that variant SLOWER than
+    # the window; see OPTIMIZATION_r12.md). Overflow headroom: dist_fp
+    # = sum of 64 round(sq*1e12) terms stays packable while per-dim
+    # |x - cx| <= ~1.3e2 (dist_fp*8 < 2^63 needs dist_fp < 1.15e18);
+    # test embeddings and any unit-normalized production space sit
+    # orders of magnitude below that.
     return dist.groupBy("vid").agg(
-        F.min(F.struct("dist_fp", "cid")).alias("_b")
-    ).select("vid", F.col("_b.cid").alias("cid"), F.col("_b.dist_fp").alias("dist_fp"))
+        F.min(F.col("dist_fp") * 8 + F.col("cid")).alias("_p")
+    ).select(
+        "vid",
+        F.expr("_p % 8").cast("long").alias("cid"),
+        F.expr("_p DIV 8").alias("dist_fp"),
+    )
 
 
 def _kmeans_new_centroids(assign: DataFrame, dims: DataFrame) -> DataFrame:
@@ -1718,17 +1712,22 @@ def _pq_codes_frame(sub: DataFrame) -> DataFrame:
             ).alias("d")
         )
     )
-    # argmin via min(struct(d, centroid_id)): lexicographic struct
-    # ordering IS (d ASC, centroid ASC) — hash agg instead of a sort
-    # window (r12, guide §2.4).
+    # (d ASC, centroid ASC) argmin as a row_number window — d is a
+    # DECIMAL sum, so the min(struct)/packed-min alternatives either
+    # fall back to SortAggregate or need a lossy re-scale; the window's
+    # one exchange + sort was faster in the r12 A/B (OPTIMIZATION_r12.md
+    # "min(struct) postmortem").
+    w = Window.partitionBy("vid", "s").orderBy(
+        F.asc("d"), F.asc("centroid_id")
+    )
     return (
-        d.groupBy("vid", "s")
-        .agg(F.min(F.struct("d", "centroid_id")).alias("_b"))
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
         .select(
             F.col("vid").alias("vec_id"),
             "s",
-            F.col("_b.centroid_id").alias("code"),
-            F.col("_b.d").alias("d"),
+            F.col("centroid_id").alias("code"),
+            "d",
         )
     )
 

@@ -102,16 +102,31 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so no hash oracle is possible; instead every recorded row
     carries its own |approx-exact| <= 5% certificate — VERDICT r5
     item 4). The exact countDistinct costs one extra expand at sf-test
-    scale and is exactly the column a 100 TB run would drop."""
+    scale and is exactly the column a 100 TB run would drop.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): mixing countDistinct
+    with plain aggregates made Catalyst Expand every silver row (one
+    replica for the distinct path, one for the counts) before the
+    exchange. Two-level form instead: pre-aggregate (event_date,
+    user_id) cells — map-side combined, one row per distinct cell on
+    the wire — then per date exact = COUNT of cells, total = SUM of
+    cell counts, and the HLL estimate over the cell user_ids
+    (duplicate-insensitive: same distinct value set → bit-identical
+    sketch, so the estimate and the certificate are unchanged; silver
+    user_id is non-null by the F1 required-field drop, so COUNT of
+    cells IS the exact distinct count)."""
     silver = silver_events(spark, sf_dir)
+    cells = silver.groupBy("event_date", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        silver.groupBy("event_date")
+        cells.groupBy("event_date")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias(
                 "approx_daily_active_users"
             ),
-            F.countDistinct("user_id").alias("exact_daily_active_users"),
-            F.count(F.lit(1)).alias("total_events"),
+            F.count(F.lit(1)).alias("exact_daily_active_users"),
+            F.sum("_n").alias("total_events"),
         )
         .withColumn(
             "rel_err_within_5pct",

@@ -417,24 +417,25 @@ def srp_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= SRP_TAU)
         .select("vec_id", "match_id", "cosine")
     )
-    # best-match + match-count in ONE hash aggregation: min(struct(
-    # -cosine, match_id, cosine)) preserves the former (cosine DESC,
-    # match_id ASC) tie-break (match_id unique per vec_id; cosine >=
-    # SRP_TAU > 0, so no -0.0), replacing a sort window PLUS a count
-    # window with a single map-side-combinable groupBy (r12, guide §2.4).
+    from pyspark.sql.window import Window
+
+    # (cosine DESC, match_id ASC) best-match via row_number + a grouped
+    # rollup for the count. NOT a min(struct(...)) aggregation: struct
+    # buffers force SortAggregate (no hash agg for complex buffers),
+    # which the r12 A/B measured slower than this window
+    # (OPTIMIZATION_r12.md "min(struct) postmortem").
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     best = (
-        matches.groupBy("vec_id")
+        matches.withColumn("_rn", F.row_number().over(w))
+        .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matches"),
-            F.min(
-                F.struct(-F.col("cosine"), F.col("match_id"), F.col("cosine"))
-            ).alias("_b"),
-        )
-        .select(
-            "vec_id",
-            "n_matches",
-            F.col("_b.match_id").alias("best_match_id"),
-            F.col("_b.cosine").alias("best_cosine"),
+            F.max(F.when(F.col("_rn") == 1, F.col("match_id"))).alias(
+                "best_match_id"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("cosine"))).alias(
+                "best_cosine"
+            ),
         )
     )
     incoming = (

@@ -1258,24 +1258,22 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id", "match_id", "jaccard")
     )
-    # best-match + match-count in ONE hash aggregation (same rewrite as
-    # srp_incremental_pairs): (jaccard DESC, match_id ASC) tie-break
-    # preserved via min(struct(-jaccard, match_id, jaccard)) — match_id
-    # unique per doc_id, jaccard >= threshold > 0 so no -0.0 (r12,
-    # guide §2.4: one hash agg replaces two windows).
+    # (jaccard DESC, match_id ASC) best-match via row_number + a grouped
+    # rollup for the count — the min(struct) single-agg variant planned
+    # as SortAggregate and measured slower (OPTIMIZATION_r12.md
+    # "min(struct) postmortem").
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("match_id"))
     best = (
-        matches.groupBy("doc_id")
+        matches.withColumn("_rn", F.row_number().over(w))
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matches"),
-            F.min(
-                F.struct(-F.col("jaccard"), F.col("match_id"), F.col("jaccard"))
-            ).alias("_b"),
-        )
-        .select(
-            "doc_id",
-            "n_matches",
-            F.col("_b.match_id").alias("best_match_id"),
-            F.col("_b.jaccard").alias("best_jaccard"),
+            F.max(F.when(F.col("_rn") == 1, F.col("match_id"))).alias(
+                "best_match_id"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("jaccard"))).alias(
+                "best_jaccard"
+            ),
         )
     )
     incoming = (
@@ -2055,29 +2053,27 @@ def incremental_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least("_nfp_doc", "_nfp_match").cast("double"),
         )
     )
-    # best-match + match-count in ONE hash aggregation (the
-    # srp_incremental_pairs rewrite): (n_shared DESC, match_id ASC)
-    # tie-break preserved via min(struct(-n_shared, match_id, ...)) —
-    # match_id unique per doc_id (r12, guide §2.4).
+    # (n_shared DESC, match_id ASC) best-match via row_number + a
+    # grouped rollup for the count — the min(struct) single-agg variant
+    # planned as SortAggregate and measured slower (OPTIMIZATION_r12.md
+    # "min(struct) postmortem").
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared"), F.asc("match_id")
+    )
     best = (
-        matches.groupBy("doc_id")
+        matches.withColumn("_rn", F.row_number().over(w))
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_matches"),
-            F.min(
-                F.struct(
-                    -F.col("n_shared"),
-                    F.col("match_id"),
-                    F.col("n_shared"),
-                    F.col("overlap"),
-                )
-            ).alias("_b"),
-        )
-        .select(
-            "doc_id",
-            "n_matches",
-            F.col("_b.match_id").alias("best_match_id"),
-            F.col("_b.n_shared").alias("best_shared"),
-            F.col("_b.overlap").alias("best_overlap"),
+            F.max(F.when(F.col("_rn") == 1, F.col("match_id"))).alias(
+                "best_match_id"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("n_shared"))).alias(
+                "best_shared"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("overlap"))).alias(
+                "best_overlap"
+            ),
         )
     )
     incoming = (

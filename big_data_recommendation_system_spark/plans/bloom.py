@@ -145,6 +145,15 @@ def bloom_decon_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "s")
         .distinct()
     )
+    # Probe shape kept deliberately (r12 audit): explode the K probe
+    # positions, broadcast-join the bitmap, AND the bit tests back
+    # together with a groupBy (source, s). The groupBy exchange looks
+    # removable (K chained per-probe broadcast joins need no shuffle),
+    # but it only carries the rows that PASS the bit filter — true hits
+    # + the ~FPR tail — while the chained-join variant re-derives the
+    # md5 probe positions per probe column and drags the shingle string
+    # through K joins: measured 2x SLOWER (4.0 s vs 8.1 s steady-state
+    # A/B, OPTIMIZATION_r12.md).
     probes = train_s.select(
         "source",
         "s",

@@ -1,19 +1,20 @@
-"""Single-pass table profiling: per-column row/null/distinct counts and
-min/max, as one aggregation over the table (the ``describe``/profiling
-rollup a pipeline runs before trusting a new drop of data — the
-data-quality rule engine in quality/ consumes exactly these signals to
-pick thresholds).
+"""Table profiling: per-column row/null/distinct counts and min/max
+(the ``describe``/profiling rollup a pipeline runs before trusting a
+new drop of data — the data-quality rule engine in quality/ consumes
+exactly these signals to pick thresholds).
 
-One wide ``agg`` computes every metric for every column in a single scan
-(count/min/max combine map-side; the exact countDistincts expand to
-distinct-aggregates that share the scan). The long (one-row-per-column)
-shape is produced by exploding an array of structs AFTER aggregation —
-a 1-row driver-free pivot, not a second pass.
+Shape (r12): one aggregation PER COLUMN over a single-column
+projection, unioned into the long one-row-per-column frame. Each
+branch's scan prunes to its own column (total I/O = one table read
+spread across parallel stages) and its partial distinct aggregate
+combines map-side; the previous one-wide-agg form paid a Catalyst
+Expand of (k+1)× the input rows to host k distinct aggregates in one
+Aggregate node.
 
-At 100 TB the exact per-column countDistinct is the expensive part
-(one expand row per (column, value)); ``profile_columns(df,
-approx=True)`` swaps in ``approx_count_distinct`` (HLL, one pass, no
-expand) — the oracle-checked registry query uses the exact form.
+At 100 TB the exact per-column countDistinct is the expensive part;
+``profile_columns(df, approx=True)`` swaps in ``approx_count_distinct``
+(HLL, no distinct shuffle) — the oracle-checked registry query uses the
+exact form.
 """
 
 from __future__ import annotations
@@ -41,45 +42,54 @@ def profile_columns(
     cols: list[tuple[str, str]],
     approx: bool = False,
 ) -> DataFrame:
-    """Profile ``cols`` of ``df`` in one aggregation pass; returns one
-    row per column: (col_name, n_rows, n_nulls, n_distinct, min_num,
-    max_num, min_str, max_str)."""
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    """Profile ``cols`` of ``df``; returns one row per column:
+    (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str).
+
+    r12 (guide §2.3): the exact form previously computed every column's
+    countDistinct in ONE wide aggregation — Catalyst plans k distinct
+    aggregates as an Expand to (k+1)× the input rows before the partial
+    aggregate, so a 6-column profile pushed 7 copies of the table
+    through the first stage. One aggregation per column instead, each
+    over a single-column projection (the scan prunes to that column, so
+    total I/O is still one table read) unioned into the long shape —
+    the same plan the DuckDB oracle runs. No Expand; each branch's
+    partial distinct aggregate combines map-side; the branches run as
+    parallel stages of one job. Values are identical (same aggregates,
+    same rows)."""
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    branches = []
     for c, kind in cols:
-        aggs.append(F.count(c).alias(f"__nn_{c}"))  # non-null count
         distinct = (
             F.approx_count_distinct(c) if approx else F.countDistinct(c)
         )
-        aggs.append(distinct.alias(f"__nd_{c}"))
+        aggs: list[Column] = [
+            F.count(F.lit(1)).alias("__n_rows"),
+            F.count(c).alias("__nn"),
+            distinct.alias("__nd"),
+        ]
         if kind == "num":
-            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+            aggs.append(F.min(F.col(c).cast("double")).alias("__mn"))
+            aggs.append(F.max(F.col(c).cast("double")).alias("__mx"))
         elif kind == "str":
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
-    prof = df.agg(*aggs)
-
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    structs = []
-    for c, kind in cols:
-        structs.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("__n_rows").alias("n_rows"),
-                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                (F.col(f"__min_{c}") if kind == "num" else null_d).alias("min_num"),
-                (F.col(f"__max_{c}") if kind == "num" else null_d).alias("max_num"),
-                (F.col(f"__min_{c}") if kind == "str" else null_s).alias("min_str"),
-                (F.col(f"__max_{c}") if kind == "str" else null_s).alias("max_str"),
-            )
+            aggs.append(F.min(c).alias("__mn"))
+            aggs.append(F.max(c).alias("__mx"))
+        b = df.select(c).agg(*aggs).select(
+            F.lit(c).alias("col_name"),
+            F.col("__n_rows").alias("n_rows"),
+            (F.col("__n_rows") - F.col("__nn")).alias("n_nulls"),
+            F.col("__nd").alias("n_distinct"),
+            (F.col("__mn") if kind == "num" else null_d).alias("min_num"),
+            (F.col("__mx") if kind == "num" else null_d).alias("max_num"),
+            (F.col("__mn") if kind == "str" else null_s).alias("min_str"),
+            (F.col("__mx") if kind == "str" else null_s).alias("max_str"),
         )
-    return (
-        prof.select(F.explode(F.array(*structs)).alias("p"))
-        .select("p.*")
-        .orderBy("col_name")
-    )
+        branches.append(b)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("col_name")
 
 
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
