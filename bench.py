@@ -117,6 +117,7 @@ SUBSTRATE_BUILDERS = [
     # consumer numbers stay pure consume
     ("qm:nb_scores", _qm.nb_scores_table),
     ("qm:lm_scores", _qm.lm_scores_table),
+    ("qm:dsir_feats", _qm.dsir_feats_table),
     ("qm:dsir_ratios", _qm.dsir_ratio_table),
     ("qm:dsir_sample", _qm.dsir_sample_table),
     ("spans:dup", _pk.dup_span_frame),

@@ -132,22 +132,28 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", init_fp.alias("fp")).localCheckpoint(
         eager=False
     )
+    # r12 OPTIMIZATION (guide §2.4: remove shuffles outright): the
+    # per-round left join of `nodes` onto the contribution sums is
+    # provably the identity projection. The edge list is SYMMETRIC
+    # (every pair appears in both directions) and `nodes` is exactly
+    # the set of endpoints, so every node has >= 1 incoming edge whose
+    # src carries a rank (ranks covers all nodes by induction from the
+    # init frame) — contribs therefore has EXACTLY one row per node,
+    # none of the coalesce(s, 0) arms can fire, and
+    # nodes ⟕ contribs == contribs. Dropping the join removes one
+    # join + one exchange of the rank frame per round (3 per query);
+    # values are bit-identical (oracle gate + strict sweep).
     for _ in range(PAGERANK_ITERS):
-        contribs = (
+        ranks = (
             ed.join(ranks, ed.src == ranks.node)
             .select("dst", F.expr("fp DIV out_deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 (
                     teleport_fp
-                    + F.round(
-                        F.lit(PAGERANK_DAMP) * F.coalesce("s", F.lit(0))
-                    ).cast("long")
+                    + F.round(F.lit(PAGERANK_DAMP) * F.col("s")).cast("long")
                 ).alias("fp"),
             )
             .localCheckpoint(eager=False)

@@ -630,13 +630,12 @@ def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         lab = labeled_docs_table(spark, sf_dir)
-        feats = lab.select(
-            "doc_id",
-            F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
-        ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
-        dfeat = feats.groupBy("doc_id", "bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("occ")
-        )
+        # r12 OPTIMIZATION (guide §1.2: remove repeated passes): the
+        # hashed feature counts come from the shared qm:dsir_feats
+        # substrate instead of re-running the tokenize→explode→md5 pass
+        # here (the ratio table, the linear manifest and the log-weight
+        # ranking each paid it separately — 3 corpus explodes → 1).
+        dfeat = dsir_feats_table(spark, sf_dir)
         rawc = dfeat.groupBy("bucket").agg(F.sum("occ").cast("long").alias("cnt_r"))
         tgtc = (
             dfeat.join(lab.select("doc_id", "seed_hi"), "doc_id")
@@ -669,18 +668,39 @@ def dsir_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, sf_dir, "qm:dsir_ratios", build)
 
 
-def dsir_weight_docs(tok_docs: DataFrame, ratios: DataFrame) -> DataFrame:
-    """Per-document DSIR importance weights over ANY (doc_id, tok) frame
-    against a frozen bucket-ratio table — batch or a streaming
-    micro-batch (per-doc independent). Returns (doc_id, n_features,
-    weight_fp); weights are exact BIGINT sums."""
+def _doc_feats(tok_docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, occ): hashed unigram+bigram feature counts for
+    ANY (doc_id, tok) frame — the shared DSIR feature expression (one
+    tokenize→explode→md5-bucket pass + one hash agg)."""
     feats = tok_docs.select(
         "doc_id",
         F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
     ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
-    dfeat = feats.groupBy("doc_id", "bucket").agg(
+    return feats.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("occ")
     )
+
+
+def dsir_feats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate ``qm:dsir_feats``: the corpus snapshot's hashed
+    feature counts (doc_id, bucket, occ) — the ONE corpus
+    tokenize→explode→md5 pass every DSIR artifact rides. r12
+    OPTIMIZATION (guide §1.2: remove repeated passes): previously the
+    ratio table, the linear resample manifest and the log-weight
+    ranking EACH re-ran this explode over the corpus (the md5 bucket
+    hash per token+bigram occurrence is the dominant per-row cost);
+    now it is computed once per (session, corpus) — the table a
+    production pipeline would persist beside the corpus snapshot."""
+    return session_frame(
+        spark,
+        sf_dir,
+        "qm:dsir_feats",
+        lambda: _doc_feats(labeled_docs_table(spark, sf_dir)),
+    )
+
+
+def _dsir_weights_from(dfeat: DataFrame, ratios: DataFrame) -> DataFrame:
+    """Linear DSIR weights from a prebuilt (doc_id, bucket, occ) frame."""
     return (
         dfeat.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
@@ -689,6 +709,14 @@ def dsir_weight_docs(tok_docs: DataFrame, ratios: DataFrame) -> DataFrame:
             F.sum(F.col("occ") * F.col("ratio_fp")).cast("long").alias("weight_fp"),
         )
     )
+
+
+def dsir_weight_docs(tok_docs: DataFrame, ratios: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weights over ANY (doc_id, tok) frame
+    against a frozen bucket-ratio table — batch or a streaming
+    micro-batch (per-doc independent). Returns (doc_id, n_features,
+    weight_fp); weights are exact BIGINT sums."""
+    return _dsir_weights_from(_doc_feats(tok_docs), ratios)
 
 
 def dsir_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,7 +730,11 @@ def dsir_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
 
         lab = labeled_docs_table(spark, sf_dir)
-        dw = dsir_weight_docs(lab, dsir_ratio_table(spark, sf_dir))
+        # r12: weights from the shared qm:dsir_feats substrate (no
+        # re-explode — see dsir_feats_table)
+        dw = _dsir_weights_from(
+            dsir_feats_table(spark, sf_dir), dsir_ratio_table(spark, sf_dir)
+        )
         ranked = with_global_rank(
             lab.select("doc_id", "source", "seed_hi")
             .join(dw, "doc_id")
@@ -1259,20 +1291,10 @@ def dsir_log_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dsir_log_weight_docs(tok_docs: DataFrame, log_ratios: DataFrame) -> DataFrame:
-    """Per-document paper-fidelity DSIR log-weights over ANY (doc_id,
-    tok) frame against a frozen (bucket, log_ratio_fp) table — batch or
-    a streaming micro-batch (per-doc independent). Returns (doc_id,
-    n_features, log_weight_fp); weights are exact BIGINT sums (possibly
-    negative: ln of a sub-1 ratio)."""
-    feats = tok_docs.select(
-        "doc_id",
-        F.explode(F.concat(F.col("tok"), ngrams("tok", 2))).alias("feat"),
-    ).select("doc_id", hash_bucket(F.col("feat"), DSIR_BUCKETS).alias("bucket"))
+def _dsir_log_weights_from(dfeat: DataFrame, log_ratios: DataFrame) -> DataFrame:
+    """Log DSIR weights from a prebuilt (doc_id, bucket, occ) frame."""
     return (
-        feats.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
-        .join(F.broadcast(log_ratios), "bucket")
+        dfeat.join(F.broadcast(log_ratios), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("occ").cast("long").alias("n_features"),
@@ -1281,6 +1303,15 @@ def dsir_log_weight_docs(tok_docs: DataFrame, log_ratios: DataFrame) -> DataFram
             .alias("log_weight_fp"),
         )
     )
+
+
+def dsir_log_weight_docs(tok_docs: DataFrame, log_ratios: DataFrame) -> DataFrame:
+    """Per-document paper-fidelity DSIR log-weights over ANY (doc_id,
+    tok) frame against a frozen (bucket, log_ratio_fp) table — batch or
+    a streaming micro-batch (per-doc independent). Returns (doc_id,
+    n_features, log_weight_fp); weights are exact BIGINT sums (possibly
+    negative: ln of a sub-1 ratio)."""
+    return _dsir_log_weights_from(_doc_feats(tok_docs), log_ratios)
 
 
 def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,7 +1328,11 @@ def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import RANK_COL, TOTAL_COL, with_global_rank
 
     lab = labeled_docs_table(spark, sf_dir)
-    dw = dsir_log_weight_docs(lab, dsir_log_ratio_table(spark, sf_dir))
+    # r12: log weights from the shared qm:dsir_feats substrate (no
+    # re-explode — see dsir_feats_table)
+    dw = _dsir_log_weights_from(
+        dsir_feats_table(spark, sf_dir), dsir_log_ratio_table(spark, sf_dir)
+    )
     ranked = with_global_rank(
         lab.select("doc_id", "source", "seed_hi")
         .join(dw, "doc_id")
