@@ -45,6 +45,9 @@ from big_data_recommendation_system_spark.plans.packing import (  # noqa: E402
 from big_data_recommendation_system_spark.ml.recommend import (  # noqa: E402
     ALS_CONSUMERS,
 )
+from big_data_recommendation_system_spark.operators.linalg import (  # noqa: E402
+    LINALG_SUBSTRATE_CONSUMERS,
+)
 
 SUBSTRATE_CONSUMERS = (
     TEXT_SUBSTRATE_CONSUMERS
@@ -53,6 +56,7 @@ SUBSTRATE_CONSUMERS = (
     | ALS_CONSUMERS
     | QM_SUBSTRATE_CONSUMERS
     | SPAN_SUBSTRATE_CONSUMERS
+    | LINALG_SUBSTRATE_CONSUMERS
 )
 from big_data_recommendation_system_spark.registry import QUERIES  # noqa: E402
 from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
@@ -67,6 +71,7 @@ from big_data_recommendation_system_spark.session import get_spark  # noqa: E402
 from big_data_recommendation_system_spark.operators import (  # noqa: E402
     emb_substrate as _emb,
     graph as _graph,
+    linalg as _linalg,
     similarity as _sim,
     srp as _srp,
     text_dedup as _td,
@@ -89,6 +94,10 @@ SUBSTRATE_BUILDERS = [
     ("emb:nd_pairs", _sim.emb_near_dup_pairs_table),
     ("emb:nd_clusters", _sim.emb_clusters_table),
     ("emb:pq_codes", _sim.pq_codes_table),
+    # r12: the covariance matrix became a substrate (one Gram pass,
+    # three readers — embedding_covariance / pca_invariants /
+    # pca_explained_variance)
+    ("emb:cov", _linalg.cov_table),
     ("emb:srp_sigs", _srp.srp_sig_table),
     ("emb:srp_cand", _srp._srp_cand_table),
     ("text:shingles", _td.shingled_docs_table),

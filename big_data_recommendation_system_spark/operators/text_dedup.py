@@ -713,17 +713,21 @@ def connected_components(
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for _ in range(_MAX_CC_ITERS):
-        neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
+        # r12 OPTIMIZATION (guide §2.4: remove shuffles outright): the
+        # step used to be groupBy(neighbor-min) + LEFT JOIN back onto
+        # labels + least/coalesce. min(own, min(neighbors)) is one
+        # aggregation over the UNION of the label frame with the
+        # neighbor messages — every doc appears in the union with its
+        # own label, so no row can be lost and the coalesce arm never
+        # fired. One exchange + one join fewer per round; values
+        # bit-identical (min is associative/commutative over the union).
+        msgs = edges.join(labels, edges.doc_b == labels.doc_id).select(
+            F.col("doc_a").alias("doc_id"), "cluster_id"
         )
-        stepped = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce("neigh_min", F.col("cluster_id")),
-            ).alias("cluster_id"),
+        stepped = (
+            msgs.union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # pointer doubling: label(u) <- min(label(u), label(label(u))).
         # A label is always the id of a node in u's component, so the

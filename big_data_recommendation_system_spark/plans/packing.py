@@ -1695,13 +1695,20 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unimax_per_src(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 OPTIMIZATION (guide §1.2: remove repeated passes): the rollup
+    # reads the tokenized qm:labeled substrate (its n_tokens IS
+    # size(tokens(text)) — text_stats computes the same expression)
+    # instead of re-tokenizing the corpus; unimax_budget_draw previously
+    # tokenized documents TWICE per call (once here, once for the
+    # prefix sum).
+    from .quality_models import labeled_docs_table
+
+    lab = labeled_docs_table(spark, sf_dir)
     return (
-        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
-        .groupBy("source")
+        lab.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
         .withColumn(
             "cap_tokens",
@@ -1866,6 +1873,13 @@ def unimax_budget_draw_from(docs: DataFrame, plan: DataFrame) -> DataFrame:
         ).alias("shuffle_key"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    return _unimax_draw_from_tokens(t, plan)
+
+
+def _unimax_draw_from_tokens(t: DataFrame, plan: DataFrame) -> DataFrame:
+    """The draw over a prebuilt (doc_id, source, shuffle_key, n_tokens)
+    frame — shared by the generic text-frame entry point above and the
+    substrate-riding registered query."""
     pref = with_global_prefix_sum(
         t, ["source", "shuffle_key", "doc_id"], "n_tokens"
     )
@@ -1917,8 +1931,21 @@ def unimax_budget_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     INPUT here, not a leaf: the same consumption path
     token_budget_sample provides for the hand-set budget, closing the
     measure→decide→assemble loop for the epoch-capped planner."""
-    docs = load_table(spark, sf_dir, "documents")
-    return unimax_budget_draw_from(docs, unimax_mixture_plan(spark, sf_dir))
+    # r12: ride the tokenized qm:labeled substrate — (doc_id, source,
+    # n_tokens) with the salted shuffle key derived here, instead of
+    # re-tokenizing documents (see _unimax_per_src); values identical
+    # (same n_tokens expression, same key derivation).
+    from .quality_models import labeled_docs_table
+
+    t = labeled_docs_table(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit(_UNIMAX_SALT), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return _unimax_draw_from_tokens(t, unimax_mixture_plan(spark, sf_dir))
 
 
 UNIMAX_BUDGET_DRAW_SQL = f"""{_UNIMAX_CTE},

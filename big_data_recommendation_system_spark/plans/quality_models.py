@@ -111,6 +111,9 @@ QM_SUBSTRATE_CONSUMERS = {
     "doremi_domain_weights",
     "model_gate_disagreement",
     "doremi_mixture_sample",
+    # packing.py planners that ride the qm:labeled substrate (r12)
+    "unimax_mixture_plan",
+    "unimax_budget_draw",
 }
 
 

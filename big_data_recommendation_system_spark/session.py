@@ -32,6 +32,21 @@ def get_spark(app_name: str = "bdrs-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 OPTIMIZATION (guide §2.2: partitions sized by data, not by
+        # a constant): let AQE re-optimize CACHED plans too — off by
+        # default only to protect consumers that rely on a cached frame's
+        # partitioning for exchange elision, which this engine never does
+        # (substrate consumers re-shuffle by their own keys). Without it
+        # every persisted substrate freezes at the static shuffle-
+        # partition count: the CC edge cache held 42 rows in 64
+        # partitions and each propagation round scheduled 64 near-empty
+        # tasks per stage (measured, OPTIMIZATION_r12.md). Scale-neutral:
+        # AQE targets advisoryPartitionSizeInBytes, so big substrates
+        # keep many partitions.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
