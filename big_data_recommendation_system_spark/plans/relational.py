@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.pandas_parity import decimal_avg, decimal_sum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 
 Q1_CUTOFF = "2001-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -35,9 +35,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # r12 OPTIMIZATION: spread AFTER the pushdown-able shipdate filter —
+    # the single-file test corpus scans one row group on one core, which
+    # serialized the eight decimal partial aggregations (2.31 s → 1.36 s
+    # min-of-4 interleaved A/B; values identical — decimal sums are
+    # order-exact). No-op on a multi-file production scan.
+    filtered = spread_small_scan(
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    )
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             decimal_sum(F.col("l_quantity")).alias("sum_qty"),
             decimal_sum(F.col("l_extendedprice")).alias("sum_base_price"),
