@@ -74,6 +74,44 @@ def main() -> None:
     targets["bpe_merge_step_vocab_internal"] = v2
     targets["bpe_merge_step_report_internal"] = rep
 
+    # one CC propagation round, pre-checkpoint (the query-level explain
+    # stops at the lazy localCheckpoint's LogicalRDD boundary, so the
+    # r12 round fusion — one aggregation over union(messages, labels)
+    # instead of groupBy + left join back — is only visible here)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels0 = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    msgs = edges.join(labels0, edges.doc_b == labels0.doc_id).select(
+        F.col("doc_a").alias("doc_id"), "cluster_id"
+    )
+    targets["cc_round_internal"] = (
+        msgs.union(labels0)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+    # one PageRank round, pre-checkpoint (same boundary argument; the
+    # r12 change dropped the per-round nodes left join — the round is
+    # now edge⋈rank → groupBy(dst) → projection)
+    from big_data_recommendation_system_spark.operators import graph as gr
+
+    ed = gr.graph_edges_deg_table(spark, sf_dir)
+    nodes = gr.graph_nodes_table(spark, sf_dir)
+    ranks0 = nodes.select("node", F.lit(1_000_000).alias("fp"))
+    targets["pagerank_round_internal"] = (
+        ed.join(ranks0, ed.src == ranks0.node)
+        .select("dst", F.expr("fp DIV out_deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(1) + F.round(F.lit(0.85) * F.col("s")).cast("long")).alias("fp"),
+        )
+    )
+
     # kmeans assignment argmin
     dims = sim.emb_dims(spark, sf_dir)
     cdims = dims.filter(F.col("vid") < sim.IVF_CENTROIDS).select(
