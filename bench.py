@@ -112,6 +112,7 @@ SUBSTRATE_BUILDERS = [
     ("graph:edges", _graph.graph_edges_table),
     ("graph:edges_deg", _graph.graph_edges_deg_table),
     ("graph:nodes", _graph.graph_nodes_table),
+    ("winnow:picks", _ta.winnow_picks_table),
     ("winnow:fps", _ta.winnow_fps_table),
     ("bpe:trained", lambda spark, sf: _ta._bpe_trained(spark, sf)[0]),
     ("bpe:encoded", _ta._bpe_encoded_table),

@@ -1442,10 +1442,12 @@ TA_SUBSTRATE_CONSUMERS = frozenset(
         "corpus_report_card",
         "mixture_weights_by_quality",
         "corpus_assembly_weighted",
-        # r12: all three read the winnow:fps session substrate
+        # r12: the winnow family reads the winnow:picks / winnow:fps
+        # session substrates
         "winnowing_dup_pairs",
         "dup_detector_overlap",
         "incremental_winnow_matches",
+        "winnowing_fingerprints",
     }
 )
 
@@ -1715,11 +1717,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     global); the rightmost-min pick is one w-bounded self-band-join +
     per-window max; the digest is a per-doc bounded
     sort_array(collect_list) like event_sequences."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("tok")
-    )
-    hashes = _winnow_hashes(docs)
-    picks = _winnow_picks_from(hashes)
+    # r12 OPTIMIZATION (guide §1.2): the positional picks come from the
+    # winnow:picks session substrate (no per-call re-run of the
+    # md5-gram explode + window-min + band join), and the per-doc gram
+    # count is computed directly as size(ngrams(tok, K)) — provably the
+    # row count the old hashes-explode groupBy produced (posexplode
+    # emits exactly one row per array element; the empty-array guard
+    # yields 0 for short docs, identical to the left join's
+    # coalesce(n_grams, 0)).
+    picks = winnow_picks_table(spark, sf_dir)
     per_doc = picks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
         F.md5(
@@ -1732,21 +1738,24 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_digest"),
     )
-    n_grams = hashes.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
-    return (
-        docs.select("doc_id")
-        .join(n_grams, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("_tok_w"))
         .select(
             "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.size(ngrams("_tok_w", WINNOW_K)).cast("long").alias("n_grams"),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
             F.coalesce("n_fingerprints", F.lit(0))
             .cast("long")
             .alias("n_fingerprints"),
             F.when(
-                F.coalesce("n_grams", F.lit(0)) >= WINNOW_W,
+                F.col("n_grams") >= WINNOW_W,
                 F.col("n_fingerprints").cast("double") / F.col("n_grams"),
             ).alias("density"),
             F.coalesce("fp_digest", F.lit("")).alias("fp_digest"),
@@ -1832,18 +1841,35 @@ WINNOW_MAX_DF = 64
 WINNOW_MIN_SHARED = 2
 
 
-def winnow_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session substrate: the distinct winnowed posting list
-    (doc_id, fp_hash), built once per (session, corpus) — shared by the
-    pair detector and the cross-detector overlap report."""
+def winnow_picks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate ``winnow:picks``: the positional winnowed
+    selection (doc_id, fp_pos, fp_hash), built once per (session,
+    corpus). r12 OPTIMIZATION (guide §1.2: remove repeated passes): the
+    fingerprint report and the posting-list substrate each re-ran the
+    full md5-gram explode + window-min + rightmost-pick band join; the
+    selection is deterministic per corpus snapshot, so it is computed
+    once and both derive from it."""
     from ..operators.substrate import session_frame
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", tokens(F.col("text")).alias("tok")
         )
+        return _winnow_picks_from(_winnow_hashes(docs))
+
+    return session_frame(spark, sf_dir, "winnow:picks", build)
+
+
+def winnow_fps_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session substrate: the distinct winnowed posting list
+    (doc_id, fp_hash), built once per (session, corpus) — shared by the
+    pair detector and the cross-detector overlap report. Derived from
+    the positional winnow:picks substrate (r12)."""
+    from ..operators.substrate import session_frame
+
+    def build() -> DataFrame:
         return (
-            _winnow_picks_from(_winnow_hashes(docs))
+            winnow_picks_table(spark, sf_dir)
             .select("doc_id", "fp_hash")
             .distinct()
         )
