@@ -244,14 +244,17 @@ def main() -> None:
         # divide a round's avg_query_sec by the ratio of probe
         # times to normalize out box drift before comparing
         "drift_probe_sec": drift_probe_sec,
-        # r9 VERDICT "What's wrong #3": from r9 onward "value"
-        # = consume + attributed substrate builds, while r8 and
-        # earlier bundled builds into whichever consumer ran
-        # first — compare rounds on avg_query_sec (consume-only),
-        # not on "value".
+        # r12 VERDICT "What's wrong #5": avg_query_sec is flattered
+        # whenever work relocates from consumers into newly-timed
+        # substrate builds (six substrates moved ~10 s that round
+        # alone) — "value" (consume + all substrate builds, r9+) is
+        # the only total comparable across rounds; normalize it by
+        # n_queries and drift_probe_sec when registries/boxes differ.
         "comparable_note": (
-            "value includes substrate_build_sec (r9+); compare "
-            "across rounds on avg_query_sec"
+            "compare rounds on value (consume + substrate builds, "
+            "r9+), normalized by n_queries and drift_probe_sec; "
+            "avg_query_sec is consume-only and is flattered when "
+            "work moves into substrates"
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": passes,

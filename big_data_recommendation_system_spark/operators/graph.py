@@ -82,6 +82,30 @@ def graph_nodes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_round(
+    ed: DataFrame, ranks: DataFrame, teleport_fp: F.Column
+) -> DataFrame:
+    """ONE PageRank message round, pre-checkpoint: contributions keyed on
+    dst (integer floor division per edge, map-side-combined sum) + the
+    damped-teleport update. Factored out (r12 ADVICE) so the production
+    loop and cli/capture_internal_plans.py build the SAME frame — the
+    captured 'internal' plan evidence cannot desynchronize from the
+    operator."""
+    return (
+        ed.join(ranks, ed.src == ranks.node)
+        .select("dst", F.expr("fp DIV out_deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            F.col("dst").alias("node"),
+            (
+                teleport_fp
+                + F.round(F.lit(PAGERANK_DAMP) * F.col("s")).cast("long")
+            ).alias("fp"),
+        )
+    )
+
+
 def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, damping 0.85) over the undirected near-dup
     graph, restricted to documents that appear in at least one pair —
@@ -144,19 +168,8 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join + one exchange of the rank frame per round (3 per query);
     # values are bit-identical (oracle gate + strict sweep).
     for _ in range(PAGERANK_ITERS):
-        ranks = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("fp DIV out_deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    teleport_fp
-                    + F.round(F.lit(PAGERANK_DAMP) * F.col("s")).cast("long")
-                ).alias("fp"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = _pagerank_round(ed, ranks, teleport_fp).localCheckpoint(
+            eager=False
         )
     return ranks.select(
         F.col("node").alias("doc_id"),

@@ -3,7 +3,17 @@ embedding substrate registries (operators/text_dedup.py,
 operators/emb_substrate.py): frames built once per (session, corpus),
 persisted, and re-persisted if an external ``clearCache()`` evicted
 them. Import-neutral (no operator modules) so substrate modules never
-form import cycles."""
+form import cycles.
+
+CONSUMER CONTRACT (r12 ADVICE): the session runs with
+``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true``, so
+frames returned by :func:`session_frame` have AQE-MUTABLE partitioning —
+partition counts, partition ids (``spark_partition_id``) and collect
+order over a substrate can differ run-to-run. Consumers must not depend
+on any of them: key every downstream shuffle explicitly, and where a
+stable ordering is needed materialize it with an explicit
+``repartitionByRange`` + checkpoint (the ranking operators' pattern) —
+never by trusting the cached frame's layout."""
 
 from __future__ import annotations
 

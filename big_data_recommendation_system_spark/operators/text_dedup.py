@@ -646,6 +646,48 @@ WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_MAX}
 _MAX_CC_ITERS = 50
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE label-propagation round, pre-checkpoint: min(own,
+    min(neighbors)) as a single aggregation over union(messages, labels)
+    — the r12 round fusion — followed by pointer doubling. Factored out
+    (r12 ADVICE) so the production loop and
+    cli/capture_internal_plans.py build the SAME frame — the captured
+    'internal' plan evidence cannot desynchronize from the operator."""
+    # r12 OPTIMIZATION (guide §2.4: remove shuffles outright): the step
+    # used to be groupBy(neighbor-min) + LEFT JOIN back onto labels +
+    # least/coalesce. min(own, min(neighbors)) is one aggregation over
+    # the UNION of the label frame with the neighbor messages — every
+    # doc appears in the union with its own label, so no row can be lost
+    # and the coalesce arm never fired. One exchange + one join fewer
+    # per round; values bit-identical (min is associative/commutative
+    # over the union).
+    msgs = edges.join(labels, edges.doc_b == labels.doc_id).select(
+        F.col("doc_a").alias("doc_id"), "cluster_id"
+    )
+    stepped = (
+        msgs.union(labels)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    # pointer doubling: label(u) <- min(label(u), label(label(u))).
+    # A label is always the id of a node in u's component, so the
+    # indirection stays inside the component and labels remain
+    # monotone-decreasing — the fixpoint is unchanged, but propagation
+    # distance doubles per round (O(log diameter) rounds on
+    # chain-shaped components instead of O(diameter)). The extra join
+    # runs on the label frame (paired docs only), not the data.
+    lut = stepped.select(
+        F.col("doc_id").alias("_cid"), F.col("cluster_id").alias("_cid2")
+    )
+    return stepped.join(lut, stepped.cluster_id == lut._cid, "left").select(
+        "doc_id",
+        F.least(
+            F.col("cluster_id"),
+            F.coalesce("_cid2", F.col("cluster_id")),
+        ).alias("cluster_id"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -713,43 +755,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     converged = False
     for _ in range(_MAX_CC_ITERS):
-        # r12 OPTIMIZATION (guide §2.4: remove shuffles outright): the
-        # step used to be groupBy(neighbor-min) + LEFT JOIN back onto
-        # labels + least/coalesce. min(own, min(neighbors)) is one
-        # aggregation over the UNION of the label frame with the
-        # neighbor messages — every doc appears in the union with its
-        # own label, so no row can be lost and the coalesce arm never
-        # fired. One exchange + one join fewer per round; values
-        # bit-identical (min is associative/commutative over the union).
-        msgs = edges.join(labels, edges.doc_b == labels.doc_id).select(
-            F.col("doc_a").alias("doc_id"), "cluster_id"
-        )
-        stepped = (
-            msgs.union(labels)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        # pointer doubling: label(u) <- min(label(u), label(label(u))).
-        # A label is always the id of a node in u's component, so the
-        # indirection stays inside the component and labels remain
-        # monotone-decreasing — the fixpoint is unchanged, but
-        # propagation distance doubles per round (O(log diameter) rounds
-        # on chain-shaped components instead of O(diameter)). The extra
-        # join runs on the label frame (paired docs only), not the data.
-        lut = stepped.select(
-            F.col("doc_id").alias("_cid"), F.col("cluster_id").alias("_cid2")
-        )
-        labels = (
-            stepped.join(lut, stepped.cluster_id == lut._cid, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("_cid2", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        labels = _cc_round(edges, labels).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
             converged = True

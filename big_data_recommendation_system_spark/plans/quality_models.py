@@ -693,7 +693,16 @@ def dsir_feats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking EACH re-ran this explode over the corpus (the md5 bucket
     hash per token+bigram occurrence is the dominant per-row cost);
     now it is computed once per (session, corpus) — the table a
-    production pipeline would persist beside the corpus snapshot."""
+    production pipeline would persist beside the corpus snapshot.
+
+    Cache-footprint note (r12 ADVICE): this is the widest qm-family
+    substrate — one row per distinct doc×bucket, i.e. ~min(n_tokens,
+    doc_len·2) rows per document vs one row per doc for the score
+    tables. At corpora where it would dominate executor storage memory
+    and evict sibling substrates (materialized() then re-persists them
+    on next touch — thrash), persist it MEMORY_AND_DISK_SER or write it
+    beside the snapshot instead of caching; at the test SFs it is a few
+    hundred KB and default MEMORY_AND_DISK is right."""
     return session_frame(
         spark,
         sf_dir,

@@ -326,83 +326,24 @@ _RAW_QUERIES: dict[str, QueryFn] = {
 
 # The driver's correctness harness checks only the FIRST 50 registry
 # entries per round, so ordering is a verification-coverage decision, not
-# cosmetics (see the r2-r11 rotation history in git). Round-12 rotation
-# (r11 VERDICT next-round #1, verbatim): the 7 never-driver-checked r11
-# registrations + ALL 26 remaining r8-checked rows (4 rounds stale at
-# r12) + 17 from the head of the r9 block to fill 50. After this window
-# runs, nothing oracled is staler than 3 driver rounds for a fourth
-# consecutive round. New r12 registrations go AFTER the window per the
-# standing convention (verified by direct oracle compares + the pytest
-# oracle gate + the closing strict sweep); they lead the r13 queue
-# TOGETHER WITH the 33 remaining r9-checked rows below, which hit the
-# 4-round staleness boundary at r13 and must all be taken (33 + new
-# regs, balance from the r11 block head).
+# cosmetics (see the r2-r12 rotation history in git). Round-13 rotation
+# (r12 VERDICT next-round #10, standing convention): the 5 r12
+# registrations (never driver-checked) + ALL 33 remaining r9-checked
+# rows (at the 4-round staleness boundary this round — every one must be
+# taken) + 12 from the head of the r11 block to fill 50. After this
+# window runs, nothing oracled is staler than 3 driver rounds for a
+# fifth consecutive round; the r10-checked block (exactly 50) leads the
+# r14 queue.
 _PRIORITY_ORDER = [
-    # -- the 7 r11 registrations (never driver-checked before r12):
-    "dsir_log_weights",
-    "mllib_minhash_agreement",
-    "dup_span_calibration",
-    "semdedup_incremental",
-    "doremi_domain_weights",
-    "unimax_mixture_plan",
-    "model_gate_disagreement",
-    # -- r8-checked remainder (26; last driver exposure round 8):
-    "bpe_pair_counts",
-    "cluster_label_purity",
-    "cosine_topk_agreement",
-    "daily_burst_detection",
-    "daily_event_pivot",
-    "embedding_near_dup_pairs",
-    "embedding_quantize",
-    "epoch_repeat_plan",
-    "frequent_ngrams",
-    "ivf_probe_sweep",
-    "kmeans_step",
-    "knn_label_eval",
-    "lang_confusion",
-    "media_features",
-    "media_preprocess_plan",
-    "pq_codes",
-    "pq_topk_agreement",
-    "price_quantity_corr",
-    "quality_threshold_sweep",
-    "rare_token_quality",
-    "ref_user_summary",
-    "sentence_dedup_stats",
-    "session_funnel_paths",
-    "tfidf_top_terms",
-    "user_tier_scd2",
-    "value_outliers_by_type",
-    # -- the 17 oldest r9-checked rows (alphabetical head of the
-    # r9 block; the other 33 lead the r13 queue):
-    "als_topk_agreement",
-    "bloom_decon_prefilter",
-    "bpe_apply_merges",
-    "bpe_learn_merges",
-    "cluster_size_histogram",
-    "contrastive_triplets",
-    "corpus_assembly_funnel",
-    "corpus_assembly_weighted",
-    "corpus_split",
-    "cross_detector_dup_clusters",
-    "cross_source_dup_matrix",
-    "decontamination_report",
-    "dedup_rate_by_source",
-    "dedup_retention_plan",
-    "dedup_token_savings",
-    "dsir_importance_sample",
-    "dup_detector_overlap",
-    # ---- driver window ends here (50) ------------------------------------
-    # -- NEW r12 registrations (never driver-checked; verified by
-    # oracle compares + pytest gate + strict sweep; co-lead the r13
-    # window with the r9 remainder below):
+    # -- the 5 r12 registrations (never driver-checked before r13):
+
     "doremi_mixture_sample",
     "unimax_budget_draw",
     "bounded_cc_certificate",
     "winnowing_dup_pairs",
     "incremental_winnow_matches",
-    # -- r9-checked remainder (33; 3 rounds stale after r12 —
-    # EVERY one must be in the r13 window to hold the invariant):
+    # -- r9-checked remainder (33; last driver exposure round 9 —
+    # 4-round staleness boundary at r13):
     "dup_graph_degrees",
     "dup_graph_pagerank",
     "embedding_clusters",
@@ -436,7 +377,8 @@ _PRIORITY_ORDER = [
     "tokenizer_fertility_by_source",
     "train_contamination_scan",
     "user_rfm_segments",
-    # -- r11-checked (the CORRECTNESS_r11 window):
+    # -- the 12 oldest r11-checked rows (head of the r11 block; the
+    # other 38 sit behind the r10 block in the queue):
     "mixture_plan",
     "pca_invariants",
     "approx_distinct_agreement",
@@ -449,45 +391,9 @@ _PRIORITY_ORDER = [
     "incremental_dup_spans",
     "ccnet_perplexity_buckets",
     "winnowing_fingerprints",
-    "als_input_matrix",
-    "balanced_sample",
-    "bpe_token_stats",
-    "chunk_documents",
-    "cohort_retention",
-    "conversion_funnel",
-    "corpus_prep_summary",
-    "corpus_report_card",
-    "corpus_shuffle",
-    "daily_gapfill",
-    "daily_type_cube",
-    "doc_length_histogram",
-    "doc_repetition_stats",
-    "dq_daily_validity",
-    "dq_trend",
-    "events_upsert_corrections",
-    "filter_funnel_report",
-    "first_event_per_user_type_day",
-    "gopher_repetition_rules",
-    "mixture_sample",
-    "mixture_weights_by_quality",
-    "packing_summary",
-    "pii_scrub",
-    "profile_events",
-    "purchases_with_prior_tier",
-    "q12_late_shipment_priority",
-    "source_vocab_overlap",
-    "span_dedup_stats",
-    "token_rarity_score",
-    "user_engagement_salted",
-    "user_tenure_salted_join",
-    "users_without_purchase",
-    "value_percentiles_by_type",
-    "view_purchase_attribution",
-    "vocab_df_stats",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "attribution_delay_stats",
-    # -- r10-checked (the CORRECTNESS_r10 window; freshest):
+    # ---- driver window ends here (50) ------------------------------------
+    # -- r10-checked (exactly 50; 3 rounds stale after r13 — they ARE
+    # the r14 window):
     "user_features_batch",
     "product_features_batch",
     "top_event_types_per_user",
@@ -538,6 +444,96 @@ _PRIORITY_ORDER = [
     "q20_heavy_shippers",
     "q21_sole_return_suppliers",
     "q22_idle_rich_customers",
+    # -- r11-checked remainder (38):
+    "als_input_matrix",
+    "balanced_sample",
+    "bpe_token_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "conversion_funnel",
+    "corpus_prep_summary",
+    "corpus_report_card",
+    "corpus_shuffle",
+    "daily_gapfill",
+    "daily_type_cube",
+    "doc_length_histogram",
+    "doc_repetition_stats",
+    "dq_daily_validity",
+    "dq_trend",
+    "events_upsert_corrections",
+    "filter_funnel_report",
+    "first_event_per_user_type_day",
+    "gopher_repetition_rules",
+    "mixture_sample",
+    "mixture_weights_by_quality",
+    "packing_summary",
+    "pii_scrub",
+    "profile_events",
+    "purchases_with_prior_tier",
+    "q12_late_shipment_priority",
+    "source_vocab_overlap",
+    "span_dedup_stats",
+    "token_rarity_score",
+    "user_engagement_salted",
+    "user_tenure_salted_join",
+    "users_without_purchase",
+    "value_percentiles_by_type",
+    "view_purchase_attribution",
+    "vocab_df_stats",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "attribution_delay_stats",
+    # -- r12-checked (the CORRECTNESS_r12 window; freshest):
+    "dsir_log_weights",
+    "mllib_minhash_agreement",
+    "dup_span_calibration",
+    "semdedup_incremental",
+    "doremi_domain_weights",
+    "unimax_mixture_plan",
+    "model_gate_disagreement",
+    "bpe_pair_counts",
+    "cluster_label_purity",
+    "cosine_topk_agreement",
+    "daily_burst_detection",
+    "daily_event_pivot",
+    "embedding_near_dup_pairs",
+    "embedding_quantize",
+    "epoch_repeat_plan",
+    "frequent_ngrams",
+    "ivf_probe_sweep",
+    "kmeans_step",
+    "knn_label_eval",
+    "lang_confusion",
+    "media_features",
+    "media_preprocess_plan",
+    "pq_codes",
+    "pq_topk_agreement",
+    "price_quantity_corr",
+    "quality_threshold_sweep",
+    "rare_token_quality",
+    "ref_user_summary",
+    "sentence_dedup_stats",
+    "session_funnel_paths",
+    "tfidf_top_terms",
+    "user_tier_scd2",
+    "value_outliers_by_type",
+    "als_topk_agreement",
+    "bloom_decon_prefilter",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "cluster_size_histogram",
+    "contrastive_triplets",
+    "corpus_assembly_funnel",
+    "corpus_assembly_weighted",
+    "corpus_split",
+    "cross_detector_dup_clusters",
+    "cross_source_dup_matrix",
+    "decontamination_report",
+    "dedup_rate_by_source",
+    "dedup_retention_plan",
+    "dedup_token_savings",
+    "dsir_importance_sample",
+    "dup_detector_overlap",
     # rows-only by design (no SQL oracle; driver records rows-only):
     # pca: driver-side eigensolve of the collected 64x64 matrix (data
     #   pass is the hash-verified embedding_covariance); pca_invariants

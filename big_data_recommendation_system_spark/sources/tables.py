@@ -29,6 +29,12 @@ TABLE_NAMES = [
 # Dimensions small enough to broadcast at any realistic scale factor.
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
+# spread_small_scan sizing: one task per this many compressed parquet
+# bytes (see the function docstring for the scale argument).
+_SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", str(128 * 1024))
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -61,14 +67,41 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     to the exact ``getNumPartitions`` probe rather than guessing from
     raw file counts. A production multi-file corpus therefore pays one
     plan-analysis probe, never a blind shuffle; the single-file test
-    corpus stays probe-free on the hot path."""
+    corpus stays probe-free on the hot path.
+
+    Partition count (r12 VERDICT #5): DATA-PROPORTIONAL, not a flat
+    ``defaultParallelism`` — ceil(file bytes / bytes-per-task) capped by
+    parallelism (guide §2.2: partitions sized by data). The r12 driver's
+    8-vs-32-core block showed the flat spread scheduling 32 near-empty
+    tasks over hundreds-of-KB files and losing ~2× to the 8-core run on
+    exactly these paths (srp_signatures 0.38, embedding_quantize 0.50,
+    silver_events 0.57 scaling ratios). Bytes-per-task is a compressed-
+    parquet proxy for the heavy per-row work these callers do;
+    overridable via $SPARK_GRAFT_SPREAD_BYTES_PER_TASK (local default
+    128 KiB ≈ fully-parallel lineitem/q1 at sf0.1, single-digit task
+    counts for the KB-scale tables). On a production multi-file scan
+    the cap makes this identical to the old behavior (bytes/task >>
+    threshold), so nothing cluster-scale changes."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # non-file plans: exact probe below
         files = []
     if len(files) == 1:
-        return df.repartition(target)
+        n = target
+        if files[0].startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            try:
+                size = os.path.getsize(unquote(urlparse(files[0]).path))
+                n = max(1, min(target, -(-size // _SPREAD_BYTES_PER_TASK)))
+            except OSError:
+                pass  # unreadable locally: keep the parallelism spread
+        if n == 1:
+            # one task of data: the one-row-group scan is already a
+            # single partition — an exchange would add cost, not spread
+            return df
+        return df.repartition(n)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -48,6 +48,7 @@ def load_bench(path: str) -> dict:
             "avg_query_sec": doc.get("avg_query_sec"),
             "drift_probe_sec": doc.get("drift_probe_sec"),
             "n_queries": doc.get("n_queries"),
+            "value": doc.get("value"),
             "complete": True,
         }
     tail = doc.get("tail", raw) if isinstance(doc, dict) else raw
@@ -73,6 +74,7 @@ def load_bench(path: str) -> dict:
         "avg_query_sec": scalar("avg_query_sec"),
         "drift_probe_sec": scalar("drift_probe_sec"),
         "n_queries": scalar("n_queries"),
+        "value": scalar("value"),
         "complete": False,
     }
 
@@ -99,15 +101,35 @@ def compare(old: dict, new: dict) -> dict:
         if new.get("avg_query_sec") and old.get("avg_query_sec")
         else None
     )
+    # r12 VERDICT "What's wrong #5": avg_query_sec is flattered when
+    # work relocates into substrate builds — "value" (consume + builds)
+    # is the cross-round headline. Normalize per query so registry
+    # growth doesn't read as a slowdown.
+    value_per_q_ratio = (
+        (new["value"] / new["n_queries"]) / (old["value"] / old["n_queries"])
+        if new.get("value")
+        and old.get("value")
+        and new.get("n_queries")
+        and old.get("n_queries")
+        else None
+    )
     ranked = sorted(ratios.items(), key=lambda kv: kv[1])
     return {
         "old_pair": [old.get("avg_query_sec"), old.get("drift_probe_sec")],
         "new_pair": [new.get("avg_query_sec"), new.get("drift_probe_sec")],
+        "value_per_query_ratio": (
+            round(value_per_q_ratio, 3) if value_per_q_ratio else None
+        ),
         "avg_ratio": round(avg_ratio, 3) if avg_ratio else None,
         "probe_ratio": round(probe_ratio, 3) if probe_ratio else None,
         "avg_ratio_probe_normalized": (
             round(avg_ratio / probe_ratio, 3)
             if avg_ratio and probe_ratio
+            else None
+        ),
+        "value_per_query_ratio_probe_normalized": (
+            round(value_per_q_ratio / probe_ratio, 3)
+            if value_per_q_ratio and probe_ratio
             else None
         ),
         "n_common_queries": len(ratios),

@@ -38,11 +38,12 @@ def explain_str(df) -> str:  # noqa: ANN001
 def main() -> None:
     tag = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    round_dir = sys.argv[3] if len(sys.argv) > 3 else "r13"
     spark = get_spark("capture-plans")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        round_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -76,40 +77,28 @@ def main() -> None:
 
     # one CC propagation round, pre-checkpoint (the query-level explain
     # stops at the lazy localCheckpoint's LogicalRDD boundary, so the
-    # r12 round fusion — one aggregation over union(messages, labels)
-    # instead of groupBy + left join back — is only visible here)
+    # round fusion — one aggregation over union(messages, labels)
+    # instead of groupBy + left join back — is only visible here).
+    # Built by the SAME helper the production loop calls (r12 ADVICE:
+    # no hand-copied round bodies in the capture path).
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
     labels0 = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    msgs = edges.join(labels0, edges.doc_b == labels0.doc_id).select(
-        F.col("doc_a").alias("doc_id"), "cluster_id"
-    )
-    targets["cc_round_internal"] = (
-        msgs.union(labels0)
-        .groupBy("doc_id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-    )
+    targets["cc_round_internal"] = td._cc_round(edges, labels0)  # noqa: SLF001
 
-    # one PageRank round, pre-checkpoint (same boundary argument; the
-    # r12 change dropped the per-round nodes left join — the round is
-    # now edge⋈rank → groupBy(dst) → projection)
+    # one PageRank round, pre-checkpoint (same boundary argument),
+    # built by the production round helper — teleport constant is the
+    # only capture-side literal (its value is plan-shape-irrelevant)
     from big_data_recommendation_system_spark.operators import graph as gr
 
     ed = gr.graph_edges_deg_table(spark, sf_dir)
     nodes = gr.graph_nodes_table(spark, sf_dir)
     ranks0 = nodes.select("node", F.lit(1_000_000).alias("fp"))
-    targets["pagerank_round_internal"] = (
-        ed.join(ranks0, ed.src == ranks0.node)
-        .select("dst", F.expr("fp DIV out_deg").alias("c"))
-        .groupBy("dst")
-        .agg(F.sum("c").alias("s"))
-        .select(
-            F.col("dst").alias("node"),
-            (F.lit(1) + F.round(F.lit(0.85) * F.col("s")).cast("long")).alias("fp"),
-        )
+    targets["pagerank_round_internal"] = gr._pagerank_round(  # noqa: SLF001
+        ed, ranks0, F.lit(1)
     )
 
     # kmeans assignment argmin
