@@ -2104,19 +2104,36 @@ def test_salted_agg_rejects_positional_salt_src():
 
 
 def test_spread_small_scan_plan_free_gate(spark, sf_dir_small):
-    """The spread guard must (a) spread a single-file scan across the
-    session's parallelism, (b) leave an already-parallel in-memory plan
-    untouched, and (c) never error on a non-file plan."""
-    from big_data_recommendation_system_spark.sources.tables import (
-        load_table,
-        spread_small_scan,
-    )
+    """The spread guard must (a) spread a single-file scan
+    DATA-PROPORTIONALLY — ceil(file bytes / bytes-per-task) capped by
+    the session's parallelism (r13: a hundreds-of-KB file no longer
+    schedules defaultParallelism near-empty tasks), (b) skip the
+    exchange entirely when the data fits one task, (c) leave an
+    already-parallel in-memory plan untouched, and (d) never error on
+    a non-file plan."""
+    import os as _os
+
+    from big_data_recommendation_system_spark.sources import tables as _t
 
     target = spark.sparkContext.defaultParallelism
-    spread = spread_small_scan(load_table(spark, sf_dir_small, "documents"))
-    assert spread.rdd.getNumPartitions() == target
+    df = _t.load_table(spark, sf_dir_small, "documents")
+    size = _os.path.getsize(_os.path.join(sf_dir_small, "documents.parquet"))
+    expect = max(1, min(target, -(-size // _t._SPREAD_BYTES_PER_TASK)))
+    spread = _t.spread_small_scan(df)
+    if expect == 1:
+        # one task of data: no exchange — the frame is returned as-is
+        assert spread is df
+    else:
+        assert spread.rdd.getNumPartitions() == expect
+    # a file big enough for >1 task still spreads (sf0.1 lineitem is
+    # ~10.8 MB -> capped at the session parallelism)
+    li = _t.load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    li_size = _os.path.getsize("/root/testdata/sf0.1/lineitem.parquet")
+    li_expect = max(1, min(target, -(-li_size // _t._SPREAD_BYTES_PER_TASK)))
+    assert _t.spread_small_scan(li).rdd.getNumPartitions() == li_expect
+    assert li_expect > 1
     wide = spark.range(0, 1000, numPartitions=target)
-    assert spread_small_scan(wide) is wide
+    assert _t.spread_small_scan(wide) is wide
 
 
 def test_bpe_apply_merges_bounds(spark, sf_dir_small):
